@@ -1,0 +1,191 @@
+"""Decoder stage: pre-tokenized sequence rows → timestamped samples.
+
+The Ray-Data analogue of the reference's decoder+mapper
+(src/parse/decoding/decoder.rs, src/parse/mapping/strategy.rs): where pq
+turns one log line into one Record and explodes its value fields into
+Samples (src/query/sample.rs:80-103), we turn one corpus row
+``(doc_id, tokens, n_tok, source)`` into ``n_tok`` samples of the
+``token`` metric plus one sample of the ``n_tok`` metric (the analogue of
+pq's synthetic ``__line__`` per-record stream).
+
+Decode rule (fixed forever; FIXTURES.md):
+    t_doc = EPOCH0 + (stable_hash64(doc_id) % T_SPAN_MS)  quantized to 1s
+    sample k: ts = t_doc + k*STEP_MS,  value = float(tokens[k])
+    labels  : {__name__: "token", source: source, shard: hash(doc_id)%8}
+
+Deterministic per row → Ray task retries reproduce identical output
+(lineage-exact).  Used as a callable CLASS with ``map_batches(DecodeTokens,
+concurrency=N)`` so the per-series-id lookup tables are built once per
+actor, not once per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..fixtures import N_SHARDS, SOURCES, STEP_MS, T_SPAN_MS
+from ..model import EPOCH0_MS, signature, stable_hash64
+
+
+def _series_id_lut() -> dict[str, np.ndarray]:
+    """series_id per (source, shard) combo for each metric name.
+
+    series_id = stable 64-bit hash of the canonical labelset signature —
+    the same byte layout the reference keys its BTreeMap on
+    (src/model/labels.rs:51-57) — truncated into uint64.  Used only for
+    partitioning/grouping placement; semantic grouping always carries the
+    label columns alongside.
+    """
+    luts = {}
+    for name in ("token", "n_tok"):
+        lut = np.empty(len(SOURCES) * N_SHARDS, dtype=np.uint64)
+        for si, src in enumerate(SOURCES):
+            for sh in range(N_SHARDS):
+                sig = signature(
+                    {"__name__": name, "source": src, "shard": str(sh)}
+                )
+                lut[si * N_SHARDS + sh] = np.uint64(
+                    int.from_bytes(hashlib.md5(sig).digest()[:8], "big")
+                )
+        luts[name] = lut
+    return luts
+
+
+def _doc_hashes(doc_ids: pa.Array) -> np.ndarray:
+    """Vector of stable_hash64 per doc_id.
+
+    One md5 per *row* (not per token) — ~1us/row against ~100+ tokens of
+    numpy work per row, <1% of stage time (measured in bench).
+    """
+    return np.fromiter(
+        (stable_hash64(s) for s in doc_ids.to_pylist()),
+        dtype=np.uint64,
+        count=len(doc_ids),
+    )
+
+
+class DecodeTokens:
+    """Actor-pool batch transform: corpus batch → samples batch.
+
+    Output schema (flat, Arrow-native, label columns not a map — the
+    rollup hot path groups on typed columns):
+
+        ts        int64    sample timestamp (Unix ms)
+        value     float64  token id (or n_tok for the doc metric)
+        name      string   metric name ("token" | "n_tok")
+        source    string   label
+        shard     int32    label (hash(doc_id) % 8)
+        series_id uint64   placement hash of the full labelset
+        [doc_id   string ]   only when provenance=True (tests)
+        [pos      int32  ]   only when provenance=True (tests)
+    """
+
+    def __init__(self, emit_doc_metric: bool = True, provenance: bool = False):
+        self._lut = _series_id_lut()
+        self._src_code = {s: i for i, s in enumerate(SOURCES)}
+        self.emit_doc_metric = emit_doc_metric
+        self.provenance = provenance
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens = batch.column("tokens").combine_chunks()
+        if isinstance(tokens, pa.ChunkedArray):  # single-chunk after combine
+            tokens = tokens.chunk(0)
+        doc_ids = batch.column("doc_id").combine_chunks()
+        source = batch.column("source").combine_chunks()
+        n = len(batch)
+
+        hashes = _doc_hashes(doc_ids)
+        t_doc = EPOCH0_MS + ((hashes % T_SPAN_MS) // 1000) * 1000
+        t_doc = t_doc.astype(np.int64)
+        shard = (hashes % N_SHARDS).astype(np.int32)
+        src_codes = np.fromiter(
+            (self._src_code[s] for s in source.to_pylist()), dtype=np.int64, count=n
+        )
+        combo = src_codes * N_SHARDS + shard
+
+        counts = batch.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        total = int(offsets[-1])
+
+        flat_values = tokens.flatten().to_numpy(zero_copy_only=False)
+        # position of each token within its row: arange - start_of_row
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        ts = np.repeat(t_doc, counts) + pos * STEP_MS
+
+        cols = {
+            "ts": ts,
+            "value": flat_values.astype(np.float64),
+            "name": np.full(total, "token", dtype=object),
+            "source": np.repeat(np.asarray(source.to_pylist(), dtype=object), counts),
+            "shard": np.repeat(shard, counts),
+            "series_id": np.repeat(self._lut["token"][combo], counts),
+        }
+        if self.provenance:
+            cols["doc_id"] = np.repeat(
+                np.asarray(doc_ids.to_pylist(), dtype=object), counts
+            )
+            cols["pos"] = pos.astype(np.int32)
+
+        out = pa.table(
+            {
+                "ts": pa.array(cols["ts"], type=pa.int64()),
+                "value": pa.array(cols["value"], type=pa.float64()),
+                "name": pa.array(cols["name"], type=pa.string()),
+                "source": pa.array(cols["source"], type=pa.string()),
+                "shard": pa.array(cols["shard"], type=pa.int32()),
+                "series_id": pa.array(cols["series_id"], type=pa.uint64()),
+                **(
+                    {
+                        "doc_id": pa.array(cols["doc_id"], type=pa.string()),
+                        "pos": pa.array(cols["pos"], type=pa.int32()),
+                    }
+                    if self.provenance
+                    else {}
+                ),
+            }
+        )
+
+        if self.emit_doc_metric:
+            doc_tbl = pa.table(
+                {
+                    "ts": pa.array(t_doc, type=pa.int64()),
+                    "value": pa.array(counts.astype(np.float64), type=pa.float64()),
+                    "name": pa.array(np.full(n, "n_tok", dtype=object), type=pa.string()),
+                    "source": source.cast(pa.string()),
+                    "shard": pa.array(shard, type=pa.int32()),
+                    "series_id": pa.array(self._lut["n_tok"][combo], type=pa.uint64()),
+                    **(
+                        {
+                            "doc_id": doc_ids.cast(pa.string()),
+                            "pos": pa.array(
+                                np.full(n, -1, dtype=np.int32), type=pa.int32()
+                            ),
+                        }
+                        if self.provenance
+                        else {}
+                    ),
+                }
+            )
+            out = pa.concat_tables([out, doc_tbl])
+        return out
+
+
+def decode_dataset(ds, *, batch_size: int = 2048, concurrency=4, **kwargs):
+    """tokens Dataset → samples Dataset.
+
+    ``batch_size`` is deliberately small: each row fans out ~n_tok samples
+    (64-4096x), so a 2048-row input batch is already a ~0.5-2M-row output
+    block — sized to keep block bytes near the object-store sweet spot
+    without splitting.
+    """
+    return ds.map_batches(
+        DecodeTokens,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,224 @@
+"""Rollup kernels: tumbling-window partial aggregates over a samples stream.
+
+The Ray-Data re-expression of pq's ``*_over_time`` family
+(src/query/function.rs:41-72): instead of a per-tick streaming buffer
+(src/query/vector.rs:141-202) we compute, per ``(series, window)``, the
+mergeable partial-aggregate struct::
+
+    {sum, count, min, max, (first_ts, first_v), (last_ts, last_v)}
+
+which finalizes every reference kernel — sum/count/min/max/avg_over_time
+directly, ``last_over_time`` as the value at min ts (the reference's
+newest-first ``.last()`` quirk, SURVEY.md Q7), and the PromQL-style
+``rate``/``delta``/``increase`` family from (first, last) — and
+*re-aggregates exactly* across retention tiers (1m partials → 1h → 1d),
+which is what makes the continuous-aggregate cascade possible without
+re-reading raw data.
+
+Physical plan per rollup (two stages, ONE shuffle):
+  1. ``map_batches``: assign windows + partial-aggregate *within the
+     batch* (vectorized pandas groupby) → shrinks the stream by
+     ~rows/(series x windows-per-batch) before any data moves.
+  2. ``groupby(bucket).map_groups``: hash-bucket on
+     ``(series_id, window_ts)`` — note the window in the key: a hot
+     series' windows spread across buckets, the explicit skew-splitting
+     the north rule asks for — then a vectorized pandas combine inside
+     each bucket.
+
+Windows here are *floor-aligned*: ``window_ts = floor((ts - offset)/W)*W
++ offset`` labels the inclusive window start, ``[start, start+W)``.  The
+pq conformance engine (pq_ray.query) uses its own tick grid
+(``(T - d, T]`` ending at ``t0 + k*interval - 1``); the cascade tiers use
+the SQL-friendly floor grid and both are exercised by tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Partial-aggregate columns (the mergeable struct).
+AGG_COLS = ["sum", "count", "min", "max", "first_ts", "first_v", "last_ts", "last_v"]
+DEFAULT_LABEL_COLS = ["name", "source", "shard"]
+
+
+def window_floor(ts: np.ndarray, interval_ms: int, offset_ms: int = 0) -> np.ndarray:
+    """Inclusive window-start label for each sample timestamp."""
+    return ((ts - offset_ms) // interval_ms) * interval_ms + offset_ms
+
+
+class PartialAggBatch:
+    """map_batches stage: samples batch → per-(series, window) partials.
+
+    Stateless and deterministic (pure function of the batch), so Ray task
+    retries regenerate identical partials — required for exact resume.
+    """
+
+    def __init__(
+        self,
+        interval_ms: int,
+        offset_ms: int = 0,
+        label_cols: list[str] | None = None,
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ):
+        self.interval_ms = interval_ms
+        self.offset_ms = offset_ms
+        self.label_cols = DEFAULT_LABEL_COLS if label_cols is None else label_cols
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[self.ts_col].to_numpy()
+        df = df.assign(window_ts=window_floor(ts, self.interval_ms, self.offset_ms))
+        # Stable sort by (ts, value): deterministic first/last under ts ties.
+        df = df.sort_values([self.ts_col, self.value_col], kind="stable")
+        keys = ["series_id", "window_ts"]
+        g = df.groupby(keys, sort=False)
+        out = g.agg(
+            **{c: (c, "first") for c in self.label_cols},
+            sum=(self.value_col, "sum"),
+            count=(self.value_col, "size"),
+            min=(self.value_col, "min"),
+            max=(self.value_col, "max"),
+            first_ts=(self.ts_col, "first"),
+            first_v=(self.value_col, "first"),
+            last_ts=(self.ts_col, "last"),
+            last_v=(self.value_col, "last"),
+        ).reset_index()
+        out["count"] = out["count"].astype(np.int64)
+        return out
+
+
+class CombinePartials:
+    """Merge partial rows sharing (series_id, window_ts) — runs inside a
+    bucket group; also used unchanged for tier re-aggregation."""
+
+    def __init__(self, label_cols: list[str] | None = None):
+        self.label_cols = DEFAULT_LABEL_COLS if label_cols is None else label_cols
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if "bucket" in df.columns:
+            df = df.drop(columns=["bucket"])
+        # Deterministic merge order under first_ts/last_ts ties.
+        df = df.sort_values(["first_ts", "first_v"], kind="stable")
+        keys = ["series_id", "window_ts"]
+        g = df.groupby(keys, sort=False)
+        first_part = g.agg(
+            **{c: (c, "first") for c in self.label_cols},
+            sum=("sum", "sum"),
+            count=("count", "sum"),
+            min=("min", "min"),
+            max=("max", "max"),
+            first_ts=("first_ts", "first"),
+            first_v=("first_v", "first"),
+        ).reset_index()
+        df2 = df.sort_values(["last_ts", "last_v"], kind="stable")
+        last_part = (
+            df2.groupby(keys, sort=False)
+            .agg(last_ts=("last_ts", "last"), last_v=("last_v", "last"))
+            .reset_index()
+        )
+        out = first_part.merge(last_part, on=keys, sort=False)
+        out["count"] = out["count"].astype(np.int64)
+        return out
+
+
+def _add_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    # Cheap integer mix of (series_id, window_ts); Fibonacci-style multiply
+    # spreads sequential windows of one series across buckets (skew split).
+    h = df["series_id"].to_numpy(dtype=np.uint64) ^ (
+        df["window_ts"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    df = df.copy()
+    df["bucket"] = ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+    return df
+
+
+def rollup(
+    ds,
+    interval_ms: int,
+    *,
+    offset_ms: int = 0,
+    label_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    batch_size: int | None = None,
+):
+    """samples Dataset → rollup points Dataset at ``interval_ms``.
+
+    One all-to-all exchange (the bucket groupby); everything else is
+    embarrassingly parallel map_batches.  ``num_buckets`` bounds peak
+    per-task memory: each bucket must fit a worker heap (~rows/buckets).
+    """
+    partial = ds.map_batches(
+        PartialAggBatch(interval_ms, offset_ms, label_cols),
+        batch_format="pandas",
+        batch_size=batch_size,
+    )
+    bucketed = partial.map_batches(
+        lambda df: _add_bucket(df, num_buckets), batch_format="pandas"
+    )
+    combiner = CombinePartials(label_cols)
+
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combiner(df)
+
+    return bucketed.groupby("bucket").map_groups(
+        combine_bucket, batch_format="pandas"
+    )
+
+
+def cascade(
+    points_ds,
+    coarser_interval_ms: int,
+    *,
+    offset_ms: int = 0,
+    label_cols: list[str] | None = None,
+    num_buckets: int = 64,
+):
+    """Re-aggregate a finer tier's points into a coarser tier.
+
+    Exact: partials are mergeable, so 1h-from-1m equals 1h-from-raw
+    bit-for-bit (tested in tests/test_cascade.py).  Reads only the finer
+    tier's (already small) points — never raw samples.
+    """
+
+    def rewindow(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_ts"] = window_floor(
+            df["window_ts"].to_numpy(), coarser_interval_ms, offset_ms
+        )
+        return _add_bucket(df, num_buckets)
+
+    rewindowed = points_ds.map_batches(rewindow, batch_format="pandas")
+    combiner = CombinePartials(label_cols)
+
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combiner(df)
+
+    return rewindowed.groupby("bucket").map_groups(
+        combine_bucket, batch_format="pandas"
+    )
+
+
+def finalize(df: pd.DataFrame, interval_ms: int) -> pd.DataFrame:
+    """Add the derived per-window outputs a user queries:
+
+    avg  = sum/count                 (avg_over_time)
+    last = first_v                   (pq's last_over_time — the
+                                      chronologically OLDEST sample in the
+                                      window; reference stores range
+                                      samples newest-first and takes
+                                      ``.last()``: src/query/function.rs:56,
+                                      src/query/vector.rs:233-236 — Q7)
+    rate = (last_v - first_v) / window_seconds   (PromQL-style; the
+                                      reference parses but never implements
+                                      rate — README.md:194 — so this is
+                                      validated against our own oracle only)
+    """
+    out = df.copy()
+    out["avg"] = out["sum"] / out["count"]
+    out["last"] = out["first_v"]
+    out["rate"] = (out["last_v"] - out["first_v"]) / (interval_ms / 1000.0)
+    return out
