@@ -1,0 +1,162 @@
+"""Benchmark harness.
+
+Headline pipeline: the token-corpus rollup cascade raw→1m→1h→1d — decode
+the pre-tokenized Parquet corpus into timestamped samples, roll up to 1s
+points, cascade through 1m → 1h → 1d tiers, writing each tier to Parquet.
+Metric: rolled-up raw samples/sec across all tiers (BASELINE.json).
+
+Also times the events-table rollup queries over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "samples_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32, same input) and reports both throughputs +
+scaling efficiency — the sandbox stand-in for the N vs 4N node clusters
+of the north rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Bench corpus size: ~60k docs ≈ 9-10M token samples at the default
+# length distribution. Override with GRAFT_BENCH_DOCS.
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "60000"))
+CORPUS_DIR = f"/tmp/pq_ray_bench/corpus_{BENCH_DOCS}"
+TIER_DIR = "/tmp/pq_ray_bench/tiers"
+
+TIERS = [1000, 60_000, 3_600_000, 86_400_000]  # raw(1s) → 1m → 1h → 1d
+
+
+def run_headline() -> dict:
+    import ray.data as rd
+
+    from pq_ray.pipelines.cascade import run_cascade
+
+    shutil.rmtree(TIER_DIR, ignore_errors=True)
+    t0 = time.perf_counter()
+    result = run_cascade(
+        corpus_path=CORPUS_DIR,
+        out_dir=TIER_DIR,
+        tiers=TIERS,
+        num_buckets=max(32, NUM_CPUS * 2),
+    )
+    elapsed = time.perf_counter() - t0
+    return {
+        "sec": elapsed,
+        "raw_samples": result["raw_samples"],
+        "samples_per_sec": result["raw_samples"] / elapsed,
+        "tier_rows": result["tier_rows"],
+    }
+
+
+def run_queries() -> dict:
+    from pq_ray.pipelines import events
+
+    out = {}
+    for name, fn in events.QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(SF_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+        assert len(df) > 0
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pq_ray.fixtures import write_tokens_corpus
+
+    write_tokens_corpus(CORPUS_DIR, BENCH_DOCS, seed=42)
+
+    # Warm the page cache so we measure compute + shuffle, not cold disk.
+    import ray.data as rd
+
+    rd.read_parquet(CORPUS_DIR).count()
+
+    headline = run_headline()
+    queries = run_queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" else {}
+
+    print(
+        json.dumps(
+            {
+                "metric": "rolled-up samples/sec across raw->1m->1h->1d tiers",
+                "value": round(headline["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "bench_docs": BENCH_DOCS,
+                "raw_samples": headline["raw_samples"],
+                "samples_per_sec": round(headline["samples_per_sec"]),
+                "tier_rows": headline["tier_rows"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, same input, fresh ray sessions at 8 and 32 CPUs."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_QUERIES="0",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "samples_per_sec_8": r_lo["samples_per_sec"],
+                "samples_per_sec_32": r_hi["samples_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "raw_samples": r_lo["raw_samples"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,209 @@
+"""Rollup pipelines over the `events` testdata table.
+
+The `events` table (event_id, ts, user_id, event_type, value, props) is a
+natural time-series: `event_type` plays the role of a pq label, `value`
+the sample value, `ts` the timestamp.  These pipelines exercise the same
+rollup kernels as the token cascade but over a table with a SQL oracle,
+so the driver's DuckDB comparison can hash-check every aggregate.
+
+All window labels are floor-aligned window *starts* in Unix ms
+(`window_ts = (epoch_ms(ts) // W) * W`), matching the oracle SQL's
+arithmetic exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..stages.rollup import (
+    CombinePartials,
+    PartialAggBatch,
+    _add_bucket,
+    window_floor,
+)
+
+MINUTE_MS = 60_000
+HOUR_MS = 3_600_000
+
+
+def read_events(sf_dir: str):
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+    )
+
+
+def _to_samples(batch: pa.Table) -> pa.Table:
+    """events batch → samples batch (ts:int64 ms, value:f64, series keys).
+
+    series_id must be a *content* hash (stable across batches/workers) —
+    per-batch dictionary codes would split one series across ids.
+    """
+    from ..model import stable_hash64
+
+    ts_ms = pc.cast(
+        pc.divide(pc.cast(batch["ts"], pa.int64()), 1000), pa.int64()
+    )  # timestamp[us] → ms
+    et = batch["event_type"].combine_chunks()
+    if isinstance(et, pa.ChunkedArray):
+        et = et.chunk(0) if et.num_chunks == 1 else pa.concat_arrays(et.chunks)
+    codes = et.dictionary_encode()
+    lut = np.array(
+        [stable_hash64(v) for v in codes.dictionary.to_pylist()], dtype=np.uint64
+    )
+    series_id = lut[codes.indices.to_numpy(zero_copy_only=False)]
+    return pa.table(
+        {
+            "ts": ts_ms,
+            "value": pc.cast(batch["value"], pa.float64()),
+            "event_type": et,
+            "series_id": pa.array(series_id, type=pa.uint64()),
+        }
+    )
+
+
+def rollup_events(sf_dir: str, interval_ms: int = MINUTE_MS):
+    """Windowed partial-aggregate rollup of event values by event_type.
+
+    Ray plan: read(prune cols) → map_batches(to_samples) →
+    map_batches(partial agg) → groupby(bucket).map_groups(combine).
+    One shuffle; partials shrink the exchange to ~|series x windows|.
+    """
+    ds = read_events(sf_dir)
+    samples = ds.map_batches(_to_samples, batch_format="pyarrow")
+    partial = samples.map_batches(
+        PartialAggBatch(interval_ms, label_cols=["event_type"]),
+        batch_format="pandas",
+    )
+    bucketed = partial.map_batches(
+        lambda df: _add_bucket(df, 16), batch_format="pandas"
+    )
+    combiner = CombinePartials(label_cols=["event_type"])
+
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combiner(df)
+
+    return bucketed.groupby("bucket").map_groups(
+        combine_bucket, batch_format="pandas"
+    )
+
+
+def q_rollup_1m(sf_dir: str) -> pd.DataFrame:
+    """sum/count/min/max/avg of value per (1m window, event_type)."""
+    df = rollup_events(sf_dir, MINUTE_MS).to_pandas()
+    out = df[["window_ts", "event_type", "sum", "count", "min", "max"]].copy()
+    out.columns = ["window_ts", "event_type", "sum_value", "n", "min_value", "max_value"]
+    out["avg_value"] = (out["sum_value"] / out["n"]).round(6)
+    # Round float *sums* on both sides (see ORACLES): f64 addition order
+    # differs between engines by ~1 ulp; rounding makes value-hashes stable.
+    out["sum_value"] = out["sum_value"].round(6)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["window_ts", "event_type"]).reset_index(drop=True)
+
+
+def q_rollup_1h_cascade(sf_dir: str) -> pd.DataFrame:
+    """1h rollup computed by RE-AGGREGATING the 1m tier's partials (the
+    continuous-aggregate path); oracle aggregates raw rows directly —
+    matching proves the cascade is exact."""
+    pts_1m = rollup_events(sf_dir, MINUTE_MS)
+
+    def rewindow(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_ts"] = window_floor(df["window_ts"].to_numpy(), HOUR_MS)
+        return _add_bucket(df, 16)
+
+    combiner = CombinePartials(label_cols=["event_type"])
+
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combiner(df)
+
+    df = (
+        pts_1m.map_batches(rewindow, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(combine_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = df[["window_ts", "event_type", "sum", "count", "min", "max"]].copy()
+    out.columns = ["window_ts", "event_type", "sum_value", "n", "min_value", "max_value"]
+    out["sum_value"] = out["sum_value"].round(6)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["window_ts", "event_type"]).reset_index(drop=True)
+
+
+def q_first_last_1h(sf_dir: str) -> pd.DataFrame:
+    """first/last value per (1h window, event_type) by event time — the
+    last_over_time / first_over_time kernels (incl. pq's Q7 'last is the
+    oldest' quirk is exposed via pq_last)."""
+    df = rollup_events(sf_dir, HOUR_MS).to_pandas()
+    out = df[["window_ts", "event_type", "first_v", "last_v"]].copy()
+    out.columns = ["window_ts", "event_type", "first_value", "last_value"]
+    # pq-compat last_over_time (reference Q7: chronologically oldest)
+    out["pq_last_value"] = df["first_v"].to_numpy()
+    return out.sort_values(["window_ts", "event_type"]).reset_index(drop=True)
+
+
+def q_rate_1h(sf_dir: str) -> pd.DataFrame:
+    """PromQL-style per-second delta over each 1h window:
+    (last - first) / 3600.  The reference only parses `rate`
+    (README.md:194); semantics here are the (last-first)/window form,
+    validated against the SQL oracle."""
+    df = rollup_events(sf_dir, HOUR_MS).to_pandas()
+    out = df[["window_ts", "event_type"]].copy()
+    out["rate_per_s"] = ((df["last_v"] - df["first_v"]) / 3600.0).round(6)
+    return out.sort_values(["window_ts", "event_type"]).reset_index(drop=True)
+
+
+ORACLES = {
+    "events_rollup_1m": """
+        SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts,
+               event_type,
+               ROUND(SUM(value), 6) AS sum_value,
+               COUNT(*) AS n,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "events_rollup_1h_cascade": """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type,
+               ROUND(SUM(value), 6) AS sum_value,
+               COUNT(*) AS n,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "events_first_last_1h": """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type,
+               arg_min(value, ts) AS first_value,
+               arg_max(value, ts) AS last_value,
+               arg_min(value, ts) AS pq_last_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "events_rate_1h": """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type,
+               ROUND((arg_max(value, ts) - arg_min(value, ts)) / 3600.0, 6) AS rate_per_s
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+}
+
+QUERIES = {
+    "events_rollup_1m": q_rollup_1m,
+    "events_rollup_1h_cascade": q_rollup_1h_cascade,
+    "events_first_last_1h": q_first_last_1h,
+    "events_rate_1h": q_rate_1h,
+}
