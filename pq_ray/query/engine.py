@@ -1,0 +1,620 @@
+"""Batch (vectorized) evaluator for the pq PromQL subset.
+
+Reproduces the reference's streaming evaluator tree
+(src/query/evaluator.rs + vector.rs + aggregate.rs + binary.rs +
+function.rs) as table transforms.  Every expression evaluates to a
+*stream*: a scalar, or a vector stream = (ordered tick array, table of
+non-empty per-tick samples).  Empty ticks (pq's gap-fill /
+staleness-marker emissions, SURVEY.md Q3) are ticks present in the tick
+array with no table rows.
+
+Tick grid semantics (bit-matched to src/query/vector.rs — SURVEY.md
+Q1-Q4):
+
+- per selector, ``d = range duration`` (range selector) else the global
+  lookback;
+- ``t0`` = --since if given, else the first *matching* sample's ts;
+- ``first_tick = t0 + min(d, interval) - 1``; ticks advance by interval;
+- a sample at ``ts`` is visible at tick T iff ``T - d < ts <= T``
+  (half-open windows);
+- ticks continue while ``T - d < last_matching_ts`` (the buffer-drain
+  rule: after EOF the reference keeps cutting ticks until the purge
+  empties the buffer);
+- instant vectors take the *latest* (ts, then arrival order) sample per
+  series in the window; range vectors take all of them.
+
+The quirks reproduced bit-for-bit: aggregation accumulator seeding
+(count = v1 + (n-1), group = v1 for singletons — Q8), last_over_time =
+chronologically oldest (Q7), comparison epsilon (Q6), __name__
+keep/drop rules (Q5), BTreeMap output ordering via canonical byte
+signatures (Q9), vector-join collision/many-to-one panics as typed
+errors (Q10), binary tick-misalignment empty emissions.
+
+Series ordering/grouping keys on the canonical byte signature
+(model.signature) so output order is identical to the reference's
+BTreeMap iteration.
+"""
+
+from __future__ import annotations
+
+import sys
+import warnings
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..model import signature
+from .ast import (
+    Aggregate,
+    Binary,
+    FunctionCall,
+    NumberLiteral,
+    Parentheses,
+    Unary,
+    VectorSelector,
+)
+
+F64_EPSILON = sys.float_info.epsilon  # == Rust f64::EPSILON
+
+DEFAULT_INTERVAL_MS = 1000
+
+
+class QueryError(RuntimeError):
+    pass
+
+
+class VectorMatchingError(QueryError):
+    """Typed replacement for the reference's panics on join collisions /
+    implicit many-to-one matching (src/query/value.rs:86-92,114-117)."""
+
+
+@dataclass
+class ScalarStream:
+    value: float
+    kind: str = "scalar"
+
+
+@dataclass
+class VectorStream:
+    kind: str  # "instant" | "range"
+    ticks: np.ndarray  # int64, ordered, may be empty
+    df: pd.DataFrame  # tick, value, name, <label cols>, sig, ord (+ ts, seq for range)
+    label_cols: list[str] = field(default_factory=list)
+
+
+@dataclass
+class EvalContext:
+    samples: pd.DataFrame  # ts, seq, name, value, <label cols>
+    label_cols: list[str]
+    interval: int
+    lookback: int
+    start_at: int | None = None
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def L(c: str) -> str:
+    """Label column name: user labels live in ``l_``-prefixed columns so
+    a label literally called "name"/"value"/"tick" can't collide with
+    the engine's internal columns."""
+    return f"l_{c}"
+
+
+def compute_sig(df: pd.DataFrame, label_cols: list[str], name_col: bool = True) -> np.ndarray:
+    """Canonical byte signature per row (vectorized over unique label
+    combos).  None/NaN label values = label absent.  __name__ included
+    iff the name column holds a value."""
+    cols = (["name"] if name_col and "name" in df.columns else []) + [
+        L(c) for c in label_cols if L(c) in df.columns
+    ]
+    if not cols or df.empty:
+        return np.array([b""] * len(df), dtype=object)
+    sub = df[cols]
+    uniq = sub.drop_duplicates()
+    sigs = {}
+    for row in uniq.itertuples(index=False):
+        d = {}
+        for c, v in zip(cols, row):
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            d["__name__" if c == "name" else c[2:]] = v
+        key = tuple(row)
+        sigs[key] = signature(d)
+    keys = list(map(tuple, sub.itertuples(index=False)))
+    return np.array([sigs[k] for k in keys], dtype=object)
+
+
+def labels_of_row(row, label_cols: list[str], include_name: bool = True) -> dict:
+    d = {}
+    name = row.get("name") if hasattr(row, "get") else row["name"]
+    if include_name and name is not None and not (isinstance(name, float) and np.isnan(name)):
+        d["__name__"] = name
+    for c in label_cols:
+        v = row[L(c)]
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        d[c] = v
+    return d
+
+
+def _rank_within_tick(df: pd.DataFrame) -> pd.DataFrame:
+    """Assign ord = position within tick after the current row order."""
+    df = df.reset_index(drop=True)
+    df["ord"] = df.groupby("tick", sort=False).cumcount()
+    return df
+
+
+def _empty_vector(kind: str, label_cols: list[str]) -> VectorStream:
+    cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+    if kind == "range":
+        cols += ["ts", "seq"]
+    return VectorStream(
+        kind, np.array([], dtype=np.int64), pd.DataFrame(columns=cols), label_cols
+    )
+
+
+# --------------------------------------------------------------------------
+# selector evaluation
+# --------------------------------------------------------------------------
+
+
+def eval_selector(sel: VectorSelector, ctx: EvalContext) -> VectorStream:
+    s = ctx.samples
+    label_cols = ctx.label_cols
+    kind = "range" if sel.range_ms is not None else "instant"
+    d = sel.range_ms if sel.range_ms is not None else ctx.lookback
+    interval = ctx.interval
+
+    # ---- matcher filter (vectorized per label column) ----
+    mask = np.ones(len(s), dtype=bool)
+    for m in sel.all_matchers():
+        col = "name" if m.label == "__name__" else L(m.label)
+        if col not in s.columns:
+            # missing label never matches for =, =~ ; for negative ops a
+            # missing label *matches nothing either* (reference: sample
+            # without the label returns None -> all() fails)
+            mask &= False
+            continue
+        vals = s[col]
+        present = vals.notna().to_numpy()
+        if m.op == "=":
+            mm = (vals == m.value).to_numpy(dtype=bool)
+        elif m.op == "!=":
+            mm = (vals != m.value).to_numpy(dtype=bool)
+        else:
+            rx = m.compiled()
+            mm = vals.map(
+                lambda v: v is not None
+                and not (isinstance(v, float) and np.isnan(v))
+                and rx.search(str(v)) is not None
+            ).to_numpy(dtype=bool)
+            if m.op == "!~":
+                mm = ~mm
+        mask &= mm & present
+    matched = s[mask]
+    if matched.empty:
+        return _empty_vector(kind, label_cols)
+
+    ts = matched["ts"].to_numpy()
+    t0 = ctx.start_at if ctx.start_at is not None else int(ts.min())
+    first = t0 + min(d, interval) - 1
+    last_ts = int(ts.max())
+    # ticks exist while T - d < last_ts  =>  T <= last_ts + d - 1
+    k_max = (last_ts + d - 1 - first) // interval
+    if k_max < 0:
+        return _empty_vector(kind, label_cols)
+    ticks = first + interval * np.arange(k_max + 1, dtype=np.int64)
+
+    # ---- window explode: sample -> every tick whose (T-d, T] contains it
+    k_lo = np.ceil((ts - first) / interval).astype(np.int64)
+    k_lo = np.maximum(k_lo, 0)
+    k_hi = (ts + d - 1 - first) // interval
+    k_hi = np.minimum(k_hi, k_max)
+    reps = np.maximum(k_hi - k_lo + 1, 0)
+    keep = reps > 0
+    matched = matched[keep]
+    reps = reps[keep]
+    k_lo = k_lo[keep]
+    total = int(reps.sum())
+    if total == 0:
+        return VectorStream(
+            kind,
+            ticks,
+            pd.DataFrame(
+                columns=["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord", "ts", "seq"]
+            ),
+            label_cols,
+        )
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+    )
+    tick_col = first + (np.repeat(k_lo, reps) + within) * interval
+
+    ex = matched.loc[matched.index.repeat(reps)].reset_index(drop=True)
+    ex["tick"] = tick_col
+    ex["sig"] = compute_sig(ex, label_cols, name_col=True)
+
+    if kind == "instant":
+        # latest sample per (tick, series): max (ts, seq) — seq is arrival
+        # order, the reference scans the deque newest-pushed-first
+        ex = ex.sort_values(["ts", "seq"], kind="stable")
+        ex = ex.groupby(["tick", "sig"], sort=False).last().reset_index()
+        ex = ex.sort_values(["tick", "sig"], kind="stable")
+        ex = _rank_within_tick(ex)
+        cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+        return VectorStream("instant", ticks, ex[cols], label_cols)
+
+    # range vector: keep all window samples; series ordered by sig,
+    # samples within a series by arrival (ts, seq)
+    ex = ex.sort_values(["tick", "sig", "ts", "seq"], kind="stable")
+    # ord identifies the series rank within tick (for output ordering)
+    sig_rank = ex.groupby("tick", sort=False)["sig"].transform(
+        lambda x: pd.factorize(x)[0]
+    )
+    ex["ord"] = sig_rank
+    cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord", "ts", "seq"]
+    return VectorStream("range", ticks, ex[cols], label_cols)
+
+
+# --------------------------------------------------------------------------
+# combinators
+# --------------------------------------------------------------------------
+
+
+def eval_unary(op: str, inner) -> object:
+    if isinstance(inner, ScalarStream):
+        # reference's UnaryEvaluator handles only instant vectors
+        # (src/query/unary.rs:25-31 hits unimplemented!) — except that
+        # literals parse their own sign; mirror with an eager fold:
+        return ScalarStream(-inner.value if op == "-" else inner.value)
+    if inner.kind != "instant":
+        raise QueryError("unary operator on range vectors is not supported")
+    df = inner.df.copy()
+    if op == "-":
+        df["value"] = -df["value"].to_numpy()
+    # keep_name=true (src/query/unary.rs:16)
+    return VectorStream("instant", inner.ticks, df, inner.label_cols)
+
+
+def _scalar_op(op: str, l, r):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return np.fmod(l, r)  # Rust % on f64 = fmod (sign of dividend)
+        if op == "^":
+            return np.power(l, r)
+        if op == "==":
+            return (np.abs(l - r) < F64_EPSILON).astype(np.float64)
+        if op == "!=":
+            return (np.abs(l - r) > F64_EPSILON).astype(np.float64)
+        if op == ">":
+            return (l > r).astype(np.float64)
+        if op == ">=":
+            return (l >= r).astype(np.float64)
+        if op == "<":
+            return (l < r).astype(np.float64)
+        if op == "<=":
+            return (l <= r).astype(np.float64)
+    raise QueryError(f"operator {op!r} is not implemented")
+
+
+def _apply_scalar_vector(
+    op: str, vec: VectorStream, scalar: float, vector_on_left: bool, bool_modifier: bool
+) -> VectorStream:
+    if vec.kind != "instant":
+        raise QueryError(f"scalar {op} range-vector operation is not supported")
+    is_cmp = op in ("==", "!=", ">", ">=", "<", "<=")
+    df = vec.df.copy()
+    v = df["value"].to_numpy(dtype=np.float64)
+    l, r = (v, scalar) if vector_on_left else (scalar, v)
+    res = np.asarray(_scalar_op(op, l, r), dtype=np.float64)
+    if is_cmp and not bool_modifier:
+        # filter semantics: keep original value & __name__ where true
+        keep = np.abs(res - 1.0) < F64_EPSILON
+        df = df[keep]
+    else:
+        df["value"] = res
+        df["name"] = None  # drop __name__ (arithmetic or bool comparison)
+    return VectorStream("instant", vec.ticks, df, vec.label_cols)
+
+
+def _zip_ticks(L: np.ndarray, R: np.ndarray):
+    """The reference's two-stream alignment (src/query/binary.rs:273-295):
+    zip two tick sequences; misaligned ticks emit an empty vector at
+    min(lt, rt) and advance only the lagging side; stop when either side
+    is exhausted.  Returns (all emitted ticks, joint ticks)."""
+    if len(L) == len(R) and np.array_equal(L, R):
+        return L.copy(), L.copy()  # aligned fast path
+    out, joint = [], []
+    li = ri = 0
+    while li < len(L) and ri < len(R):
+        lt, rt = L[li], R[ri]
+        if lt == rt:
+            out.append(lt)
+            joint.append(lt)
+            li += 1
+            ri += 1
+        elif lt < rt:
+            out.append(lt)
+            li += 1
+        else:
+            out.append(rt)
+            ri += 1
+    return (
+        np.array(out, dtype=np.int64),
+        np.array(joint, dtype=np.int64),
+    )
+
+
+def _match_cols(label_cols: list[str], matching) -> list[str]:
+    if matching is None:
+        return sorted(label_cols)
+    kind, names = matching
+    if kind == "on":
+        return sorted(c for c in label_cols if c in names)
+    return sorted(c for c in label_cols if c not in names)
+
+
+def eval_binary(node: Binary, left, right) -> object:
+    op = node.op
+    if node.kind == "logical":
+        raise QueryError(f"operator {op!r} is not implemented")
+    if isinstance(left, ScalarStream) and isinstance(right, ScalarStream):
+        if node.kind == "comparison" and not node.bool_modifier:
+            raise QueryError(
+                "comparison between two scalars requires the bool modifier"
+            )
+        return ScalarStream(float(_scalar_op(op, left.value, right.value)))
+    if isinstance(left, ScalarStream):
+        return _apply_scalar_vector(op, right, left.value, False, node.bool_modifier)
+    if isinstance(right, ScalarStream):
+        return _apply_scalar_vector(op, left, right.value, True, node.bool_modifier)
+
+    # vector (x) vector one-to-one
+    if node.grouping is not None:
+        raise QueryError("group_left/group_right matching is not implemented")
+    if left.kind != "instant" or right.kind != "instant":
+        raise QueryError("binary operations require instant vectors")
+
+    ticks, joint = _zip_ticks(left.ticks, right.ticks)
+    is_cmp = node.kind == "comparison"
+    keep_name = is_cmp and not node.bool_modifier
+
+    lcols = _match_cols(left.label_cols, node.matching)
+    rcols = _match_cols(right.label_cols, node.matching)
+
+    ldf = left.df[left.df["tick"].isin(joint)].copy()
+    rdf = right.df[right.df["tick"].isin(joint)].copy()
+    ldf["msig"] = compute_sig(ldf, lcols, name_col=False)
+    rdf["msig"] = compute_sig(rdf, rcols, name_col=False)
+
+    # RHS duplicate signature -> collision (reference panics)
+    if rdf.duplicated(["tick", "msig"]).any():
+        raise VectorMatchingError(
+            "found series collision for matching labels on the right-hand side"
+        )
+
+    merged = ldf.merge(
+        rdf[["tick", "msig", "value"]].rename(columns={"value": "rvalue"}),
+        on=["tick", "msig"],
+        how="inner",
+        sort=False,
+    )
+    lv = merged["value"].to_numpy(dtype=np.float64)
+    rv = merged["rvalue"].to_numpy(dtype=np.float64)
+    res = np.asarray(_scalar_op(op, lv, rv), dtype=np.float64)
+    if is_cmp and not node.bool_modifier:
+        keep = np.abs(res - 1.0) < F64_EPSILON
+        merged = merged[keep]
+    else:
+        merged["value"] = res
+    # many-to-one detection happens after the comparison filter
+    if merged.duplicated(["tick", "msig"]).any():
+        raise VectorMatchingError(
+            "many-to-one matching detected; use group_left/group_right"
+        )
+
+    # output labels = matched labels (from the left side); __name__ from
+    # the left sample iff keep_name
+    out_cols = list(lcols)
+    out = merged[["tick", "value", "ord", *[L(c) for c in out_cols]]].copy()
+    out["name"] = merged["name"].to_numpy() if keep_name else None
+    out["sig"] = compute_sig(out, out_cols, name_col=keep_name)
+    out = out.sort_values(["tick", "ord"], kind="stable")
+    out = _rank_within_tick(out)
+    return VectorStream(
+        "instant",
+        ticks,
+        out[["tick", "value", "name", *[L(c) for c in out_cols], "sig", "ord"]],
+        out_cols,
+    )
+
+
+def eval_aggregate(node: Aggregate, inner) -> VectorStream:
+    if isinstance(inner, ScalarStream) or inner.kind != "instant":
+        raise QueryError("aggregate operators require an instant vector")
+    op = node.op
+    if op in ("quantile", "stddev", "stdvar", "count_values"):
+        raise QueryError(f"aggregation operator {op!r} is not implemented yet")
+
+    label_cols = inner.label_cols
+    if node.modifier is None:
+        gcols: list[str] = []
+    else:
+        kind, names = node.modifier
+        if kind == "by":
+            gcols = sorted(c for c in label_cols if c in names)
+        else:
+            gcols = sorted(c for c in label_cols if c not in names)
+
+    df = inner.df.copy()
+    if df.empty:
+        return VectorStream(
+            "instant",
+            inner.ticks,
+            pd.DataFrame(columns=["tick", "value", "name", *[L(c) for c in gcols], "sig", "ord"]),
+            gcols,
+        )
+    df["gsig"] = compute_sig(df, gcols, name_col=False)
+    # fold order = input vector order (reference iterates v.samples())
+    df = df.sort_values(["tick", "ord"], kind="stable")
+
+    if op in ("topk", "bottomk"):
+        k = int(node.argument)
+
+        def _top(g: pd.DataFrame) -> pd.DataFrame:
+            asc = op == "bottomk"
+            g = g.sort_values(
+                ["value", "sig"], ascending=[asc, True], kind="stable"
+            ).head(k)
+            # deterministic emission order (value, sig) — the reference's
+            # heap iteration order is unspecified (SURVEY.md Q9)
+            return g
+
+        out = (
+            df.groupby(["tick", "gsig"], sort=True, group_keys=False)
+            .apply(_top)
+            .reset_index(drop=True)
+        )
+        out = _rank_within_tick(out)
+        cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+        return VectorStream("instant", inner.ticks, out[cols], label_cols)
+
+    g = df.groupby(["tick", "gsig"], sort=True)
+    agg = g.agg(
+        first=("value", "first"),
+        n=("value", "size"),
+        s=("value", "sum"),
+        mn=("value", "min"),
+        mx=("value", "max"),
+        **{L(c): (L(c), "first") for c in gcols},
+    ).reset_index()
+    n = agg["n"].to_numpy()
+    first = agg["first"].to_numpy()
+    if op == "sum":
+        val = agg["s"].to_numpy()
+    elif op == "min":
+        val = agg["mn"].to_numpy()
+    elif op == "max":
+        val = agg["mx"].to_numpy()
+    elif op == "avg":
+        val = agg["s"].to_numpy() / n
+    elif op == "count":
+        # Q8 seed quirk: accumulator seeded with the first member's VALUE
+        val = first + (n - 1)
+    elif op == "group":
+        val = np.where(n == 1, first, 1.0)
+    else:  # pragma: no cover
+        raise QueryError(f"aggregation operator {op!r} is not implemented")
+    out = agg[["tick", *[L(c) for c in gcols]]].copy()
+    out["value"] = val
+    out["name"] = None
+    out["sig"] = agg["gsig"].to_numpy()
+    out = out.sort_values(["tick", "sig"], kind="stable")
+    out = _rank_within_tick(out)
+    return VectorStream(
+        "instant",
+        inner.ticks,
+        out[["tick", "value", "name", *[L(c) for c in gcols], "sig", "ord"]],
+        gcols,
+    )
+
+
+OVER_TIME_FNS = {
+    "sum_over_time",
+    "count_over_time",
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+    "last_over_time",
+}
+
+
+def eval_function(node: FunctionCall, args: list) -> VectorStream:
+    name = node.name
+    if name not in OVER_TIME_FNS:
+        raise QueryError(f"function {name!r} is not implemented (coming soon...)")
+    (inner,) = args
+    if isinstance(inner, ScalarStream) or inner.kind != "range":
+        raise QueryError(f"{name} expects a range vector argument")
+    df = inner.df
+    if df.empty:
+        out = pd.DataFrame(
+            columns=["tick", "value", "name", *[L(c) for c in inner.label_cols], "sig", "ord"]
+        )
+        return VectorStream("instant", inner.ticks, out, inner.label_cols)
+    # order by arrival within series so 'first' = chronologically oldest
+    df = df.sort_values(["tick", "sig", "ts", "seq"], kind="stable")
+    g = df.groupby(["tick", "sig"], sort=True)
+    agg = g.agg(
+        s=("value", "sum"),
+        n=("value", "size"),
+        mn=("value", "min"),
+        mx=("value", "max"),
+        oldest=("value", "first"),
+        **{L(c): (L(c), "first") for c in inner.label_cols},
+    ).reset_index()
+    if name == "sum_over_time":
+        val = agg["s"].to_numpy()
+    elif name == "count_over_time":
+        val = agg["n"].to_numpy(dtype=np.float64)
+    elif name == "avg_over_time":
+        val = agg["s"].to_numpy() / agg["n"].to_numpy()
+    elif name == "min_over_time":
+        val = agg["mn"].to_numpy()
+    elif name == "max_over_time":
+        val = agg["mx"].to_numpy()
+    else:  # last_over_time — Q7: the chronologically OLDEST sample
+        val = agg["oldest"].to_numpy()
+    out = agg[["tick", *[L(c) for c in inner.label_cols]]].copy()
+    out["value"] = val
+    out["name"] = None  # all *_over_time drop __name__ (function.rs:49)
+    out["sig"] = compute_sig(out, inner.label_cols, name_col=False)
+    # emission order follows the input matrix order (by full sig) — the
+    # groupby(sort=True) on the full sig already gives that order
+    out = out.reset_index(drop=True)
+    out = _rank_within_tick(out)
+    return VectorStream(
+        "instant",
+        inner.ticks,
+        out[["tick", "value", "name", *[L(c) for c in inner.label_cols], "sig", "ord"]],
+        inner.label_cols,
+    )
+
+
+# --------------------------------------------------------------------------
+# top-level evaluation
+# --------------------------------------------------------------------------
+
+
+def evaluate(node, ctx: EvalContext):
+    if isinstance(node, NumberLiteral):
+        return ScalarStream(node.value)
+    if isinstance(node, Parentheses):
+        return evaluate(node.expr, ctx)
+    if isinstance(node, VectorSelector):
+        return eval_selector(node, ctx)
+    if isinstance(node, Unary):
+        return eval_unary(node.op, evaluate(node.expr, ctx))
+    if isinstance(node, Binary):
+        return eval_binary(node, evaluate(node.lhs, ctx), evaluate(node.rhs, ctx))
+    if isinstance(node, Aggregate):
+        return eval_aggregate(node, evaluate(node.expr, ctx))
+    if isinstance(node, FunctionCall):
+        args = [
+            a if isinstance(a, (float, str)) else evaluate(a, ctx) for a in node.args
+        ]
+        return eval_function(node, args)
+    raise QueryError(f"cannot evaluate node {node!r}")

@@ -1,0 +1,125 @@
+"""Program runner: execute a full pq program over a stream of lines.
+
+The batch counterpart of the reference's Runner (src/runner.rs):
+decode → map (with the --since/--until range gate) → select → format.
+Item-level errors (undecodable / unmappable lines) are silently dropped
+(Q11).  ``interval`` defaults to the smallest range duration in the
+query, else 1000 ms; ``lookback`` defaults to ``interval``
+(src/query/evaluator.rs:34-44).
+
+This is the *local* execution path (used by the CLI and the
+conformance suite — pq itself is a single-process stdin tool).  The
+distributed path reuses the same evaluator over samples produced by
+Ray Data stages (pq_ray.pipelines.pq_queries).
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+from .format.promapi import format_stream
+from .model import rust_f64_str
+from .query.ast import JsonDecoder, Program, RegexDecoder, find_smallest_range_ms
+from .query.engine import DEFAULT_INTERVAL_MS, EvalContext, evaluate
+from .query.parser import parse_program
+from .query.records import MapError, Record, map_entry, records_to_samples
+from .sources.lines import DecodeError, JsonLineDecoder, RegexLineDecoder
+
+
+def run_program(
+    program: str | Program,
+    lines: list[bytes] | list[str],
+    *,
+    interval_ms: int | None = None,
+    lookback_ms: int | None = None,
+    since_ms: int | None = None,
+    until_ms: int | None = None,
+) -> list[str]:
+    """Run a pq program over lines; returns the output lines."""
+    ast = parse_program(program) if isinstance(program, str) else program
+
+    if isinstance(ast.decoder, RegexDecoder):
+        decode = RegexLineDecoder(ast.decoder.regex)
+    else:
+        assert isinstance(ast.decoder, JsonDecoder)
+        decode = JsonLineDecoder()
+
+    entries: list[tuple[int, list | dict]] = []
+    for i, line in enumerate(lines, start=1):
+        raw = line.encode("utf-8") if isinstance(line, str) else line
+        try:
+            entries.append((i, decode(raw)))
+        except DecodeError:
+            continue  # Q11: drop silently
+
+    if ast.mapper is None:
+        return _format_entries(entries, ast.formatter)
+
+    records: list[Record] = []
+    for line_no, entry in entries:
+        try:
+            rec = map_entry(ast.mapper, line_no, entry)
+        except MapError:
+            continue  # Q11
+        ts = rec.ts
+        if since_ms is not None and (ts if ts is not None else 2**62) < since_ms:
+            continue  # skip records before the range
+        if until_ms is not None and (ts if ts is not None else -(2**62)) > until_ms:
+            break  # reference terminates the stream here (mapper.rs:50-54)
+        records.append(rec)
+
+    if ast.query is None:
+        return _format_records(records, ast.formatter)
+
+    interval = interval_ms or find_smallest_range_ms(ast.query) or DEFAULT_INTERVAL_MS
+    lookback = lookback_ms or interval
+    samples, label_cols = records_to_samples(records)
+    ctx = EvalContext(
+        samples=samples,
+        label_cols=label_cols,
+        interval=interval,
+        lookback=lookback,
+        start_at=since_ms,
+    )
+    stream = evaluate(ast.query, ctx)
+    if ast.formatter in (None, "to_promapi"):
+        return format_stream(stream)
+    raise NotImplementedError(f"formatter {ast.formatter} for query results")
+
+
+def _format_entries(entries, formatter) -> list[str]:
+    out = []
+    for line_no, e in entries:
+        if formatter == "to_json":
+            if isinstance(e, dict):
+                out.append(
+                    _json.dumps(
+                        {k: e[k] for k in sorted(e)}, separators=(",", ":"),
+                        ensure_ascii=False,
+                    )
+                )
+            else:
+                out.append(_json.dumps(e, separators=(",", ":"), ensure_ascii=False))
+        else:  # human-readable-ish fallback
+            out.append("\t".join(e.values() if isinstance(e, dict) else e))
+    return out
+
+
+def _format_records(records, formatter) -> list[str]:
+    out = []
+    for r in records:
+        if formatter == "to_json":
+            obj: dict = {}
+            if r.ts is not None:
+                obj["timestamp"] = r.ts
+            obj.update({k: r.labels[k] for k in sorted(r.labels)})
+            obj.update(
+                {k: _json.loads(rust_f64_str(v)) if rust_f64_str(v).replace("-", "").replace(".", "").isdigit() else rust_f64_str(v) for k, v in sorted(r.values.items())}
+            )
+            out.append(_json.dumps(obj, separators=(",", ":"), ensure_ascii=False))
+        else:
+            parts = [str(r.ts) if r.ts is not None else ""]
+            parts += [f"{k}={v}" for k, v in sorted(r.labels.items())]
+            parts += [f"{k}={rust_f64_str(v)}" for k, v in sorted(r.values.items())]
+            out.append("\t".join(parts))
+    return out
