@@ -31,10 +31,15 @@ from __future__ import annotations
 import os
 import time
 
+import numpy as np
+import pandas as pd
 import ray.data as rd
 
+from ..stages.gapfill import global_gaps_table
 from ..state import manifest as mf
+from ..state.gorilla import chunk_series
 from ..stages.decode import decode_dataset
+from ..stages.rollup import DEFAULT_LABEL_COLS
 from ..stages.rollup import cascade as cascade_step
 from ..stages.rollup import rollup
 
@@ -45,6 +50,56 @@ def tier_dir(out_dir: str, tier_ms: int) -> str:
     return os.path.join(out_dir, f"tier={tier_ms}")
 
 
+def _write_chunks(tdir: str, chunks_dir: str, num_buckets: int) -> int:
+    """Gorilla-compress a tier's points into per-series chunk structs.
+
+    Bucket by series_id (all of a series' windows together), then
+    per-series delta-of-delta + XOR encode inside map_groups.
+    """
+    pts = rd.read_parquet(tdir)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (
+            df["series_id"].to_numpy(dtype=np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return df
+
+    def encode_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return chunk_series(df.drop(columns=["bucket"]), DEFAULT_LABEL_COLS)
+
+    chunks = (
+        pts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(encode_bucket, batch_format="pandas")
+    )
+    chunks.write_parquet(chunks_dir)
+    return sum(mf.file_row_counts(chunks_dir).values())
+
+
+def _write_gaps(tdir: str, gaps_path: str, tier_ms: int) -> int:
+    """Global staleness markers (pq's empty-tick emissions, Q3) — the
+    distinct-window list post-rollup is tiny, so the setdiff runs on the
+    driver via a parquet-metadata-light DuckDB scan."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    present = (
+        duckdb.sql(
+            f"select distinct window_ts from read_parquet('{tdir}/*.parquet')"
+        )
+        .df()["window_ts"]
+        .to_numpy()
+    )
+    gaps = global_gaps_table(present, tier_ms)
+    import pyarrow as pa
+
+    tmp = gaps_path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(gaps, preserve_index=False), tmp)
+    os.replace(tmp, gaps_path)
+    return len(gaps)
+
+
 def run_cascade(
     corpus_path: str,
     out_dir: str,
@@ -53,6 +108,8 @@ def run_cascade(
     num_buckets: int = 64,
     decode_batch_size: int = 2048,
     decode_concurrency: int | tuple = 8,
+    chunk_min_tier_ms: int = 60_000,
+    write_gaps: bool = True,
 ) -> dict:
     """Run (or resume) the full cascade. Returns per-tier stats."""
     tiers = tiers or DEFAULT_TIERS
@@ -97,6 +154,18 @@ def run_cascade(
         wall = time.perf_counter() - t0
 
         extra = {}
+        if tier_ms >= chunk_min_tier_ms:
+            chunks_dir = os.path.join(out_dir, "chunks", f"tier={tier_ms}")
+            os.makedirs(chunks_dir, exist_ok=True)
+            for name in os.listdir(chunks_dir):
+                os.remove(os.path.join(chunks_dir, name))
+            extra["chunk_rows"] = _write_chunks(tdir, chunks_dir, num_buckets)
+        if write_gaps:
+            gaps_dir = os.path.join(out_dir, "gaps")
+            os.makedirs(gaps_dir, exist_ok=True)
+            extra["gap_windows"] = _write_gaps(
+                tdir, os.path.join(gaps_dir, f"tier={tier_ms}.parquet"), tier_ms
+            )
         if i == 0:
             # raw samples = sum of per-window counts in the raw tier —
             # exact, no extra pass over the corpus.

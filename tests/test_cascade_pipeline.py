@@ -1,0 +1,158 @@
+"""End-to-end cascade pipeline: manifests, chunks, gaps, resume."""
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pq_ray.fixtures import write_tokens_corpus
+from pq_ray.pipelines.cascade import run_cascade, tier_dir
+from pq_ray.stages.gapfill import fill_series, global_gap_windows
+from pq_ray.state import manifest as mf
+from pq_ray.state.gorilla import decode_chunk
+
+
+def _dir_md5(path: str) -> dict:
+    out = {}
+    for name in sorted(os.listdir(path)):
+        p = os.path.join(path, name)
+        if os.path.isfile(p) and name.endswith(".parquet"):
+            out[name] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    return out
+
+
+@pytest.fixture(scope="module")
+def cascade_run(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cascade")
+    corpus = str(base / "corpus")
+    out = str(base / "out")
+    write_tokens_corpus(corpus, 800, seed=42)
+    stats = run_cascade(
+        corpus, out, tiers=[1000, 60_000, 3_600_000], num_buckets=8,
+        decode_batch_size=256, decode_concurrency=2,
+    )
+    return corpus, out, stats
+
+
+def test_manifests_and_lineage(cascade_run):
+    corpus, out, stats = cascade_run
+    assert stats["raw_samples"] > 0
+    for tier in [1000, 60_000, 3_600_000]:
+        m = mf.load(tier_dir(out, tier))
+        assert m["completed"]
+        assert m["rows_out"] == stats["tier_rows"][str(tier)]
+        assert m["rows_out"] == sum(m["files"].values())  # per-file lineage
+        assert m["input_fingerprint"]
+    # tier inputs chain: 1m's input is the raw tier, 1h's is the 1m tier
+    assert mf.load(tier_dir(out, 60_000))["input_path"] == tier_dir(out, 1000)
+    assert mf.load(tier_dir(out, 3_600_000))["input_path"] == tier_dir(out, 60_000)
+
+
+def test_resume_is_noop_and_byte_identical(cascade_run):
+    corpus, out, stats = cascade_run
+    before = {t: _dir_md5(tier_dir(out, t)) for t in [1000, 60_000, 3_600_000]}
+    stats2 = run_cascade(
+        corpus, out, tiers=[1000, 60_000, 3_600_000], num_buckets=8,
+        decode_batch_size=256, decode_concurrency=2,
+    )
+    assert sorted(stats2["skipped"]) == [1000, 60_000, 3_600_000]
+    after = {t: _dir_md5(tier_dir(out, t)) for t in [1000, 60_000, 3_600_000]}
+    assert before == after
+
+
+def test_resume_mid_cascade(ray_session, tmp_path):
+    """Kill after the 1m tier (simulated: run only tiers[0:2]), then rerun
+    the full cascade — completed tiers are skipped, later tiers computed,
+    and outputs match an uninterrupted run exactly."""
+    corpus = str(tmp_path / "corpus")
+    write_tokens_corpus(corpus, 400, seed=42)
+    partial_out = str(tmp_path / "partial")
+    full_out = str(tmp_path / "full")
+    run_cascade(corpus, partial_out, tiers=[1000, 60_000], num_buckets=8,
+                decode_batch_size=256, decode_concurrency=2)
+    # resume with the full tier list
+    stats = run_cascade(corpus, partial_out, tiers=[1000, 60_000, 3_600_000],
+                        num_buckets=8, decode_batch_size=256, decode_concurrency=2)
+    assert 1000 in stats["skipped"] and 60_000 in stats["skipped"]
+    run_cascade(corpus, full_out, tiers=[1000, 60_000, 3_600_000], num_buckets=8,
+                decode_batch_size=256, decode_concurrency=2)
+    # same 1h points either way (sort-insensitive compare)
+    import duckdb
+
+    a = duckdb.sql(
+        f"select * from read_parquet('{tier_dir(partial_out, 3_600_000)}/*.parquet') order by series_id, window_ts"
+    ).df()
+    b = duckdb.sql(
+        f"select * from read_parquet('{tier_dir(full_out, 3_600_000)}/*.parquet') order by series_id, window_ts"
+    ).df()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_chunks_roundtrip_points(cascade_run):
+    corpus, out, stats = cascade_run
+    import duckdb
+
+    tier = 60_000
+    pts = duckdb.sql(
+        f"select * from read_parquet('{tier_dir(out, tier)}/*.parquet')"
+    ).df()
+    chunks = duckdb.sql(
+        f"select * from read_parquet('{out}/chunks/tier={tier}/*.parquet')"
+    ).df()
+    assert chunks["n"].sum() == len(pts)
+    # decode one chunk and compare against the points
+    row = chunks.iloc[0].to_dict()
+    dec = decode_chunk(row)
+    sid = row["series_id"]
+    exp = pts[pts["series_id"] == sid].sort_values("window_ts")
+    assert np.array_equal(dec["window_ts"].to_numpy(), exp["window_ts"].to_numpy())
+    for c in ["sum", "count", "min", "max", "first_v", "last_v"]:
+        assert np.array_equal(
+            dec[c].to_numpy().view(np.uint64),
+            exp[c].to_numpy(dtype=np.float64).view(np.uint64),
+        ), c
+
+
+def test_gap_sidecars(cascade_run):
+    corpus, out, stats = cascade_run
+    import duckdb
+
+    for tier in [1000, 60_000]:
+        gaps = duckdb.sql(
+            f"select * from read_parquet('{out}/gaps/tier={tier}.parquet')"
+        ).df()
+        present = duckdb.sql(
+            f"select distinct window_ts from read_parquet('{tier_dir(out, tier)}/*.parquet')"
+        ).df()["window_ts"].to_numpy()
+        expected = global_gap_windows(present, tier)
+        assert np.array_equal(np.sort(gaps["window_ts"].to_numpy()), expected)
+        # markers + present windows = dense spine
+        spine = np.arange(present.min(), present.max() + 1, tier)
+        assert len(gaps) + len(np.unique(present)) == len(spine)
+
+
+def test_fill_series_densifies():
+    df = pd.DataFrame(
+        {
+            "series_id": [1, 1, 1],
+            "window_ts": [0, 120_000, 180_000],
+            "name": ["m"] * 3,
+            "sum": [1.0, 2.0, 3.0],
+            "count": [1, 1, 1],
+            "min": [0.0] * 3,
+            "max": [0.0] * 3,
+            "first_ts": [0] * 3,
+            "first_v": [0.0] * 3,
+            "last_ts": [0] * 3,
+            "last_v": [0.0] * 3,
+        }
+    )
+    out = fill_series(df, 60_000, ["name"])
+    assert len(out) == 4
+    gap = out[out["is_gap"]]
+    assert list(gap["window_ts"]) == [60_000]
+    assert gap["count"].iloc[0] == 0 and np.isnan(gap["sum"].iloc[0])
