@@ -1,0 +1,163 @@
+"""Multimodal column pipelines: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+typed metadata columns alongside — the Arrow-native layout for 100 TB
+multimodal corpora (never decode at read time; decode inside actor-pool
+stages sized for the payload).
+
+The actual codec libraries (PIL/ffmpeg/etc.) are NOT in this container,
+so the decode kernel is stubbed two ways (both clearly marked):
+
+- ``FakeImageCodec``: a deterministic synthetic format (16-byte header
+  ``PQRI`` + width + height + seed, then width*height gray bytes) that
+  the decode stage really parses — so the Ray-side plumbing (schema,
+  batch sizing for large binary rows, actor signature, output layout)
+  is real and tested end-to-end;
+- ``decode_real(...)`` raises NotImplementedError with the dependency
+  it would need.
+
+Stages: decode → resize (area-mean pooling on the fake grid) →
+feature-extract (16-bin histogram as ``list<float>``) — each an
+actor-pool ``map_batches`` with small batch_size (large binary rows:
+a few MB x batch x concurrency must fit the worker heap).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+MAGIC = b"PQRI"
+HEADER = struct.Struct(">4sHHI")  # magic, width, height, seed
+
+
+def synth_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake image payload."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=width * height, dtype=np.uint8)
+    return HEADER.pack(MAGIC, width, height, seed) + pixels.tobytes()
+
+
+def synth_corpus(n: int, seed: int = 42) -> pa.Table:
+    """media table: (media_id, payload: binary, mime, width, height)."""
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "mime": [], "width": [], "height": []}
+    for i in range(n):
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        rows["media_id"].append(i)
+        rows["payload"].append(synth_image(w, h, seed * 1_000_003 + i))
+        rows["mime"].append("image/x-pqri")
+        rows["width"].append(w)
+        rows["height"].append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], type=pa.int64()),
+            "payload": pa.array(rows["payload"], type=pa.binary()),
+            "mime": pa.array(rows["mime"], type=pa.string()),
+            "width": pa.array(rows["width"], type=pa.int32()),
+            "height": pa.array(rows["height"], type=pa.int32()),
+        }
+    )
+
+
+def decode_real(payload: bytes, mime: str):
+    """Where a real decoder would go. The codec libraries are not in
+    this container — STUB, by design."""
+    raise NotImplementedError(
+        f"real decode for {mime} requires an image/audio codec library "
+        "(e.g. PIL / torchaudio) which is not available in this environment"
+    )
+
+
+class DecodeMedia:
+    """Actor-pool stage: parse payloads → pixel arrays.
+
+    Real semantics for the fake format; anything else raises (and the
+    row is dropped or surfaced per ``on_error``).
+    """
+
+    def __init__(self, on_error: str = "raise"):
+        self.on_error = on_error
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        pixels, ok = [], []
+        for payload, mime in zip(batch["payload"], batch["mime"]):
+            try:
+                if mime != "image/x-pqri":
+                    decode_real(payload, mime)
+                magic, w, h, seed = HEADER.unpack(payload[: HEADER.size])
+                if magic != MAGIC:
+                    raise ValueError("bad magic")
+                px = np.frombuffer(payload[HEADER.size :], dtype=np.uint8)
+                if len(px) != w * h:
+                    raise ValueError("truncated payload")
+                pixels.append(px.astype(np.float32))
+                ok.append(True)
+            except NotImplementedError:
+                if self.on_error == "raise":
+                    raise
+                pixels.append(np.zeros(0, dtype=np.float32))
+                ok.append(False)
+        out = batch[["media_id", "width", "height"]].copy()
+        out["pixels"] = pixels
+        out["decoded"] = ok
+        return out
+
+
+class ExtractFeatures:
+    """Actor-pool stage: pixels → 16-bin normalized histogram feature
+    (list<float>) + mean/std stats. Vectorized per image via numpy."""
+
+    BINS = 16
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats, means, stds = [], [], []
+        for px in batch["pixels"]:
+            if len(px) == 0:
+                feats.append(np.zeros(self.BINS, dtype=np.float32))
+                means.append(0.0)
+                stds.append(0.0)
+                continue
+            hist, _ = np.histogram(px, bins=self.BINS, range=(0, 256))
+            feats.append((hist / len(px)).astype(np.float32))
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"],
+                "feature": feats,
+                "mean_px": np.round(means, 4),
+                "std_px": np.round(stds, 4),
+            }
+        )
+
+
+def media_feature_pipeline(table_or_path, *, batch_size: int = 64, concurrency: int = 2):
+    """media table → per-item feature rows.
+
+    batch_size is small on purpose: binary payload rows are wide, and
+    batch x concurrency must fit each worker's heap.
+    """
+    ds = (
+        rd.read_parquet(table_or_path)
+        if isinstance(table_or_path, str)
+        else rd.from_arrow(table_or_path)
+    )
+    decoded = ds.map_batches(
+        DecodeMedia,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return decoded.map_batches(
+        ExtractFeatures,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,112 @@
+"""Training-data operator tests: oracle parity at sf0.001 plus
+planted-duplicate recall checks for the approximate dedupers."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        c.sql(f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _compare(got: pd.DataFrame, exp: pd.DataFrame):
+    gs = got.sort_values(list(got.columns)).reset_index(drop=True)[sorted(got.columns)]
+    es = exp.sort_values(list(exp.columns)).reset_index(drop=True)[sorted(exp.columns)]
+    assert len(gs) == len(es)
+    assert list(gs.columns) == list(es.columns)
+    for c in gs.columns:
+        a, b = gs[c].to_numpy(), es[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b), c
+        else:
+            assert (a == b).all(), c
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_exact", "token_stats", "jaccard_pairs", "ann_topk", "embed_neardup"]
+)
+def test_oracle_parity(ray_session, con, name):
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    _compare(QUERIES[name](SF), con.sql(ORACLES[name]).df())
+
+
+def test_minhash_recall_on_planted_dups(ray_session, tmp_path):
+    """Plant near-duplicate pairs; MinHash-LSH must recover >=90% of the
+    exact-Jaccard pairs (here it typically finds all of them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import _jaccard_pairs_from_ds, q_minhash_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(60):
+        docs.append(" ".join(rng.choice(vocab, size=60)))
+    # planted near-dups: copy with small mutations
+    for i in range(20):
+        toks = docs[i].split(" ")
+        for _ in range(4):
+            toks[rng.integers(len(toks))] = rng.choice(vocab)
+        docs.append(" ".join(toks))
+    table = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                      "text": pa.array(docs)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+
+    exact = _jaccard_pairs_from_ds(rd.from_arrow(table), 0.3)
+    approx = q_minhash_pairs(str(d))
+    assert len(exact) >= 20  # every planted copy pairs with its source
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    approx_pairs = set(zip(approx["a"], approx["b"]))
+    assert approx_pairs <= exact_pairs  # verification guarantees precision 1.0
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, recall
+
+
+def test_simhash_close_for_near_dups(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import q_simhash
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, size=80))
+    toks = base.split(" ")
+    toks[3] = "changed"
+    near = " ".join(toks)
+    far = " ".join(rng.choice(vocab, size=80))
+    table = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                      "text": pa.array([base, near, far])})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    out = q_simhash(str(d))
+    h = [int(x, 16) for x in out.sort_values("doc_id")["simhash"]]
+    ham_near = bin(h[0] ^ h[1]).count("1")
+    ham_far = bin(h[0] ^ h[2]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 12
+
+
+def test_lang_quality_deterministic(ray_session):
+    from pq_ray.pipelines.training import q_lang_quality
+
+    a = q_lang_quality(SF)
+    b = q_lang_quality(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.columns) == {"doc_id", "pred_lang", "quality"}
+    assert a["quality"].between(0, 1).all()
