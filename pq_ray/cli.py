@@ -1,0 +1,61 @@
+"""pq-compatible CLI: parse and query log streams as time series.
+
+Usage (mirrors the reference's CLI, src/cliopt.rs):
+
+    python -m pq_ray.cli '<program>' [-I/--interval 1s] [-b/--lookback 1s]
+                                     [-s/--since TS] [-u/--until TS] < input
+
+Reads lines from stdin, writes formatted results to stdout — a drop-in
+for `pq '<program>' < file`.  This is the local single-process path (the
+reference is single-threaded by construction); the distributed engine
+lives in pq_ray.pipelines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .model import parse_duration_ms, try_parse_time_ms
+from .runner import run_program
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pq_ray", description=__doc__)
+    ap.add_argument("program", help="pq program: <decoder> | map {...} | select <query> | <formatter>")
+    ap.add_argument("-I", "--interval", default=None)
+    ap.add_argument("-b", "--lookback", default=None)
+    ap.add_argument("-s", "--since", default=None)
+    ap.add_argument("-u", "--until", default=None)
+    args = ap.parse_args(argv)
+
+    opts = {}
+    if args.interval:
+        opts["interval_ms"] = parse_duration_ms(args.interval)
+    if args.lookback:
+        opts["lookback_ms"] = parse_duration_ms(args.lookback)
+    if args.since:
+        ts = try_parse_time_ms(args.since)
+        if ts is None:
+            print(f"couldn't parse --since {args.since!r}", file=sys.stderr)
+            return 2
+        opts["since_ms"] = ts
+    if args.until:
+        ts = try_parse_time_ms(args.until)
+        if ts is None:
+            print(f"couldn't parse --until {args.until!r}", file=sys.stderr)
+            return 2
+        opts["until_ms"] = ts
+
+    lines = sys.stdin.buffer.read().splitlines()
+    try:
+        for out in run_program(args.program, lines, **opts):
+            print(out)
+    except ValueError as e:
+        print(f"pq_ray: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,290 @@
+"""Distributed pq-semantics queries over the events table.
+
+These run pq's *tick-grid* semantics (SURVEY.md Q1/Q2: first tick =
+t0 + min(d, interval) - 1, half-open (T-d, T] windows) at Ray Data
+scale: the windowing + per-series reduction happens in map_batches +
+bucketed groupby (the same partial/combine machinery as the cascade),
+and only the small post-rollup table reaches the driver for the final
+per-tick aggregation.
+
+The samples model over events: value=value, ts=epoch ms, labels =
+{event_type, user_mod=str(user_id % 10)} → ~40 series.  Every query
+here has an ANSI-SQL oracle expressing the same tick grid:
+
+    first = (SELECT MIN(epoch_ms(ts)) FROM events) + min(d, I) - 1
+    tick(ts) = first + ((ts_ms - first + I - 1) // I) * I      -- instant
+    range ticks via generate_series(first, max_ts + d - 1, I)  -- range
+
+Conformance of the same semantics at per-line granularity is covered by
+the 21-golden-scenario suite; these prove the semantics *distribute*.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..model import stable_hash64
+from ..stages.rollup import CombinePartials, PartialAggBatch, _add_bucket
+
+MINUTE = 60_000
+HOUR = 3_600_000
+RANGE_5M = 300_000
+LABELS = ["event_type", "user_mod"]
+
+
+def _samples(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id", "value"]
+    )
+
+    def to_samples(batch: pa.Table) -> pa.Table:
+        ts_ms = pc.cast(pc.divide(pc.cast(batch["ts"], pa.int64()), 1000), pa.int64())
+        uid = pc.cast(batch["user_id"], pa.int64())
+        # pyarrow.compute has no mod kernel: x % 10 = x - (x // 10) * 10
+        user_mod = pc.cast(
+            pc.subtract(uid, pc.multiply(pc.divide(uid, 10), 10)), pa.string()
+        )
+        et = batch["event_type"]
+        combo = pc.binary_join_element_wise(et, user_mod, "\x00")
+        combo_py = combo.to_pylist()
+        uniq = {}
+        for c in combo_py:
+            if c not in uniq:
+                uniq[c] = np.uint64(stable_hash64(c))
+        sid = np.fromiter((uniq[c] for c in combo_py), dtype=np.uint64, count=len(combo_py))
+        return pa.table(
+            {
+                "ts": ts_ms,
+                "value": pc.cast(batch["value"], pa.float64()),
+                "event_type": et,
+                "user_mod": user_mod,
+                "series_id": pa.array(sid, type=pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(to_samples, batch_format="pyarrow")
+
+
+def _t0(samples) -> int:
+    return int(samples.min("ts"))
+
+
+def _instant_rollup(samples, t0: int, interval: int) -> pd.DataFrame:
+    """Per (tick, series): the instant-vector value (latest sample in
+    (tick-interval, tick]) — last_v of the offset-aligned window partial.
+
+    tick = t0 + I - 1 + floor((ts - t0)/I)*I — every sample belongs to
+    exactly one tick when lookback == interval."""
+    partial = samples.map_batches(
+        PartialAggBatch(interval, offset_ms=t0 % interval, label_cols=LABELS),
+        batch_format="pandas",
+    )
+    bucketed = partial.map_batches(
+        lambda df: _add_bucket(df, 16), batch_format="pandas"
+    )
+    combiner = CombinePartials(label_cols=LABELS)
+
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combiner(df)
+
+    pts = bucketed.groupby("bucket").map_groups(
+        combine_bucket, batch_format="pandas"
+    ).to_pandas()
+    # pq tick = inclusive window end on the grid anchored at t0:
+    # window start = t0 + k*I (offset t0 % I), tick = start + I - 1
+    pts["tick"] = pts["window_ts"].to_numpy() + interval - 1
+    return pts
+
+
+def q_pq_sum_by_event_1m(sf_dir: str) -> pd.DataFrame:
+    """pq: ``sum(value) by (event_type)`` @ interval=lookback=1m."""
+    samples = _samples(sf_dir)
+    t0 = _t0(samples)
+    pts = _instant_rollup(samples, t0, MINUTE)
+    out = (
+        pts.groupby(["tick", "event_type"], sort=True)["last_v"]
+        .sum()
+        .round(6)
+        .reset_index()
+        .rename(columns={"last_v": "sum_value"})
+    )
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
+def q_pq_max_by_event_1h(sf_dir: str) -> pd.DataFrame:
+    """pq: ``max(value) by (event_type)`` @ interval=lookback=1h."""
+    samples = _samples(sf_dir)
+    t0 = _t0(samples)
+    pts = _instant_rollup(samples, t0, HOUR)
+    out = (
+        pts.groupby(["tick", "event_type"], sort=True)["last_v"]
+        .max()
+        .reset_index()
+        .rename(columns={"last_v": "max_value"})
+    )
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
+def q_pq_topk3_1h(sf_dir: str) -> pd.DataFrame:
+    """pq: ``topk(3, value)`` @ 1h — per tick the 3 series with the
+    highest instant values (deterministic tie-break by label order)."""
+    samples = _samples(sf_dir)
+    t0 = _t0(samples)
+    pts = _instant_rollup(samples, t0, HOUR)
+    out = (
+        pts.sort_values(
+            ["tick", "last_v", "event_type", "user_mod"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        .groupby("tick", sort=True)
+        .head(3)
+    )
+    out = out[["tick", "event_type", "user_mod", "last_v"]].rename(
+        columns={"last_v": "value"}
+    )
+    return out.sort_values(["tick", "event_type", "user_mod"]).reset_index(drop=True)
+
+
+def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
+    """pq: ``count_over_time(value[5m])`` with --interval 1m — the
+    sliding-window explode: each sample is visible at ceil(d/I)=5 ticks;
+    the explode happens inside map_batches, counts partial-aggregate
+    per (tick, series) before the single shuffle, then collapse to
+    event_type (count is re-aggregable)."""
+    samples = _samples(sf_dir)
+    t0 = _t0(samples)
+    interval, d = MINUTE, RANGE_5M
+    first = t0 + min(d, interval) - 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ts = df["ts"].to_numpy()
+        k_lo = np.maximum(np.ceil((ts - first) / interval).astype(np.int64), 0)
+        k_hi = (ts + d - 1 - first) // interval
+        reps = np.maximum(k_hi - k_lo + 1, 0).astype(np.int64)
+        ex = df.loc[df.index.repeat(reps)].reset_index(drop=True)
+        within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        ex["tick"] = first + (np.repeat(k_lo, reps) + within) * interval
+        # partial count per (tick, event_type) right here in the batch
+        out = (
+            ex.groupby(["tick", "event_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partial = samples.map_batches(explode, batch_format="pyarrow")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = df["tick"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        df["bucket"] = ((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32)
+        return df
+
+    def reduce_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["tick", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    out = (
+        partial.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(reduce_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
+_TICK_SQL = """
+        (SELECT MIN(epoch_ms(ts)) FROM events) + {imin} - 1
+"""
+
+
+def _oracle_instant(interval: int, agg: str, alias: str) -> str:
+    imin = min(interval, interval)
+    return f"""
+        WITH params AS (
+            SELECT (SELECT MIN(epoch_ms(ts)) FROM events) + {imin} - 1 AS first
+        ),
+        s AS (
+            SELECT epoch_ms(ts) AS ts_ms, event_type,
+                   CAST(user_id % 10 AS VARCHAR) AS user_mod, value
+            FROM events
+        ),
+        ticked AS (
+            SELECT s.*, p.first + ((s.ts_ms - p.first + {interval} - 1) // {interval}) * {interval} AS tick
+            FROM s, params p
+        ),
+        instant AS (
+            SELECT tick, event_type, user_mod, arg_max(value, ts_ms) AS iv
+            FROM ticked GROUP BY tick, event_type, user_mod
+        )
+        SELECT tick, event_type, {agg} AS {alias}
+        FROM instant GROUP BY tick, event_type ORDER BY tick, event_type
+    """
+
+
+ORACLES = {
+    "pq_sum_by_event_1m": _oracle_instant(MINUTE, "ROUND(SUM(iv), 6)", "sum_value"),
+    "pq_max_by_event_1h": _oracle_instant(HOUR, "MAX(iv)", "max_value"),
+    "pq_topk3_1h": f"""
+        WITH params AS (
+            SELECT (SELECT MIN(epoch_ms(ts)) FROM events) + {HOUR} - 1 AS first
+        ),
+        s AS (
+            SELECT epoch_ms(ts) AS ts_ms, event_type,
+                   CAST(user_id % 10 AS VARCHAR) AS user_mod, value
+            FROM events
+        ),
+        ticked AS (
+            SELECT s.*, p.first + ((s.ts_ms - p.first + {HOUR} - 1) // {HOUR}) * {HOUR} AS tick
+            FROM s, params p
+        ),
+        instant AS (
+            SELECT tick, event_type, user_mod, arg_max(value, ts_ms) AS value
+            FROM ticked GROUP BY tick, event_type, user_mod
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY tick ORDER BY value DESC, event_type, user_mod
+            ) AS rn
+            FROM instant
+        )
+        SELECT tick, event_type, user_mod, value
+        FROM ranked WHERE rn <= 3 ORDER BY tick, event_type, user_mod
+    """,
+    "pq_count_over_time_5m": f"""
+        WITH params AS (
+            SELECT (SELECT MIN(epoch_ms(ts)) FROM events) + {MINUTE} - 1 AS first,
+                   (SELECT MAX(epoch_ms(ts)) FROM events) AS last_ts
+        ),
+        s AS (SELECT epoch_ms(ts) AS ts_ms, event_type FROM events),
+        ticks AS (
+            SELECT unnest(generate_series(p.first, p.last_ts + {RANGE_5M} - 1, {MINUTE})) AS tick
+            FROM params p
+        )
+        SELECT t.tick, s.event_type, COUNT(*) AS n
+        FROM ticks t JOIN s
+          ON s.ts_ms > t.tick - {RANGE_5M} AND s.ts_ms <= t.tick
+        GROUP BY t.tick, s.event_type
+        ORDER BY t.tick, s.event_type
+    """,
+}
+
+QUERIES = {
+    "pq_sum_by_event_1m": q_pq_sum_by_event_1m,
+    "pq_max_by_event_1h": q_pq_max_by_event_1h,
+    "pq_topk3_1h": q_pq_topk3_1h,
+    "pq_count_over_time_5m": q_pq_count_over_time_5m,
+}
