@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Bench corpus size: ~60k docs ≈ 9-10M token samples at the default
 # length distribution. Override with GRAFT_BENCH_DOCS.
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "60000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
 CORPUS_DIR = f"/tmp/pq_ray_bench/corpus_{BENCH_DOCS}"
 TIER_DIR = "/tmp/pq_ray_bench/tiers"
 

@@ -41,7 +41,9 @@ T_SPAN_MS = 86_400_000
 STEP_MS = 250  # one sample per token, 4 tokens/second
 N_SHARDS = 8
 
-_CHUNK = 65_536  # fixed generation chunk — part of the determinism contract
+_CHUNK = 8_192  # fixed generation chunk — part of the determinism contract
+# (one parquet file per chunk: small enough that reads parallelize across
+# tasks instead of funneling through one reader)
 
 
 def doc_t0_ms(doc_id: str) -> int:

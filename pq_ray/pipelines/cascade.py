@@ -1,29 +1,39 @@
 """The flagship pipeline: token corpus → raw→1m→1h→1d rollup cascade.
 
-Physical plan (all streaming, one shuffle per tier):
+Physical plan — ONE shuffle for the whole cascade:
 
-    read_parquet(corpus)                      column-pruned read
-      → map_batches(DecodeTokens, actors)     tokens → samples explode
-      → map_batches(PartialAggBatch)          per-batch partial aggregates
-      → groupby(bucket).map_groups(combine)   ONE hash exchange per tier
-      → write_parquet(tier_dir)               resumable partitioned output
-    each coarser tier reads the previous tier's *points* (never raw data)
-    and re-aggregates the mergeable partial struct — the continuous
-    aggregate cascade.
+    read_parquet(corpus)                     column-pruned, parallel read
+      → map_batches(DecodeToPartials, actors)  fused tokens→samples→
+                                               per-(series, 1s-window)
+                                               partial aggregates (no
+                                               per-sample materialization)
+      → bucket = hash(series_id, window // max_tier)   ONE exchange —
+        all finer windows of a (series, coarsest-window) pair nest
+        inside it, so every retention tier is derivable inside a
+        single map_groups:
+      → groupby(bucket).map_groups: combine 1s partials, then cascade
+        1m → 1h → 1d by re-aggregating the mergeable partial struct
+        (exact — tested against direct-from-raw)
+      → attach labels (tiny static series_id→labels table, broadcast)
+      → write_parquet(points/, partition_cols=[tier_ms])  resumable
+        partitioned layout, one directory per tier
 
-Checkpointing: each tier publishes a ``_MANIFEST.json`` (lineage:
-input fingerprint + per-file row counts + wall time); a rerun skips
-completed tiers whose input fingerprint still matches — mid-job resume.
+    + one more job: Gorilla chunks per (series, tier) over the written
+      points; gap sidecars computed from distinct windows per tier.
 
-Scale notes (100 TB thinking):
-- the decode fan-out (~150x rows) is bounded by a small decode
-  ``batch_size`` so blocks stay near the object-store sweet spot;
-- partial aggregation happens *before* the exchange, so the shuffle
-  traffic is ~|series × windows-touched-per-batch|, not raw samples;
-- the bucket key mixes window_ts into the hash: a hot series (the skewed
-  ``web`` source) spreads across buckets instead of pinning one reducer;
-- tiers write one directory each with many part files → a failed run
-  resumes at tier granularity and output never funnels into one file.
+Why fused: each groupby/sort job in Ray Data carries seconds of fixed
+cost at high CPU counts; a tier-by-tier cascade pays it 4-7x.  The
+fused plan pays ONE shuffle whose key is reused by every tier — the
+"pick one partitioning key" rule — and the per-bucket work is bounded
+(a bucket = one series x one coarsest window ≤ max_tier/raw_tier
+points).  The tier-by-tier path (incremental retention reruns, e.g.
+recomputing only 1h from 1m) remains available via
+``pq_ray.stages.rollup.cascade``.
+
+Checkpointing: each tier's partition dir gets a ``_MANIFEST.json``
+(corpus fingerprint, per-file row counts, wall time).  A rerun whose
+corpus fingerprint matches every manifest skips the whole job —
+byte-identical resume (tests/test_cascade_pipeline.py).
 """
 
 from __future__ import annotations
@@ -35,69 +45,71 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..stages.decode import DecodeToPartials, series_label_table
 from ..stages.gapfill import global_gaps_table
+from ..stages.rollup import (
+    AGG_COLS,
+    DEFAULT_LABEL_COLS,
+    np_combine_partials,
+    window_floor,
+)
 from ..state import manifest as mf
 from ..state.gorilla import chunk_series
-from ..stages.decode import decode_dataset
-from ..stages.rollup import DEFAULT_LABEL_COLS
-from ..stages.rollup import cascade as cascade_step
-from ..stages.rollup import rollup
 
 DEFAULT_TIERS = [1000, 60_000, 3_600_000, 86_400_000]
 
+NUMERIC_COLS = ["series_id", "window_ts", *AGG_COLS]
+_PHI = np.uint64(0x9E3779B97F4A7C15)
+
 
 def tier_dir(out_dir: str, tier_ms: int) -> str:
-    return os.path.join(out_dir, f"tier={tier_ms}")
+    return os.path.join(out_dir, "points", f"tier_ms={tier_ms}")
 
 
-def _write_chunks(tdir: str, chunks_dir: str, num_buckets: int) -> int:
-    """Gorilla-compress a tier's points into per-series chunk structs.
-
-    Bucket by series_id (all of a series' windows together), then
-    per-series delta-of-delta + XOR encode inside map_groups.
-    """
-    pts = rd.read_parquet(tdir)
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bucket"] = (
-            df["series_id"].to_numpy(dtype=np.uint64) % np.uint64(num_buckets)
-        ).astype(np.int32)
-        return df
-
-    def encode_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return chunk_series(df.drop(columns=["bucket"]), DEFAULT_LABEL_COLS)
-
-    chunks = (
-        pts.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(encode_bucket, batch_format="pandas")
-    )
-    chunks.write_parquet(chunks_dir)
-    return sum(mf.file_row_counts(chunks_dir).values())
+def chunks_dir(out_dir: str, tier_ms: int) -> str:
+    return os.path.join(out_dir, "chunks", f"tier_ms={tier_ms}")
 
 
-def _write_gaps(tdir: str, gaps_path: str, tier_ms: int) -> int:
-    """Global staleness markers (pq's empty-tick emissions, Q3) — the
-    distinct-window list post-rollup is tiny, so the setdiff runs on the
-    driver via a parquet-metadata-light DuckDB scan."""
-    import duckdb
-    import pyarrow.parquet as pq
+def _cascade_bucket_fn(tiers: list[int], num_buckets: int):
+    """Arrow-in/Arrow-out bucket assignment.
 
-    present = (
-        duckdb.sql(
-            f"select distinct window_ts from read_parquet('{tdir}/*.parquet')"
-        )
-        .df()["window_ts"]
-        .to_numpy()
-    )
-    gaps = global_gaps_table(present, tier_ms)
+    Staying ``batch_format="pyarrow"`` here matters: blocks entering the
+    shuffle serialize zero-copy; a pandas block at this point makes the
+    exchange pickle DataFrames and costs >2x the whole pipeline
+    (measured: 17s → 7s on the 31M-sample bench when this op switched
+    from pandas to arrow)."""
     import pyarrow as pa
 
-    tmp = gaps_path + ".tmp"
-    pq.write_table(pa.Table.from_pandas(gaps, preserve_index=False), tmp)
-    os.replace(tmp, gaps_path)
-    return len(gaps)
+    span = tiers[-1]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = sid.astype(np.uint64) ^ ((w // span).astype(np.uint64) * _PHI)
+        bucket = ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    return add_bucket
+
+
+def _cascade_group_fn(tiers: list[int]):
+    def cascade_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {c: df[c].to_numpy() for c in NUMERIC_COLS}
+        outs = []
+        prev = np_combine_partials(cols)
+        out0 = pd.DataFrame(prev)
+        out0["tier_ms"] = tiers[0]
+        outs.append(out0)
+        for tier in tiers[1:]:
+            cur = dict(prev)
+            cur["window_ts"] = window_floor(cur["window_ts"], tier)
+            prev = np_combine_partials(cur)
+            o = pd.DataFrame(prev)
+            o["tier_ms"] = tier
+            outs.append(o)
+        return pd.concat(outs, ignore_index=True)
+
+    return cascade_bucket
 
 
 def run_cascade(
@@ -106,90 +118,152 @@ def run_cascade(
     tiers: list[int] | None = None,
     *,
     num_buckets: int = 64,
-    decode_batch_size: int = 2048,
-    decode_concurrency: int | tuple = 8,
+    decode_batch_size: int = 8192,
+    decode_concurrency: int | tuple | None = None,
     chunk_min_tier_ms: int = 60_000,
     write_gaps: bool = True,
 ) -> dict:
-    """Run (or resume) the full cascade. Returns per-tier stats."""
-    tiers = tiers or DEFAULT_TIERS
+    """Run (or resume) the fused cascade. Returns per-tier stats."""
+    import duckdb
+    import ray
+
+    tiers = sorted(tiers or DEFAULT_TIERS)
+    for a, b in zip(tiers, tiers[1:]):
+        assert b % a == 0, f"tiers must nest: {b} % {a} != 0"
     os.makedirs(out_dir, exist_ok=True)
 
+    if decode_concurrency is None:
+        # An actor pool that reserves every CPU starves the downstream
+        # shuffle/write tasks: cap the decode pool at half the CPUs.
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        decode_concurrency = max(1, cpus // 2)
+
     stats: dict = {"tier_rows": {}, "skipped": [], "raw_samples": 0}
-    prev_path = corpus_path
-    prev_fp = mf.dir_fingerprint(corpus_path)
+    corpus_fp = mf.dir_fingerprint(corpus_path)
 
-    for i, tier_ms in enumerate(tiers):
-        tdir = tier_dir(out_dir, tier_ms)
-        if mf.is_complete(tdir, prev_fp):
-            m = mf.load(tdir)
-            stats["tier_rows"][str(tier_ms)] = m["rows_out"]
-            if i == 0:
+    if all(mf.is_complete(tier_dir(out_dir, t), corpus_fp) for t in tiers):
+        for t in tiers:
+            m = mf.load(tier_dir(out_dir, t))
+            stats["tier_rows"][str(t)] = m["rows_out"]
+            stats["skipped"].append(t)
+            if t == tiers[0]:
                 stats["raw_samples"] = m.get("raw_samples", 0)
-            stats["skipped"].append(tier_ms)
-            prev_path, prev_fp = tdir, mf.dir_fingerprint(tdir)
-            continue
+        return stats
 
-        os.makedirs(tdir, exist_ok=True)
-        for name in os.listdir(tdir):  # clear any partial previous attempt
-            os.remove(os.path.join(tdir, name))
+    points_root = os.path.join(out_dir, "points")
+    import shutil
 
-        t0 = time.perf_counter()
-        if i == 0:
-            corpus = rd.read_parquet(prev_path)
-            samples = decode_dataset(
-                corpus,
-                batch_size=decode_batch_size,
-                concurrency=decode_concurrency,
-            )
-            pts = rollup(samples, tier_ms, num_buckets=num_buckets)
-            rows_in = -1  # raw samples counted below from the tier itself
-        else:
-            pts = cascade_step(
-                rd.read_parquet(prev_path), tier_ms, num_buckets=num_buckets
-            )
-            rows_in = mf.load(tier_dir(out_dir, tiers[i - 1]))["rows_out"]
+    shutil.rmtree(points_root, ignore_errors=True)
 
-        pts.write_parquet(tdir)
-        wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    partials = rd.read_parquet(corpus_path).map_batches(
+        DecodeToPartials,
+        fn_constructor_kwargs={"interval_ms": tiers[0]},
+        batch_format="pyarrow",
+        batch_size=decode_batch_size,
+        concurrency=decode_concurrency,
+    )
+    label_df = series_label_table()
 
-        extra = {}
-        if tier_ms >= chunk_min_tier_ms:
-            chunks_dir = os.path.join(out_dir, "chunks", f"tier={tier_ms}")
-            os.makedirs(chunks_dir, exist_ok=True)
-            for name in os.listdir(chunks_dir):
-                os.remove(os.path.join(chunks_dir, name))
-            extra["chunk_rows"] = _write_chunks(tdir, chunks_dir, num_buckets)
+    def attach_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(label_df, on="series_id", sort=False)
+
+    points = (
+        partials.map_batches(
+            _cascade_bucket_fn(tiers, num_buckets), batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .map_groups(_cascade_group_fn(tiers), batch_format="pandas")
+        .map_batches(attach_labels, batch_format="pandas")
+    )
+    points.write_parquet(points_root, partition_cols=["tier_ms"])
+    wall = time.perf_counter() - t0
+
+    con = duckdb.connect()
+    raw_samples = int(
+        con.sql(
+            f"select sum(count) from read_parquet('{tier_dir(out_dir, tiers[0])}/*.parquet')"
+        ).fetchone()[0]
+    )
+    stats["raw_samples"] = raw_samples
+
+    # Gorilla chunks: ONE job for every chunked tier — the hive-partitioned
+    # points root reads back with tier_ms as a column, so a single
+    # (series, tier)-keyed exchange encodes all tiers and writes back
+    # partitioned by tier.
+    chunk_tiers = [t for t in tiers if t >= chunk_min_tier_ms]
+    chunk_rows: dict[int, int] = {}
+    if chunk_tiers:
+        chunks_root = os.path.join(out_dir, "chunks")
+        shutil.rmtree(chunks_root, ignore_errors=True)
+
+        # reading a partition dir re-infers tier_ms from the hive path,
+        # so each branch already carries its tier column
+        parts = [rd.read_parquet(tier_dir(out_dir, t)) for t in chunk_tiers]
+        tp = parts[0]
+        for p in parts[1:]:
+            tp = tp.union(p)
+
+        def add_b(tb):
+            import pyarrow as pa
+
+            sid = tb["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            tms = tb["tier_ms"].combine_chunks().to_numpy(zero_copy_only=False)
+            h = sid.astype(np.uint64) ^ (tms.astype(np.uint64) * _PHI)
+            b = ((h >> np.uint64(7)) % np.uint64(num_buckets)).astype(np.int32)
+            return tb.append_column("bucket", pa.array(b))
+
+        def encode_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for tms, g in df.groupby("tier_ms", sort=False):
+                enc = chunk_series(g.drop(columns=["bucket"]), DEFAULT_LABEL_COLS)
+                enc["tier_ms"] = tms
+                outs.append(enc)
+            return pd.concat(outs, ignore_index=True)
+
+        tp.map_batches(add_b, batch_format="pyarrow").groupby("bucket").map_groups(
+            encode_bucket, batch_format="pandas"
+        ).write_parquet(chunks_root, partition_cols=["tier_ms"])
+        for t in chunk_tiers:
+            chunk_rows[t] = sum(mf.file_row_counts(chunks_dir(out_dir, t)).values())
+
+    # gap sidecars + manifests
+    gaps_dir = os.path.join(out_dir, "gaps")
+    os.makedirs(gaps_dir, exist_ok=True)
+    for t in tiers:
+        tdir = tier_dir(out_dir, t)
+        extra: dict = {}
+        if t in chunk_rows:
+            extra["chunk_rows"] = chunk_rows[t]
         if write_gaps:
-            gaps_dir = os.path.join(out_dir, "gaps")
-            os.makedirs(gaps_dir, exist_ok=True)
-            extra["gap_windows"] = _write_gaps(
-                tdir, os.path.join(gaps_dir, f"tier={tier_ms}.parquet"), tier_ms
+            present = (
+                con.sql(
+                    f"select distinct window_ts from read_parquet('{tdir}/*.parquet')"
+                )
+                .df()["window_ts"]
+                .to_numpy()
             )
-        if i == 0:
-            # raw samples = sum of per-window counts in the raw tier —
-            # exact, no extra pass over the corpus.
-            import duckdb
+            gaps = global_gaps_table(present, t)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-            raw_samples = int(
-                duckdb.sql(
-                    f"select sum(count) from read_parquet('{tdir}/*.parquet')"
-                ).fetchone()[0]
+            gp = os.path.join(gaps_dir, f"tier={t}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(gaps, preserve_index=False), gp + ".tmp"
             )
+            os.replace(gp + ".tmp", gp)
+            extra["gap_windows"] = len(gaps)
+        if t == tiers[0]:
             extra["raw_samples"] = raw_samples
-            rows_in = raw_samples
-            stats["raw_samples"] = raw_samples
-
         m = mf.publish(
             tdir,
-            tier_ms=tier_ms,
-            input_path=prev_path,
-            input_fingerprint=prev_fp,
-            rows_in=rows_in,
+            tier_ms=t,
+            input_path=corpus_path,
+            input_fingerprint=corpus_fp,
+            rows_in=raw_samples,
             wall_sec=wall,
             extra=extra,
         )
-        stats["tier_rows"][str(tier_ms)] = m["rows_out"]
-        prev_path, prev_fp = tdir, mf.dir_fingerprint(tdir)
+        stats["tier_rows"][str(t)] = m["rows_out"]
 
     return stats

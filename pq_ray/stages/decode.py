@@ -174,6 +174,150 @@ class DecodeTokens:
         return out
 
 
+def series_label_table():
+    """Static series_id → label columns map for the token corpus (tiny:
+    |sources| x |shards| x 2 metrics rows).  Lets the cascade shuffle
+    carry only numeric columns and re-attach labels after the combine."""
+    import pandas as pd
+
+    lut = _series_id_lut()
+    rows = []
+    for name in ("token", "n_tok"):
+        for si, src in enumerate(SOURCES):
+            for sh in range(N_SHARDS):
+                rows.append(
+                    {
+                        "series_id": lut[name][si * N_SHARDS + sh],
+                        "name": name,
+                        "source": src,
+                        "shard": sh,
+                    }
+                )
+    df = pd.DataFrame(rows)
+    df["series_id"] = df["series_id"].astype(np.uint64)
+    df["shard"] = df["shard"].astype(np.int32)
+    return df
+
+
+class DecodeToPartials:
+    """Fused decode + window partial-aggregate actor stage.
+
+    Emits per-(series, window) partial rows directly from the corpus
+    batch — the per-sample table (ts/value/label strings) never
+    materializes, which cuts the object-store traffic into the shuffle
+    by ~10x and skips all Python-object column building.  Labels are
+    re-attached post-combine from series_label_table().
+    """
+
+    def __init__(self, interval_ms: int, emit_doc_metric: bool = True):
+        from .rollup import np_partial_agg, window_floor
+
+        self._np_partial_agg = np_partial_agg
+        self._window_floor = window_floor
+        self.interval_ms = interval_ms
+        self._lut = _series_id_lut()
+        self._src_code = {s: i for i, s in enumerate(SOURCES)}
+        self.emit_doc_metric = emit_doc_metric
+
+    def _fast_partial_agg(self, codes, sid, window, ts, val):
+        """Partial agg via ONE argsort on a packed uint64 key — ~3x the
+        4-key lexsort.  Key = series code | window index | in-window
+        offset | integer value, ordering identical to (sid-grouping,
+        window, ts, value)... except groups come out in code order
+        rather than sid order, which is irrelevant to the shuffle.
+        Falls back to the generic lexsort kernel when values don't fit
+        the packing (non-integer or huge)."""
+        widx = (window - EPOCH0_MS) // self.interval_ms
+        off = (ts - window) // STEP_MS
+        vi = val.astype(np.int64)
+        if (
+            widx.min() >= 0
+            and widx.max() < (1 << 26)
+            and off.max() < (1 << 12)
+            and (vi == val).all()
+            and vi.max() < (1 << 17)
+            and vi.min() >= 0
+        ):
+            key = (
+                (codes.astype(np.uint64) << np.uint64(55))
+                | (widx.astype(np.uint64) << np.uint64(29))
+                | (off.astype(np.uint64) << np.uint64(17))
+                | vi.astype(np.uint64)
+            )
+            order = np.argsort(key, kind="stable")
+            s_key = key[order] >> np.uint64(29)  # (code, window) group id
+            boundary = np.nonzero(s_key[1:] != s_key[:-1])[0] + 1
+            starts = np.concatenate(([0], boundary))
+            n = len(val)
+            counts_g = np.diff(np.concatenate((starts, [n])))
+            s_v = val[order]
+            s_ts = ts[order]
+            return {
+                "series_id": sid[order][starts],
+                "window_ts": window[order][starts],
+                "sum": np.add.reduceat(s_v, starts),
+                "count": counts_g.astype(np.int64),
+                "min": np.minimum.reduceat(s_v, starts),
+                "max": np.maximum.reduceat(s_v, starts),
+                "first_ts": s_ts[starts],
+                "first_v": s_v[starts],
+                "last_ts": s_ts[starts + counts_g - 1],
+                "last_v": s_v[starts + counts_g - 1],
+            }
+        return self._np_partial_agg(sid, window, ts, val)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens = batch.column("tokens").combine_chunks()
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.chunk(0)
+        doc_ids = batch.column("doc_id").combine_chunks()
+        source = batch.column("source").combine_chunks()
+        n = len(batch)
+
+        hashes = _doc_hashes(doc_ids)
+        t_doc = (EPOCH0_MS + ((hashes % T_SPAN_MS) // 1000) * 1000).astype(np.int64)
+        shard = (hashes % N_SHARDS).astype(np.int32)
+        src_codes = np.fromiter(
+            (self._src_code[s] for s in source.to_pylist()), dtype=np.int64, count=n
+        )
+        combo = src_codes * N_SHARDS + shard
+
+        counts = batch.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        total = int(offsets[-1])
+
+        flat_values = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        ts = np.repeat(t_doc, counts) + pos * STEP_MS
+        sid = np.repeat(self._lut["token"][combo], counts)
+
+        # token codes instead of 64-bit sids for the sort key
+        codes = np.repeat(combo, counts)
+        if self.emit_doc_metric:
+            ts = np.concatenate((ts, t_doc))
+            flat_values = np.concatenate((flat_values, counts.astype(np.float64)))
+            sid = np.concatenate((sid, self._lut["n_tok"][combo]))
+            codes = np.concatenate((codes, combo + len(SOURCES) * N_SHARDS))
+
+        window = self._window_floor(ts, self.interval_ms)
+        out = self._fast_partial_agg(codes, sid, window, ts, flat_values)
+        return pa.table(
+            {
+                "series_id": pa.array(out["series_id"], type=pa.uint64()),
+                "window_ts": pa.array(out["window_ts"], type=pa.int64()),
+                "sum": pa.array(out["sum"], type=pa.float64()),
+                "count": pa.array(out["count"], type=pa.int64()),
+                "min": pa.array(out["min"], type=pa.float64()),
+                "max": pa.array(out["max"], type=pa.float64()),
+                "first_ts": pa.array(out["first_ts"], type=pa.int64()),
+                "first_v": pa.array(out["first_v"], type=pa.float64()),
+                "last_ts": pa.array(out["last_ts"], type=pa.int64()),
+                "last_v": pa.array(out["last_v"], type=pa.float64()),
+            }
+        )
+
+
 def decode_dataset(ds, *, batch_size: int = 2048, concurrency=4, **kwargs):
     """tokens Dataset → samples Dataset.
 

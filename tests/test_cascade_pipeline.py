@@ -10,7 +10,7 @@ import pandas as pd
 import pytest
 
 from pq_ray.fixtures import write_tokens_corpus
-from pq_ray.pipelines.cascade import run_cascade, tier_dir
+from pq_ray.pipelines.cascade import chunks_dir, run_cascade, tier_dir
 from pq_ray.stages.gapfill import fill_series, global_gap_windows
 from pq_ray.state import manifest as mf
 from pq_ray.state.gorilla import decode_chunk
@@ -46,10 +46,8 @@ def test_manifests_and_lineage(cascade_run):
         assert m["completed"]
         assert m["rows_out"] == stats["tier_rows"][str(tier)]
         assert m["rows_out"] == sum(m["files"].values())  # per-file lineage
-        assert m["input_fingerprint"]
-    # tier inputs chain: 1m's input is the raw tier, 1h's is the 1m tier
-    assert mf.load(tier_dir(out, 60_000))["input_path"] == tier_dir(out, 1000)
-    assert mf.load(tier_dir(out, 3_600_000))["input_path"] == tier_dir(out, 60_000)
+        assert m["input_fingerprint"] == mf.dir_fingerprint(corpus)
+        assert m["input_path"] == corpus  # fused job: every tier from corpus
 
 
 def test_resume_is_noop_and_byte_identical(cascade_run):
@@ -65,19 +63,19 @@ def test_resume_is_noop_and_byte_identical(cascade_run):
 
 
 def test_resume_mid_cascade(ray_session, tmp_path):
-    """Kill after the 1m tier (simulated: run only tiers[0:2]), then rerun
-    the full cascade — completed tiers are skipped, later tiers computed,
-    and outputs match an uninterrupted run exactly."""
+    """Interrupted run (only some tiers written), then rerun the full
+    cascade — the incomplete manifest set forces a recompute, and the
+    outputs match an uninterrupted run exactly."""
     corpus = str(tmp_path / "corpus")
     write_tokens_corpus(corpus, 400, seed=42)
     partial_out = str(tmp_path / "partial")
     full_out = str(tmp_path / "full")
     run_cascade(corpus, partial_out, tiers=[1000, 60_000], num_buckets=8,
                 decode_batch_size=256, decode_concurrency=2)
-    # resume with the full tier list
+    # resume with the full tier list: 1h tier missing → fused recompute
     stats = run_cascade(corpus, partial_out, tiers=[1000, 60_000, 3_600_000],
                         num_buckets=8, decode_batch_size=256, decode_concurrency=2)
-    assert 1000 in stats["skipped"] and 60_000 in stats["skipped"]
+    assert stats["skipped"] == []
     run_cascade(corpus, full_out, tiers=[1000, 60_000, 3_600_000], num_buckets=8,
                 decode_batch_size=256, decode_concurrency=2)
     # same 1h points either way (sort-insensitive compare)
@@ -101,7 +99,7 @@ def test_chunks_roundtrip_points(cascade_run):
         f"select * from read_parquet('{tier_dir(out, tier)}/*.parquet')"
     ).df()
     chunks = duckdb.sql(
-        f"select * from read_parquet('{out}/chunks/tier={tier}/*.parquet')"
+        f"select * from read_parquet('{chunks_dir(out, tier)}/*.parquet')"
     ).df()
     assert chunks["n"].sum() == len(pts)
     # decode one chunk and compare against the points
