@@ -29,9 +29,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# Bench corpus size: ~60k docs ≈ 9-10M token samples at the default
-# length distribution. Override with GRAFT_BENCH_DOCS.
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
+# Bench corpus size: 1M docs ≈ 155M token samples at the default length
+# distribution. Override with GRAFT_BENCH_DOCS.
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "1000000"))
 CORPUS_DIR = f"/tmp/pq_ray_bench/corpus_{BENCH_DOCS}"
 TIER_DIR = "/tmp/pq_ray_bench/tiers"
 
@@ -90,8 +90,16 @@ def main() -> None:
     from pq_ray.fixtures import write_tokens_corpus
 
     write_tokens_corpus(CORPUS_DIR, BENCH_DOCS, seed=42)
+    warm_docs = min(BENCH_DOCS, 100_000)
+    warm_corpus = f"/tmp/pq_ray_bench/corpus_{warm_docs}"
+    write_tokens_corpus(warm_corpus, warm_docs, seed=42)
 
-    # Warm the page cache so we measure compute + shuffle, not cold disk.
+    # Warm-up: a small cascade first, so the timed run measures steady
+    # state (worker processes + imports + page cache), not cold start.
+    from pq_ray.pipelines.cascade import run_cascade
+
+    shutil.rmtree("/tmp/pq_ray_bench/warm", ignore_errors=True)
+    run_cascade(warm_corpus, "/tmp/pq_ray_bench/warm", tiers=TIERS, num_buckets=16)
     import ray.data as rd
 
     rd.read_parquet(CORPUS_DIR).count()

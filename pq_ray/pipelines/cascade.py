@@ -112,6 +112,45 @@ def _cascade_group_fn(tiers: list[int]):
     return cascade_bucket
 
 
+def _cascade_reduce_fn(tiers: list[int]):
+    """Arrow-in/Arrow-out per-bucket reduce for the hash exchange:
+    combine 1s partials, then derive every coarser tier in-memory."""
+    import pyarrow as pa
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: t[c].slice(0, 0) for c in NUMERIC_COLS},
+                    "tier_ms": pa.array([], type=pa.int64()),
+                }
+            )
+        cols = {
+            c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            for c in NUMERIC_COLS
+        }
+        outs = []
+        prev = np_combine_partials(cols)
+        for i, tier in enumerate(tiers):
+            if i > 0:
+                cur = dict(prev)
+                cur["window_ts"] = window_floor(cur["window_ts"], tier)
+                prev = np_combine_partials(cur)
+            outs.append(
+                pa.table(
+                    {
+                        **{c: pa.array(prev[c]) for c in NUMERIC_COLS},
+                        "tier_ms": pa.array(
+                            np.full(len(prev["series_id"]), tier, dtype=np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return reduce_fn
+
+
 def run_cascade(
     corpus_path: str,
     out_dir: str,
@@ -132,12 +171,9 @@ def run_cascade(
         assert b % a == 0, f"tiers must nest: {b} % {a} != 0"
     os.makedirs(out_dir, exist_ok=True)
 
-    if decode_concurrency is None:
-        # An actor pool that reserves every CPU starves the downstream
-        # shuffle/write tasks: cap the decode pool at half the CPUs.
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        decode_concurrency = max(1, cpus // 2)
-
+    # decode_concurrency=None (default) → task pool with per-worker
+    # cached decoder state; an integer opts into an actor pool (only
+    # worthwhile when the decoder holds heavyweight state).
     stats: dict = {"tier_rows": {}, "skipped": [], "raw_samples": 0}
     corpus_fp = mf.dir_fingerprint(corpus_path)
 
@@ -156,26 +192,40 @@ def run_cascade(
     shutil.rmtree(points_root, ignore_errors=True)
 
     t0 = time.perf_counter()
-    partials = rd.read_parquet(corpus_path).map_batches(
-        DecodeToPartials,
-        fn_constructor_kwargs={"interval_ms": tiers[0]},
-        batch_format="pyarrow",
-        batch_size=decode_batch_size,
-        concurrency=decode_concurrency,
-    )
+    from ..stages.decode import decode_partials_task
+
+    if decode_concurrency:
+        partials = rd.read_parquet(corpus_path).map_batches(
+            DecodeToPartials,
+            fn_constructor_kwargs={"interval_ms": tiers[0]},
+            batch_format="pyarrow",
+            batch_size=decode_batch_size,
+            concurrency=decode_concurrency,
+        )
+    else:
+        raw_tier = tiers[0]
+
+        def decode_tokens_to_partials(batch):
+            return decode_partials_task(batch, interval_ms=raw_tier)
+
+        partials = rd.read_parquet(corpus_path).map_batches(
+            decode_tokens_to_partials,
+            batch_format="pyarrow",
+            batch_size=decode_batch_size,
+        )
     label_df = series_label_table()
 
     def attach_labels(df: pd.DataFrame) -> pd.DataFrame:
         return df.merge(label_df, on="series_id", sort=False)
 
-    points = (
-        partials.map_batches(
-            _cascade_bucket_fn(tiers, num_buckets), batch_format="pyarrow"
-        )
-        .groupby("bucket")
-        .map_groups(_cascade_group_fn(tiers), batch_format="pandas")
-        .map_batches(attach_labels, batch_format="pandas")
+    from ..stages.exchange import hash_exchange
+
+    bucketed = partials.map_batches(
+        _cascade_bucket_fn(tiers, num_buckets), batch_format="pyarrow"
     )
+    points = hash_exchange(
+        bucketed, "bucket", num_buckets, _cascade_reduce_fn(tiers)
+    ).map_batches(attach_labels, batch_format="pandas")
     points.write_parquet(points_root, partition_cols=["tier_ms"])
     wall = time.perf_counter() - t0
 
@@ -204,26 +254,58 @@ def run_cascade(
         for p in parts[1:]:
             tp = tp.union(p)
 
+        chunk_buckets = max(8, num_buckets // 4)
+
         def add_b(tb):
             import pyarrow as pa
 
             sid = tb["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
             tms = tb["tier_ms"].combine_chunks().to_numpy(zero_copy_only=False)
             h = sid.astype(np.uint64) ^ (tms.astype(np.uint64) * _PHI)
-            b = ((h >> np.uint64(7)) % np.uint64(num_buckets)).astype(np.int32)
+            b = ((h >> np.uint64(7)) % np.uint64(chunk_buckets)).astype(np.int32)
             return tb.append_column("bucket", pa.array(b))
 
-        def encode_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        def encode_chunk_bucket(tb):
+            import pyarrow as pa
+
+            from ..state.gorilla import VALUE_COLS
+
+            if tb.num_rows == 0:
+                return pa.table(
+                    {
+                        "series_id": pa.array([], type=pa.uint64()),
+                        "name": pa.array([], type=pa.string()),
+                        "source": pa.array([], type=pa.string()),
+                        "shard": pa.array([], type=pa.int32()),
+                        "t0": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                        "ts_dod": pa.array([], type=pa.binary()),
+                        **{
+                            f"g_{c}": pa.array([], type=pa.binary())
+                            for c in VALUE_COLS
+                        },
+                        "tier_ms": pa.array([], type=pa.int64()),
+                    }
+                )
+            df = tb.to_pandas()
             outs = []
             for tms, g in df.groupby("tier_ms", sort=False):
                 enc = chunk_series(g.drop(columns=["bucket"]), DEFAULT_LABEL_COLS)
                 enc["tier_ms"] = tms
                 outs.append(enc)
-            return pd.concat(outs, ignore_index=True)
+            return pa.Table.from_pandas(
+                pd.concat(outs, ignore_index=True), preserve_index=False
+            )
 
-        tp.map_batches(add_b, batch_format="pyarrow").groupby("bucket").map_groups(
-            encode_bucket, batch_format="pandas"
-        ).write_parquet(chunks_root, partition_cols=["tier_ms"])
+        from ..stages.exchange import hash_exchange
+
+        chunks_ds = hash_exchange(
+            tp.map_batches(add_b, batch_format="pyarrow"),
+            "bucket",
+            chunk_buckets,
+            encode_chunk_bucket,
+        )
+        chunks_ds.write_parquet(chunks_root, partition_cols=["tier_ms"])
         for t in chunk_tiers:
             chunk_rows[t] = sum(mf.file_row_counts(chunks_dir(out_dir, t)).values())
 

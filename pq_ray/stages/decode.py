@@ -318,6 +318,28 @@ class DecodeToPartials:
         )
 
 
+_TASK_DECODER: "DecodeToPartials | None" = None
+
+
+def decode_partials_task(batch: pa.Table, *, interval_ms: int) -> pa.Table:
+    """Task-pool variant of DecodeToPartials with per-worker-process
+    decoder caching.
+
+    The decoder state (series-id LUTs) is built once per worker process
+    and reused across batches — the same amortization an actor pool
+    gives, without actor-pool scheduling: a fresh actor pool pays
+    O(pool size) process startups per job, which measurably
+    *anti-scales* small-to-medium jobs as CPUs grow (21s -> 4s on the
+    31M-sample bench when this switched from a 16-actor pool to tasks).
+    Use the DecodeToPartials class directly when the stage needs real
+    per-actor state (models, large vocabs).
+    """
+    global _TASK_DECODER
+    if _TASK_DECODER is None or _TASK_DECODER.interval_ms != interval_ms:
+        _TASK_DECODER = DecodeToPartials(interval_ms)
+    return _TASK_DECODER(batch)
+
+
 def decode_dataset(ds, *, batch_size: int = 2048, concurrency=4, **kwargs):
     """tokens Dataset → samples Dataset.
 

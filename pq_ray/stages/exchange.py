@@ -1,0 +1,92 @@
+"""Explicit hash exchange: the one place we drop to raw Ray tasks.
+
+Ray Data's ``groupby(...).map_groups(...)`` routes through the sort-based
+shuffle operator, which on this workload has a multi-second critical
+path that does not shrink with CPUs (measured: ~5-7s for 7.7M partial
+rows regardless of 8 vs 32 CPUs; the hash-shuffle strategy's aggregator
+actors cost even more to start).  The cascade's exchange is a plain
+hash partition — no ordering requirement — so we implement the textbook
+two-phase shuffle with raw tasks, as sanctioned for cases the Dataset
+API can't express efficiently:
+
+  phase 1 (split):   one task per input block → ``num_buckets`` arrow
+                     sub-tables (zero-copy ``take``)
+  phase 2 (gather):  one task per bucket → concat its sub-tables and
+                     apply the per-bucket reduce function
+
+Both phases are embarrassingly parallel; the only synchronization is
+the object-store handoff.  The result returns to the Dataset world via
+``ray.data.from_arrow_refs`` so downstream stages (label attach,
+partitioned write) stay in Ray Data.
+
+Partitioning assumption (documented per the build rules): the reduce
+function sees ALL rows of a bucket at once, so a bucket must fit a
+worker's heap — callers size ``num_buckets`` accordingly (cascade
+buckets are bounded by |series| x |coarsest windows| partial rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+@ray.remote
+def _split(block: pa.Table, bucket_col: str, num_buckets: int):
+    # Ray may pass empty blocks through upstream map UDFs untouched, so
+    # an empty block can arrive without the bucket column — emit empty
+    # slices (reduce_fn owns the typed-empty case).
+    if block.num_rows == 0 or bucket_col not in block.schema.names:
+        return tuple(block.slice(0, 0) for _ in range(num_buckets))
+    buckets = block[bucket_col].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(buckets, kind="stable")
+    sorted_b = buckets[order]
+    bounds = np.searchsorted(sorted_b, np.arange(num_buckets + 1))
+    taken = block.take(pa.array(order))
+    return tuple(
+        taken.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(num_buckets)
+    )
+
+
+@ray.remote
+def _gather(reduce_fn: Callable[[pa.Table], pa.Table], *parts: pa.Table) -> pa.Table:
+    nonempty = [p for p in parts if p.num_rows]
+    # reduce_fn is also responsible for the empty case (it must emit a
+    # correctly-typed empty table so all gather outputs share a schema)
+    block = pa.concat_tables(nonempty) if nonempty else parts[0].slice(0, 0)
+    return reduce_fn(block)
+
+
+def hash_exchange(
+    ds,
+    bucket_col: str,
+    num_buckets: int,
+    reduce_fn: Callable[[pa.Table], pa.Table],
+):
+    """ds (with an int bucket column) → Dataset of per-bucket reduce outputs.
+
+    ``reduce_fn``: arrow table (one complete bucket, bucket column
+    included) → arrow table.
+
+    Split tasks launch as upstream blocks stream out of the Dataset
+    executor (``iter_internal_ref_bundles``), so the map side of the
+    exchange overlaps the producing stages; only the gather side has the
+    inherent all-splits barrier.
+    """
+    split_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            r = _split.options(num_returns=num_buckets).remote(
+                block_ref, bucket_col, num_buckets
+            )
+            split_refs.append([r] if num_buckets == 1 else r)
+    out_refs = [
+        _gather.remote(reduce_fn, *[split_refs[j][i] for j in range(len(split_refs))])
+        for i in range(num_buckets)
+    ]
+    return rd.from_arrow_refs(out_refs)
