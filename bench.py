@@ -127,7 +127,15 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same job, same input, fresh ray sessions at 8 and 32 CPUs."""
+    """Same job, same input, fresh ray sessions at 8 and 32 CPUs.
+
+    Each run is pinned to that many *physical* cores with taskset —
+    ``ray.init(num_cpus=N)`` only limits scheduling slots, while
+    pyarrow/numpy thread pools would otherwise use every core and fake
+    the small-cluster leg.  This is the sandbox stand-in for N vs 4N
+    nodes; see BASELINE.md for why a single VM understates multi-node
+    scaling (one shared memory bus serves both legs).
+    """
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -135,8 +143,11 @@ def scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="0",
         )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

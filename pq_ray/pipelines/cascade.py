@@ -161,6 +161,7 @@ def run_cascade(
     decode_concurrency: int | tuple | None = None,
     chunk_min_tier_ms: int = 60_000,
     write_gaps: bool = True,
+    precombine_rows: int | None = None,
 ) -> dict:
     """Run (or resume) the fused cascade. Returns per-tier stats."""
     import duckdb
@@ -194,8 +195,16 @@ def run_cascade(
     t0 = time.perf_counter()
     from ..stages.decode import decode_partials_task
 
+    # One read block per corpus file: avoids the SplitBlocks stage, which
+    # blocks read→decode operator fusion (fusion halves the decode phase:
+    # 10.7s → 5.0s at 32 CPUs on the 155M-sample bench).
+    n_files = len(
+        [f for f in os.listdir(corpus_path) if f.endswith(".parquet")]
+    )
+    read_kwargs = {"override_num_blocks": n_files} if n_files else {}
+
     if decode_concurrency:
-        partials = rd.read_parquet(corpus_path).map_batches(
+        partials = rd.read_parquet(corpus_path, **read_kwargs).map_batches(
             DecodeToPartials,
             fn_constructor_kwargs={"interval_ms": tiers[0]},
             batch_format="pyarrow",
@@ -208,7 +217,7 @@ def run_cascade(
         def decode_tokens_to_partials(batch):
             return decode_partials_task(batch, interval_ms=raw_tier)
 
-        partials = rd.read_parquet(corpus_path).map_batches(
+        partials = rd.read_parquet(corpus_path, **read_kwargs).map_batches(
             decode_tokens_to_partials,
             batch_format="pyarrow",
             batch_size=decode_batch_size,
@@ -219,6 +228,30 @@ def run_cascade(
         return df.merge(label_df, on="series_id", sort=False)
 
     from ..stages.exchange import hash_exchange
+
+    if precombine_rows:
+        # Tree pre-combine: merge several decode outputs locally before
+        # the exchange.  Collapses cross-batch duplicates of the same
+        # (series, window) near window saturation — but the re-batching
+        # coalesce stalls the streaming executor on this single-node
+        # setup (measured 14s -> 68s at 1M docs), so it is OFF by
+        # default; on a real cluster with per-node bandwidth it is the
+        # standard tree-aggregation lever.
+        import pyarrow as pa
+
+        def local_combine(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            cols = {
+                c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+                for c in NUMERIC_COLS
+            }
+            out = np_combine_partials(cols)
+            return pa.table({c: pa.array(out[c]) for c in NUMERIC_COLS})
+
+        partials = partials.map_batches(
+            local_combine, batch_format="pyarrow", batch_size=precombine_rows
+        )
 
     bucketed = partials.map_batches(
         _cascade_bucket_fn(tiers, num_buckets), batch_format="pyarrow"
