@@ -207,3 +207,61 @@ QUERIES = {
     "events_first_last_1h": q_first_last_1h,
     "events_rate_1h": q_rate_1h,
 }
+
+
+def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
+    """Dense per-event_type 1m spine with explicit staleness markers —
+    pq's empty-tick gap-fill semantic (SURVEY.md Q3) as a table: every
+    window between a series' first and last window appears, absent ones
+    with n=0 and NULL sum (the oracle builds the same spine with
+    generate_series + LEFT JOIN)."""
+    from ..stages.gapfill import window_spine
+
+    pts = rollup_events(sf_dir, MINUTE_MS).to_pandas()
+
+    outs = []
+    for et, g in pts.groupby("event_type", sort=True):
+        g = g.sort_values("window_ts")
+        spine = window_spine(
+            int(g["window_ts"].min()), int(g["window_ts"].max()), MINUTE_MS
+        )
+        dense = pd.DataFrame({"window_ts": spine})
+        dense["event_type"] = et
+        dense = dense.merge(
+            g[["window_ts", "sum", "count"]], on="window_ts", how="left", sort=False
+        )
+        outs.append(dense)
+    out = pd.concat(outs, ignore_index=True)
+    out["n"] = out["count"].fillna(0).astype(np.int64)
+    out["is_gap"] = out["count"].isna()
+    # COALESCE on both sides: NaN vs SQL NULL would hash differently
+    out["sum_value"] = out["sum"].round(6).fillna(0.0)
+    return (
+        out[["window_ts", "event_type", "n", "sum_value", "is_gap"]]
+        .sort_values(["event_type", "window_ts"])
+        .reset_index(drop=True)
+    )
+
+
+ORACLES["events_gapfill_1m"] = """
+    WITH w AS (
+        SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
+               ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, MIN(window_ts) AS lo, MAX(window_ts) AS hi
+        FROM w GROUP BY event_type
+    ),
+    spine AS (
+        SELECT b.event_type, unnest(generate_series(b.lo, b.hi, 60000)) AS window_ts
+        FROM bounds b
+    )
+    SELECT s.window_ts, s.event_type,
+           COALESCE(w.n, 0) AS n,
+           COALESCE(w.sum_value, 0) AS sum_value,
+           w.n IS NULL AS is_gap
+    FROM spine s LEFT JOIN w USING (event_type, window_ts)
+    ORDER BY s.event_type, s.window_ts
+"""
+QUERIES["events_gapfill_1m"] = q_gapfill_1m

@@ -106,16 +106,18 @@ def _format_entries(entries, formatter) -> list[str]:
 
 
 def _format_records(records, formatter) -> list[str]:
+    """Record JSON shape mirrors the reference's RecordRepr
+    (src/format/json.rs:25-32): {"timestamp": ms?, "labels": {...},
+    "values": {...}} with BTreeMap (sorted) keys; timestamp omitted when
+    absent, values as JSON numbers (serde and Python agree on f64)."""
     out = []
     for r in records:
         if formatter == "to_json":
             obj: dict = {}
             if r.ts is not None:
                 obj["timestamp"] = r.ts
-            obj.update({k: r.labels[k] for k in sorted(r.labels)})
-            obj.update(
-                {k: _json.loads(rust_f64_str(v)) if rust_f64_str(v).replace("-", "").replace(".", "").isdigit() else rust_f64_str(v) for k, v in sorted(r.values.items())}
-            )
+            obj["labels"] = {k: r.labels[k] for k in sorted(r.labels)}
+            obj["values"] = {k: r.values[k] for k in sorted(r.values)}
             out.append(_json.dumps(obj, separators=(",", ":"), ensure_ascii=False))
         else:
             parts = [str(r.ts) if r.ts is not None else ""]
