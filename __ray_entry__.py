@@ -59,6 +59,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(pq_queries.QUERIES)
     except ImportError:
         pass
+    try:
+        from pq_ray.pipelines import multimodal
+
+        out.update(multimodal.QUERIES)
+    except ImportError:
+        pass
     return out
 
 

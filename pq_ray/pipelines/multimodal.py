@@ -161,3 +161,26 @@ def media_feature_pipeline(table_or_path, *, batch_size: int = 64, concurrency: 
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def q_media_features(sf_dir: str) -> "pd.DataFrame":
+    """Driver-facing query: decode + feature-extract a deterministic
+    synthetic media corpus (sized off the documents table so it scales
+    with sf). Rows-only check — the fake-codec pipeline has no SQL
+    analogue; determinism and feature invariants are pytest-verified."""
+    import duckdb
+
+    n = int(
+        duckdb.sql(
+            f"select count(*) from read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+    )
+    t = synth_corpus(min(n, 500), seed=42)
+    feats = media_feature_pipeline(t, batch_size=64, concurrency=2).to_pandas()
+    out = feats[["media_id", "mean_px", "std_px"]].copy()
+    out["feature_l1"] = [float(np.abs(f).sum().round(4)) for f in feats["feature"]]
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+QUERIES = {"media_features": q_media_features}
+ORACLES: dict = {}

@@ -539,10 +539,17 @@ OVER_TIME_FNS = {
     "min_over_time",
     "max_over_time",
     "last_over_time",
+    # extensions (the reference only parses `rate` as "coming soon",
+    # README.md:194; semantics here are the simple per-window forms,
+    # documented + tested locally — no reference goldens exist):
+    "first_over_time",  # chronologically first sample (cf. Q7's last)
+    "rate",             # (newest - oldest) / range_seconds
+    "increase",         # newest - oldest
+    "delta",            # newest - oldest (gauge delta)
 }
 
 
-def eval_function(node: FunctionCall, args: list) -> VectorStream:
+def eval_function(node: FunctionCall, args: list, node_range_ms: int | None = None) -> VectorStream:
     name = node.name
     if name not in OVER_TIME_FNS:
         raise QueryError(f"function {name!r} is not implemented (coming soon...)")
@@ -564,6 +571,7 @@ def eval_function(node: FunctionCall, args: list) -> VectorStream:
         mn=("value", "min"),
         mx=("value", "max"),
         oldest=("value", "first"),
+        newest=("value", "last"),
         **{L(c): (L(c), "first") for c in inner.label_cols},
     ).reset_index()
     if name == "sum_over_time":
@@ -576,8 +584,17 @@ def eval_function(node: FunctionCall, args: list) -> VectorStream:
         val = agg["mn"].to_numpy()
     elif name == "max_over_time":
         val = agg["mx"].to_numpy()
-    else:  # last_over_time — Q7: the chronologically OLDEST sample
+    elif name in ("last_over_time", "first_over_time"):
+        # Q7: the reference's last_over_time returns the chronologically
+        # OLDEST sample (newest-first storage + .last()); our
+        # first_over_time extension is the same value by construction
         val = agg["oldest"].to_numpy()
+    else:  # rate / increase / delta extensions
+        diff = agg["newest"].to_numpy() - agg["oldest"].to_numpy()
+        if name == "rate":
+            val = diff / (node_range_ms / 1000.0)
+        else:
+            val = diff
     out = agg[["tick", *[L(c) for c in inner.label_cols]]].copy()
     out["value"] = val
     out["name"] = None  # all *_over_time drop __name__ (function.rs:49)
@@ -616,5 +633,7 @@ def evaluate(node, ctx: EvalContext):
         args = [
             a if isinstance(a, (float, str)) else evaluate(a, ctx) for a in node.args
         ]
-        return eval_function(node, args)
+        from .ast import find_smallest_range_ms
+
+        return eval_function(node, args, find_smallest_range_ms(node))
     raise QueryError(f"cannot evaluate node {node!r}")

@@ -77,6 +77,10 @@ AGG_OPS = [
 ]
 FUNC_NAMES = [
     "avg_over_time",  # extension: parseable here, enum-only in the reference
+    "first_over_time",  # extension
+    "increase",  # extension
+    "delta",  # extension
+    "rate",  # extension (the reference's README lists it as coming soon)
     "count_over_time",
     "last_over_time",
     "max_over_time",
@@ -294,9 +298,13 @@ class _P:
             "avg_over_time",
             "count_over_time",
             "last_over_time",
+            "first_over_time",
             "max_over_time",
             "min_over_time",
             "sum_over_time",
+            "rate",
+            "increase",
+            "delta",
         ):
             return [self.expr(None)]
         if name == "vector":

@@ -82,12 +82,24 @@ def run_program(
         start_at=since_ms,
     )
     stream = evaluate(ast.query, ctx)
-    if ast.formatter in (None, "to_promapi"):
+    if ast.formatter == "to_promapi":
         return format_stream(stream)
-    raise NotImplementedError(f"formatter {ast.formatter} for query results")
+    if ast.formatter == "to_json":
+        # reference JSONFormatter delegates query values to PromAPI,
+        # except bare scalars (src/format/json.rs:88-94)
+        from .query.engine import ScalarStream
+
+        if isinstance(stream, ScalarStream):
+            return [rust_f64_str(stream.value)]
+        return format_stream(stream)
+    from .format.human import format_stream_human
+
+    return format_stream_human(stream)
 
 
 def _format_entries(entries, formatter) -> list[str]:
+    from .format.human import format_entry_human
+
     out = []
     for line_no, e in entries:
         if formatter == "to_json":
@@ -100,8 +112,8 @@ def _format_entries(entries, formatter) -> list[str]:
                 )
             else:
                 out.append(_json.dumps(e, separators=(",", ":"), ensure_ascii=False))
-        else:  # human-readable-ish fallback
-            out.append("\t".join(e.values() if isinstance(e, dict) else e))
+        else:
+            out.append(format_entry_human(line_no, e))
     return out
 
 
@@ -120,8 +132,7 @@ def _format_records(records, formatter) -> list[str]:
             obj["values"] = {k: r.values[k] for k in sorted(r.values)}
             out.append(_json.dumps(obj, separators=(",", ":"), ensure_ascii=False))
         else:
-            parts = [str(r.ts) if r.ts is not None else ""]
-            parts += [f"{k}={v}" for k, v in sorted(r.labels.items())]
-            parts += [f"{k}={rust_f64_str(v)}" for k, v in sorted(r.values.items())]
-            out.append("\t".join(parts))
+            from .format.human import format_record_human
+
+            out.append(format_record_human(r))
     return out

@@ -157,3 +157,19 @@ def test_to_json_record_format():
     assert out == [
         '{"timestamp":1609459200000,"labels":{"name":"bob"},"values":{"age":42.0}}'
     ]
+
+
+def test_extension_over_time_functions():
+    # rate/increase/delta/first_over_time — engine extensions (the
+    # reference only parses `rate` as "coming soon")
+    rows = [
+        (5000, "m", 10.0, "a"),
+        (5400, "m", 13.0, "a"),
+        (5800, "m", 16.0, "a"),
+    ]
+    ctx = _ctx(rows, interval=1000)
+    assert _vals(evaluate(parse_expr("increase(m[1s])"), ctx))[5999] == 6.0
+    assert _vals(evaluate(parse_expr("delta(m[1s])"), ctx))[5999] == 6.0
+    assert _vals(evaluate(parse_expr("rate(m[1s])"), ctx))[5999] == 6.0 / 1.0
+    assert _vals(evaluate(parse_expr("first_over_time(m[1s])"), ctx))[5999] == 10.0
+    assert _vals(evaluate(parse_expr("avg_over_time(m[1s])"), ctx))[5999] == 13.0

@@ -1,0 +1,58 @@
+"""Retention policy pruning over a cascade output."""
+
+import duckdb
+import pytest
+
+from pq_ray.fixtures import write_tokens_corpus
+from pq_ray.pipelines.cascade import run_cascade, tier_dir
+from pq_ray.pipelines.retention import apply_retention
+from pq_ray.state import manifest as mf
+
+
+def test_retention_prunes_old_windows(ray_session, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_tokens_corpus(corpus, 600, seed=42)
+    run_cascade(corpus, out, tiers=[1000, 60_000], num_buckets=8,
+                decode_batch_size=256)
+
+    con = duckdb.connect()
+    raw = f"{tier_dir(out, 1000)}/*.parquet"
+    lo, hi = con.sql(
+        f"select min(window_ts), max(window_ts) from read_parquet('{raw}')"
+    ).fetchone()
+    # horizon in the middle of the raw tier; keep the 1m tier whole
+    now = hi
+    keep_raw = (hi - lo) // 2
+    report = apply_retention(out, now, {1000: keep_raw, 60_000: None})
+    assert report[1000]["rows_dropped"] > 0
+    new_lo = con.sql(
+        f"select min(window_ts) from read_parquet('{raw}')"
+    ).fetchone()[0]
+    assert new_lo >= now - keep_raw
+    # manifest refreshed and horizon recorded
+    m = mf.load(tier_dir(out, 1000))
+    assert m["retention_horizon_ms"] == now - keep_raw
+    assert m["rows_out"] == con.sql(
+        f"select count(*) from read_parquet('{raw}')"
+    ).fetchone()[0]
+    # untouched tier intact
+    assert 60_000 not in report
+
+
+def test_retention_idempotent(ray_session, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_tokens_corpus(corpus, 300, seed=42)
+    run_cascade(corpus, out, tiers=[1000], num_buckets=4, decode_batch_size=256)
+    import duckdb
+
+    raw = f"{tier_dir(out, 1000)}/*.parquet"
+    lo, hi = duckdb.sql(
+        f"select min(window_ts), max(window_ts) from read_parquet('{raw}')"
+    ).fetchone()
+    now, keep = hi, (hi - lo) // 3
+    r1 = apply_retention(out, now, {1000: keep})
+    r2 = apply_retention(out, now, {1000: keep})
+    assert r2[1000]["rows_dropped"] == 0
+    assert r2[1000]["dropped_files"] == 0
