@@ -17,7 +17,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# resolve pq_ray from the job's working dir (ray job submit ships it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

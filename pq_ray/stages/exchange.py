@@ -36,7 +36,11 @@ import ray.data as rd
 
 
 @ray.remote
-def _split(block: pa.Table, bucket_col: str, num_buckets: int):
+def _split(block, bucket_col: str, num_buckets: int):
+    # Blocks should be Arrow (keep upstream ops batch_format="pyarrow" —
+    # pandas blocks cost a conversion here and pickle slowly upstream).
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
     # Ray may pass empty blocks through upstream map UDFs untouched, so
     # an empty block can arrive without the bucket column — emit empty
     # slices (reduce_fn owns the typed-empty case).

@@ -1,0 +1,77 @@
+"""hash_exchange unit tests: correctness, determinism, skew spreading."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pq_ray.stages.exchange import hash_exchange
+
+
+def _make_reduce_sum():
+    # a closure (not a module-level function): cloudpickle ships it by
+    # value, since workers can't import the tests package
+    def reduce_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], type=pa.int64()),
+                 "s": pa.array([], type=pa.float64())}
+            )
+        df = t.to_pandas()
+        out = df.groupby("k", sort=True)["v"].sum().reset_index(name="s")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return reduce_sum
+
+
+def test_exchange_equals_pandas_groupby(ray_session):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 1000, 50_000), "v": rng.normal(size=50_000)}
+    )
+    df["bucket"] = (df["k"] % 7).astype(np.int32)
+    ds = rd.from_pandas(df).repartition(8).map_batches(
+        lambda d: d, batch_format="pyarrow"
+    )
+    out = hash_exchange(ds, "bucket", 7, _make_reduce_sum()).to_pandas()
+    exp = df.groupby("k", sort=True)["v"].sum().reset_index(name="s")
+    got = out.sort_values("k").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.allclose(got["s"].to_numpy(), exp["s"].to_numpy())
+
+
+def test_exchange_handles_empty_buckets(ray_session):
+    df = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0], "bucket": [0, 0]})
+    df["bucket"] = df["bucket"].astype(np.int32)
+    ds = rd.from_pandas(df)
+    out = hash_exchange(ds, "bucket", 5, _make_reduce_sum()).to_pandas()
+    assert len(out) == 2  # 4 empty buckets contributed typed-empty tables
+
+
+def test_cascade_bucket_skew_spreading():
+    """The skew guarantee: the hot source ('web', ~70% of rows) does NOT
+    pin one reducer because the bucket key mixes the coarse window in —
+    a hot series spreads across buckets."""
+    from pq_ray.fixtures import generate_tokens_table
+    from pq_ray.pipelines.cascade import _cascade_bucket_fn
+    from pq_ray.stages.decode import DecodeToPartials
+
+    t = generate_tokens_table(3000, seed=42)
+    partials = DecodeToPartials(1000)(t)
+    tiers = [1000, 60_000]  # coarse span = 1m -> many windows per series
+    bucketed = _cascade_bucket_fn(tiers, 16)(partials)
+    counts = (
+        pd.Series(bucketed["bucket"].to_numpy(zero_copy_only=False))
+        .value_counts()
+        .reindex(range(16), fill_value=0)
+    )
+    # all buckets used, and the largest holds a small multiple of the mean
+    assert (counts > 0).all()
+    assert counts.max() / counts.mean() < 2.0
+    # contrast: keying by series alone would put >50% of rows in the
+    # hot source's few buckets
+    sids = partials["series_id"].to_numpy(zero_copy_only=False)
+    naive = pd.Series(sids % np.uint64(16)).value_counts()
+    assert naive.max() / naive.mean() > counts.max() / counts.mean()
