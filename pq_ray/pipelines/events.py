@@ -66,30 +66,46 @@ def _to_samples(batch: pa.Table) -> pa.Table:
     )
 
 
+def _event_type_map(sf_dir: str) -> pd.DataFrame:
+    """Tiny series_id → event_type table (broadcast side of the label
+    re-attach; distinct label values read driver-side, no Ray job)."""
+    import duckdb
+
+    from ..model import stable_hash64
+
+    ets = [
+        r[0]
+        for r in duckdb.sql(
+            f"select distinct event_type from read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    return pd.DataFrame(
+        {
+            "series_id": np.array([stable_hash64(e) for e in ets], dtype=np.uint64),
+            "event_type": ets,
+        }
+    )
+
+
 def rollup_events(sf_dir: str, interval_ms: int = MINUTE_MS):
     """Windowed partial-aggregate rollup of event values by event_type.
 
-    Ray plan: read(prune cols) → map_batches(to_samples) →
-    map_batches(partial agg) → groupby(bucket).map_groups(combine).
-    One shuffle; partials shrink the exchange to ~|series x windows|.
+    Ray plan: read(prune cols) → map_batches(to_samples, arrow) →
+    map_batches(partial agg, arrow) → parallel hash exchange →
+    label re-attach from the broadcast map. Blocks stay Arrow through
+    the exchange (see pipelines/cascade.py for the measurements).
     """
+    from ..stages.rollup import rollup_numeric
+
     ds = read_events(sf_dir)
     samples = ds.map_batches(_to_samples, batch_format="pyarrow")
-    partial = samples.map_batches(
-        PartialAggBatch(interval_ms, label_cols=["event_type"]),
-        batch_format="pandas",
-    )
-    bucketed = partial.map_batches(
-        lambda df: _add_bucket(df, 16), batch_format="pandas"
-    )
-    combiner = CombinePartials(label_cols=["event_type"])
+    pts = rollup_numeric(samples, interval_ms, num_buckets=16)
+    label_df = _event_type_map(sf_dir)
 
-    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return combiner(df)
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(label_df, on="series_id", sort=False)
 
-    return bucketed.groupby("bucket").map_groups(
-        combine_bucket, batch_format="pandas"
-    )
+    return pts.map_batches(attach, batch_format="pandas")
 
 
 def q_rollup_1m(sf_dir: str) -> pd.DataFrame:

@@ -79,21 +79,20 @@ def _instant_rollup(samples, t0: int, interval: int) -> pd.DataFrame:
 
     tick = t0 + I - 1 + floor((ts - t0)/I)*I — every sample belongs to
     exactly one tick when lookback == interval."""
-    partial = samples.map_batches(
-        PartialAggBatch(interval, offset_ms=t0 % interval, label_cols=LABELS),
-        batch_format="pandas",
-    )
-    bucketed = partial.map_batches(
-        lambda df: _add_bucket(df, 16), batch_format="pandas"
-    )
-    combiner = CombinePartials(label_cols=LABELS)
+    from ..stages.rollup import rollup_numeric
 
-    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return combiner(df)
-
-    pts = bucketed.groupby("bucket").map_groups(
-        combine_bucket, batch_format="pandas"
-    ).to_pandas()
+    pts_ds = rollup_numeric(samples, interval, offset_ms=t0 % interval, num_buckets=16)
+    # labels re-attached from the tiny (event_type, user_mod) map —
+    # recoverable from series_id because _samples hashes the combo
+    label_rows = (
+        samples.map_batches(
+            lambda t: t.select(["series_id", "event_type", "user_mod"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates("series_id")
+    )
+    pts = pts_ds.to_pandas().merge(label_rows, on="series_id", sort=False)
     # pq tick = inclusive window end on the grid anchored at t0:
     # window start = t0 + k*I (offset t0 % I), tick = start + I - 1
     pts["tick"] = pts["window_ts"].to_numpy() + interval - 1

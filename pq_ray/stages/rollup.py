@@ -288,3 +288,53 @@ def finalize(df: pd.DataFrame, interval_ms: int) -> pd.DataFrame:
     out["last"] = out["first_v"]
     out["rate"] = (out["last_v"] - out["first_v"]) / (interval_ms / 1000.0)
     return out
+
+
+def rollup_numeric(samples_ds, interval_ms: int, *, offset_ms: int = 0, num_buckets: int = 16):
+    """Arrow-native rollup: samples Dataset (ts, value, series_id [+ any
+    other columns, ignored]) → numeric points Dataset, via batch partial
+    aggregation and the parallel hash exchange.
+
+    The generic/labeled ``rollup()`` remains for small pipelines; this
+    path keeps blocks Arrow end-to-end (pandas blocks slow the exchange
+    >2x — see pipelines/cascade.py) and is what the events/pq-grid
+    queries use.  Labels are re-attached by the caller from a small
+    series_id → label map (broadcast-small-side, never shuffled).
+    """
+    import pyarrow as pa
+
+    from .exchange import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms, offset_ms)
+        out = np_partial_agg(sid.astype(np.uint64), window, ts, val.astype(np.float64))
+        h = out["series_id"] ^ (
+            out["window_ts"].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        bucket = ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        cols = {k: pa.array(v) for k, v in out.items()}
+        cols["series_id"] = pa.array(out["series_id"], type=pa.uint64())
+        cols["bucket"] = pa.array(bucket)
+        return pa.table(cols)
+
+    numeric_cols = ["series_id", "window_ts", *AGG_COLS]
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        import pyarrow as pa2
+
+        if t.num_rows == 0:
+            return pa2.table({c: t[c].slice(0, 0) for c in numeric_cols})
+        cols = {
+            c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            for c in numeric_cols
+        }
+        out = np_combine_partials(cols)
+        tbl = {c: pa2.array(out[c]) for c in numeric_cols}
+        tbl["series_id"] = pa2.array(out["series_id"], type=pa2.uint64())
+        return pa2.table(tbl)
+
+    bucketed = samples_ds.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(bucketed, "bucket", num_buckets, reduce_fn)
