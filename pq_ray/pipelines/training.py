@@ -624,3 +624,117 @@ ORACLES = {
         ORDER BY a, b
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# ANN scale paths: IVF (coarse quantizer) and hyperplane LSH
+# ---------------------------------------------------------------------------
+
+_IVF_LISTS = 16
+_IVF_PROBES = 4
+# Hyperplane LSH: T tables of B bits. The bench threshold (cosine 0.45,
+# theta ~63 deg, per-bit agreement ~0.65) is a deliberately WEAK
+# similarity, so recall needs many short tables (16 x 4: ~96% per-pair);
+# at production near-dup thresholds (>=0.9) a couple of longer tables
+# suffice and the candidate volume collapses.
+_LSH_TABLES = 16
+_LSH_BITS = 4
+
+
+def _kmeans_lite(M: np.ndarray, k: int, iters: int = 5, seed: int = 13) -> np.ndarray:
+    """Deterministic small k-means (numpy) for the IVF coarse quantizer.
+    At 100 TB the centroids are trained on a sample and broadcast; here
+    the sample is the (small) embeddings table itself."""
+    rng = np.random.default_rng(seed)
+    C = M[rng.choice(len(M), size=min(k, len(M)), replace=False)].copy()
+    for _ in range(iters):
+        sims = M @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(C)):
+            members = M[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed ANN top-k — the scale path for q_ann_topk.
+
+    Plan: train/broadcast centroids → assign vectors to inverted lists
+    inside map_batches (batch x centroid matmul) → probe the query's
+    top-P lists → exact cosine rerank of candidates only.  Rows-only
+    driver check; recall vs brute force is pytest-asserted (>=0.8).
+    """
+    emb = _read_emb(sf_dir).to_pandas().sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    C = _kmeans_lite(M, _IVF_LISTS)
+    cref = ray.put(C)
+
+    qid = int(ids[0])
+    qv = M[0]
+    probe_lists = np.argsort(-(C @ qv))[:_IVF_PROBES]
+    probes = set(int(p) for p in probe_lists)
+
+    def assign_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cref)
+        B = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        lists = (B @ cents.T).argmax(axis=1)
+        keep = np.isin(lists, list(probes))
+        out = df[keep].copy()
+        out["sim"] = np.round(B[keep] @ qv, 6)
+        return out[["vec_id", "sim"]]
+
+    cand = (
+        _read_emb(sf_dir)
+        .map_batches(assign_and_filter, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand[cand["vec_id"] != qid]
+    out = cand.sort_values(["sim", "vec_id"], ascending=[False, True]).head(ANN_K)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def q_embed_neardup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH near-duplicate pairs — the bucketed scale path for
+    q_embed_neardup: sign-bit sketches route vectors into buckets (multi-
+    probe over 1-bit flips), exact cosine verifies candidates, so
+    precision is 1.0 and only recall is approximate (pytest >= 0.9)."""
+    emb = _read_emb(sf_dir).to_pandas().sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    rng = np.random.default_rng(29)
+    pairs = set()
+    for table in range(_LSH_TABLES):
+        H = rng.normal(size=(_LSH_BITS, M.shape[1]))
+        bits = (M @ H.T) > 0
+        codes = (bits * (1 << np.arange(_LSH_BITS))).sum(axis=1)
+        buckets: dict[int, list[int]] = {}
+        for i, c in enumerate(codes):
+            buckets.setdefault(int(c), []).append(i)
+        for members in buckets.values():
+            arr = np.array(members)
+            iu, ju = np.triu_indices(len(arr), k=1)
+            pairs.update(zip(arr[iu].tolist(), arr[ju].tolist()))
+    if not pairs:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "sim": pd.Series(dtype=np.float64)}
+        )
+    ii = np.array([p[0] for p in pairs])
+    jj = np.array([p[1] for p in pairs])
+    sims = np.round((M[ii] * M[jj]).sum(axis=1), 6)
+    keep = sims >= COSINE_TAU
+    out = pd.DataFrame({"a": ids[ii[keep]], "b": ids[jj[keep]], "sim": sims[keep]})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+QUERIES["ann_ivf"] = q_ann_ivf
+QUERIES["embed_neardup_lsh"] = q_embed_neardup_lsh

@@ -110,3 +110,30 @@ def test_lang_quality_deterministic(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert set(a.columns) == {"doc_id", "pred_lang", "quality"}
     assert a["quality"].between(0, 1).all()
+
+
+def test_ann_ivf_recall(ray_session):
+    from pq_ray.pipelines.training import QUERIES
+
+    brute = QUERIES["ann_topk"](SF)
+    ivf = QUERIES["ann_ivf"](SF)
+    brute_set = set(brute["vec_id"])
+    ivf_set = set(ivf["vec_id"])
+    recall = len(brute_set & ivf_set) / len(brute_set)
+    assert recall >= 0.8, recall
+    # and the similarities it reports are exact (verified rerank)
+    merged = ivf.merge(brute, on="vec_id", suffixes=("_ivf", "_bf"))
+    assert (merged["sim_ivf"] == merged["sim_bf"]).all()
+
+
+def test_embed_neardup_lsh_recall(ray_session):
+    from pq_ray.pipelines.training import QUERIES
+
+    exact = QUERIES["embed_neardup"](SF)
+    lsh = QUERIES["embed_neardup_lsh"](SF)
+    exact_pairs = set(zip(exact["a"], exact["b"]))
+    lsh_pairs = set(zip(lsh["a"], lsh["b"]))
+    assert lsh_pairs <= exact_pairs  # precision 1.0 (exact verification)
+    if exact_pairs:
+        recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.9, recall
