@@ -156,8 +156,19 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # The sandbox VM shows ±40% run-to-run CPU-steal noise at fixed
+    # configuration (see BASELINE.md); interleave the legs and take the
+    # best of two so one noisy window doesn't decide the ratio.
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    runs = {lo: [], hi: []}
+    t_start = time.perf_counter()
+    for rep in range(2):
+        for n in (lo, hi):
+            runs[n].append(run(n))
+        if time.perf_counter() - t_start > 300:
+            break  # stay within the driver's budget
+    r_lo = min(runs[lo], key=lambda r: r["value"])
+    r_hi = min(runs[hi], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(
@@ -169,6 +180,8 @@ def scaling() -> None:
                 "samples_per_sec_32": r_hi["samples_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "raw_samples": r_lo["raw_samples"],
+                "reps_per_leg": {str(lo): len(runs[lo]), str(hi): len(runs[hi])},
+                "all_secs": {str(n): [r["value"] for r in rs] for n, rs in runs.items()},
             }
         )
     )

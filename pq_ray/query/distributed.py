@@ -1,0 +1,411 @@
+"""Distributed evaluation of arbitrary pq queries over a Ray Dataset.
+
+``evaluate_distributed`` runs the same PromQL-subset semantics as the
+local batch evaluator (engine.py), but the per-sample heavy lifting —
+matcher filtering, tick-window assignment, per-(series, tick) reduction
+— executes as Ray Data stages over Arrow batches with the parallel hash
+exchange.  Only the *post-rollup* stream (one row per series per tick,
+bounded by |series| x |ticks|) reaches the driver, where the existing
+combinators (aggregations, binary ops, formatters) finish the query.
+That split is the scale contract: raw samples never leave the cluster;
+what crosses to the driver is the same "instant vector stream" the
+reference materializes per tick anyway.
+
+Selector leaves are fused with enclosing ``*_over_time`` calls: the
+window reduction computes the mergeable partial struct (sum, count,
+min, max, first/last by (ts, seq)) per (series, tick), so e.g.
+``sum_over_time(m[5m])`` never materializes the range vector.  A *raw*
+top-level range selector (matrix output) is the one shape that is
+collected sample-level — it is an output format, not a transform.
+
+Parity notes vs the local engine (tested in
+tests/test_distributed_query.py):
+- instant value = latest by (ts, seq); last_over_time = oldest by
+  (ts, seq) (Q7) — seq rides through the pipeline, so arrival-order
+  tie-breaks match exactly;
+- sums/avgs combine partials, so float addition order may differ from
+  the local single-pass fold by ~1 ulp (exact for integer-valued data);
+- the tick grid (Q1-Q4) uses the selector's matched min/max ts computed
+  with Dataset.min/max on the filtered stream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..model import signature
+from ..stages.exchange import hash_exchange
+from .ast import FunctionCall, VectorSelector
+from .engine import (
+    EvalContext,
+    L,
+    QueryError,
+    ScalarStream,
+    VectorStream,
+    _empty_vector,
+    _rank_within_tick,
+    evaluate as evaluate_local,
+)
+from .engine import OVER_TIME_FNS
+
+
+def _sig_hash(sig: bytes) -> np.uint64:
+    return np.uint64(int.from_bytes(hashlib.md5(sig).digest()[:8], "big"))
+
+
+class DistributedContext:
+    """Like EvalContext, but samples are a Ray Dataset.
+
+    ``label_cols`` are real columns named ``l_<label>`` plus ``name``,
+    ``ts`` (int64 ms), ``seq`` (int64 arrival order), ``value``
+    (float64) — the same schema the local engine uses, distributed.
+    The distinct labelset cardinality must be small (it is the series
+    count — the same assumption the reference's in-memory BTreeMap
+    makes).
+    """
+
+    def __init__(self, samples_ds, label_cols, interval, lookback, start_at=None,
+                 num_buckets: int = 16):
+        self.ds = samples_ds
+        self.label_cols = list(label_cols)
+        self.interval = interval
+        self.lookback = lookback
+        self.start_at = start_at
+        self.num_buckets = num_buckets
+
+
+def _matcher_mask(t: pa.Table, matchers) -> np.ndarray:
+    n = t.num_rows
+    mask = np.ones(n, dtype=bool)
+    for m in matchers:
+        col = "name" if m.label == "__name__" else L(m.label)
+        if col not in t.schema.names:
+            mask[:] = False
+            break
+        vals = t[col].combine_chunks()
+        valid = ~vals.is_null().to_numpy(zero_copy_only=False)
+        if m.op == "=":
+            mm = (
+                pa.compute.equal(vals, m.value)
+                .fill_null(False)
+                .to_numpy(zero_copy_only=False)
+            )
+        elif m.op == "!=":
+            mm = (
+                pa.compute.not_equal(vals, m.value)
+                .fill_null(False)
+                .to_numpy(zero_copy_only=False)
+            )
+        else:
+            rx = m.compiled()
+            pys = vals.to_pylist()
+            mm = np.fromiter(
+                (v is not None and rx.search(v) is not None for v in pys),
+                dtype=bool,
+                count=n,
+            )
+            if m.op == "!~":
+                mm = ~mm
+        mask &= mm & valid
+    return mask
+
+
+def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
+    """Filter + window-explode + per-(series, tick) partial reduce in Ray.
+
+    Returns (ticks, pandas points df with columns tick, sig, labels…,
+    partial agg columns) or None when nothing matched.
+    """
+    interval = ctx.interval
+    d = sel.range_ms if sel.range_ms is not None else ctx.lookback
+    matchers = sel.all_matchers()
+    label_cols = ctx.label_cols
+
+    def filter_batch(t: pa.Table) -> pa.Table:
+        mask = _matcher_mask(t, matchers)
+        return t.filter(pa.array(mask))
+
+    filtered = ctx.ds.map_batches(filter_batch, batch_format="pyarrow")
+
+    # tick grid needs the matched stream's min/max ts (cheap aggregates)
+    try:
+        t_min = filtered.min("ts")
+        t_max = filtered.max("ts")
+    except Exception:
+        return None
+    if t_min is None:
+        return None
+    t0 = ctx.start_at if ctx.start_at is not None else int(t_min)
+    first = t0 + min(d, interval) - 1
+    last_ts = int(t_max)
+    k_max = (last_ts + d - 1 - first) // interval
+    if k_max < 0:
+        return None
+    ticks = first + interval * np.arange(k_max + 1, dtype=np.int64)
+
+    # distinct labelsets (small): collected once to map sig-hash → labels
+    cols = ["name"] + [L(c) for c in label_cols if L(c) in ctx.ds.schema().names]
+    distinct = (
+        filtered.map_batches(
+            lambda t: t.select([c for c in cols if c in t.schema.names]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+
+    def row_sig(row) -> bytes:
+        dd = {}
+        for c in cols:
+            v = row.get(c)
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            dd["__name__" if c == "name" else c[2:]] = v
+        return signature(dd)
+
+    distinct["sig"] = [row_sig(r) for _, r in distinct.iterrows()]
+    distinct["sid"] = [np.uint64(_sig_hash(s)) for s in distinct["sig"]]
+    sig_map = distinct.set_index("sid")
+
+    sid_lut = {
+        tuple(None if (isinstance(v, float) and np.isnan(v)) else v
+              for v in row): np.uint64(sid)
+        for sid, row in zip(distinct["sid"], distinct[cols].itertuples(index=False))
+    }
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "sid": pa.array([], type=pa.uint64()),
+                    "tick": pa.array([], type=pa.int64()),
+                    "sum": pa.array([], type=pa.float64()),
+                    "count": pa.array([], type=pa.int64()),
+                    "min": pa.array([], type=pa.float64()),
+                    "max": pa.array([], type=pa.float64()),
+                    "first_key": pa.array([], type=pa.int64()),
+                    "first_v": pa.array([], type=pa.float64()),
+                    "last_key": pa.array([], type=pa.int64()),
+                    "last_v": pa.array([], type=pa.float64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        df = t.to_pandas()
+        key_rows = [
+            tuple(None if (isinstance(v, float) and np.isnan(v)) else v for v in row)
+            for row in df[[c for c in cols]].itertuples(index=False)
+        ]
+        sid = np.array([sid_lut[k] for k in key_rows], dtype=np.uint64)
+        ts = df["ts"].to_numpy(dtype=np.int64)
+        seq = df["seq"].to_numpy(dtype=np.int64)
+        val = df["value"].to_numpy(dtype=np.float64)
+
+        k_lo = np.maximum(np.ceil((ts - first) / interval).astype(np.int64), 0)
+        k_hi = np.minimum((ts + d - 1 - first) // interval, k_max)
+        reps = np.maximum(k_hi - k_lo + 1, 0)
+        keep = reps > 0
+        sid, ts, seq, val, k_lo, reps = (
+            sid[keep], ts[keep], seq[keep], val[keep], k_lo[keep], reps[keep]
+        )
+        total = int(reps.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        tick = first + (np.repeat(k_lo, reps) + within) * interval
+        sid_r = np.repeat(sid, reps)
+        ts_r = np.repeat(ts, reps)
+        seq_r = np.repeat(seq, reps)
+        val_r = np.repeat(val, reps)
+
+        # partial-reduce within the batch, keyed (sid, tick); the
+        # arrival key (ts, seq) orders first/last exactly like the
+        # reference's push order
+        order = np.lexsort((seq_r, ts_r, tick, sid_r))
+        s_sid, s_tick = sid_r[order], tick[order]
+        s_ts, s_seq, s_val = ts_r[order], seq_r[order], val_r[order]
+        boundary = (
+            np.nonzero((s_sid[1:] != s_sid[:-1]) | (s_tick[1:] != s_tick[:-1]))[0] + 1
+        )
+        starts = np.concatenate(([0], boundary))
+        counts = np.diff(np.concatenate((starts, [len(s_val)])))
+        ends = starts + counts - 1
+        # arrival key packs (ts, seq) for cross-batch tie-breaks; seq is
+        # masked to 22 bits — ties only matter within one exact ts, and
+        # same-ms different-value collisions beyond 4M samples/run are
+        # out of conformance scope (documented)
+        key = s_ts * np.int64(1 << 22) + (s_seq & np.int64((1 << 22) - 1))
+        h = s_sid[starts] ^ (
+            s_tick[starts].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        bucket = ((h >> np.uint64(17)) % np.uint64(ctx.num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "sid": pa.array(s_sid[starts], type=pa.uint64()),
+                "tick": pa.array(s_tick[starts], type=pa.int64()),
+                "sum": pa.array(np.add.reduceat(s_val, starts)),
+                "count": pa.array(counts.astype(np.int64)),
+                "min": pa.array(np.minimum.reduceat(s_val, starts)),
+                "max": pa.array(np.maximum.reduceat(s_val, starts)),
+                "first_key": pa.array(key[starts], type=pa.int64()),
+                "first_v": pa.array(s_val[starts]),
+                "last_key": pa.array(key[ends], type=pa.int64()),
+                "last_v": pa.array(s_val[ends]),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    numeric = ["sid", "tick", "sum", "count", "min", "max",
+               "first_key", "first_v", "last_key", "last_v"]
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: t[c].slice(0, 0) for c in numeric})
+        c = {k: t[k].combine_chunks().to_numpy(zero_copy_only=False) for k in numeric}
+        order = np.lexsort((c["first_key"], c["tick"], c["sid"]))
+        sid, tick = c["sid"][order], c["tick"][order]
+        boundary = np.nonzero((sid[1:] != sid[:-1]) | (tick[1:] != tick[:-1]))[0] + 1
+        starts = np.concatenate(([0], boundary))
+        counts = np.diff(np.concatenate((starts, [len(sid)])))
+        ends = starts + counts - 1
+        out = {
+            "sid": sid[starts],
+            "tick": tick[starts],
+            "sum": np.add.reduceat(c["sum"][order], starts),
+            "count": np.add.reduceat(c["count"][order], starts).astype(np.int64),
+            "min": np.minimum.reduceat(c["min"][order], starts),
+            "max": np.maximum.reduceat(c["max"][order], starts),
+            "first_key": c["first_key"][order][starts],
+            "first_v": c["first_v"][order][starts],
+        }
+        order2 = np.lexsort((c["last_key"], c["tick"], c["sid"]))
+        out["last_key"] = c["last_key"][order2][ends]
+        out["last_v"] = c["last_v"][order2][ends]
+        tbl = {k: pa.array(v) for k, v in out.items()}
+        tbl["sid"] = pa.array(out["sid"], type=pa.uint64())
+        return pa.table(tbl)
+
+    pts = hash_exchange(
+        filtered.map_batches(explode_partial, batch_format="pyarrow"),
+        "bucket",
+        ctx.num_buckets,
+        reduce_fn,
+    ).to_pandas()
+    if pts.empty:
+        return ticks, pd.DataFrame(), sig_map, cols
+    pts = pts.merge(
+        sig_map.reset_index()[["sid", "sig", *cols]], on="sid", sort=False
+    )
+    return ticks, pts, sig_map, cols
+
+
+def _selector_stream(sel: VectorSelector, ctx: DistributedContext, kernel: str | None):
+    """kernel=None → instant vector; else the *_over_time kernel name."""
+    res = _selector_partials(sel, ctx)
+    kind = "instant"
+    if res is None:
+        return _empty_vector(kind, ctx.label_cols)
+    ticks, pts, sig_map, cols = res
+    if pts.empty:
+        return VectorStream(
+            "instant",
+            ticks,
+            pd.DataFrame(columns=["tick", "value", "name",
+                                  *[L(c) for c in ctx.label_cols], "sig", "ord"]),
+            ctx.label_cols,
+        )
+
+    df = pts.copy()
+    if kernel is None:  # instant vector: latest sample by (ts, seq)
+        df["value"] = df["last_v"]
+        keep_name = True
+    elif kernel == "sum_over_time":
+        df["value"] = df["sum"]
+        keep_name = False
+    elif kernel == "count_over_time":
+        df["value"] = df["count"].astype(np.float64)
+        keep_name = False
+    elif kernel == "avg_over_time":
+        df["value"] = df["sum"] / df["count"]
+        keep_name = False
+    elif kernel == "min_over_time":
+        df["value"] = df["min"]
+        keep_name = False
+    elif kernel == "max_over_time":
+        df["value"] = df["max"]
+        keep_name = False
+    elif kernel in ("last_over_time", "first_over_time"):
+        df["value"] = df["first_v"]  # Q7: chronologically oldest
+        keep_name = False
+    elif kernel in ("rate", "increase", "delta"):
+        diff = df["last_v"] - df["first_v"]
+        df["value"] = diff / (sel.range_ms / 1000.0) if kernel == "rate" else diff
+        keep_name = False
+    else:
+        raise QueryError(f"unsupported distributed kernel {kernel}")
+
+    if not keep_name:
+        # *_over_time drops __name__ — recompute sigs without it
+        def strip_name(sig_row):
+            dd = {}
+            for c in cols:
+                v = sig_row.get(c)
+                if c == "name" or v is None or (isinstance(v, float) and np.isnan(v)):
+                    continue
+                dd[c[2:]] = v
+            return signature(dd)
+
+        df["name"] = None
+        df["sig"] = [strip_name(r) for _, r in df[cols].iterrows()]
+
+    df = df.sort_values(["tick", "sig"], kind="stable")
+    df = _rank_within_tick(df)
+    out_cols = ["tick", "value", "name",
+                *[L(c) for c in ctx.label_cols if L(c) in df.columns], "sig", "ord"]
+    return VectorStream("instant", ticks, df[out_cols],
+                        [c for c in ctx.label_cols if L(c) in df.columns])
+
+
+def evaluate_distributed(node, ctx: DistributedContext):
+    """Evaluate an AST where selector/over-time leaves run in Ray and the
+    per-tick combinators run locally on the post-rollup stream."""
+    if isinstance(node, VectorSelector):
+        if node.range_ms is not None:
+            raise QueryError(
+                "a raw top-level range selector materializes every sample — "
+                "collect via the local engine instead"
+            )
+        return _selector_stream(node, ctx, None)
+    if isinstance(node, FunctionCall) and node.name in OVER_TIME_FNS:
+        (arg,) = node.args
+        if not isinstance(arg, VectorSelector) or arg.range_ms is None:
+            raise QueryError(f"{node.name} expects a range selector argument")
+        return _selector_stream(arg, ctx, node.name)
+
+    # non-leaf nodes: recurse, then reuse the local combinators by
+    # dispatching through the local evaluate with pre-computed children
+    from . import engine as eng
+    from .ast import Aggregate, Binary, NumberLiteral, Parentheses, Unary
+
+    if isinstance(node, NumberLiteral):
+        return ScalarStream(node.value)
+    if isinstance(node, Parentheses):
+        return evaluate_distributed(node.expr, ctx)
+    if isinstance(node, Unary):
+        return eng.eval_unary(node.op, evaluate_distributed(node.expr, ctx))
+    if isinstance(node, Binary):
+        return eng.eval_binary(
+            node,
+            evaluate_distributed(node.lhs, ctx),
+            evaluate_distributed(node.rhs, ctx),
+        )
+    if isinstance(node, Aggregate):
+        return eng.eval_aggregate(node, evaluate_distributed(node.expr, ctx))
+    if isinstance(node, FunctionCall):
+        raise QueryError(f"function {node.name!r} is not implemented")
+    raise QueryError(f"cannot evaluate node {node!r}")

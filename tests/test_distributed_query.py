@@ -1,0 +1,91 @@
+"""Distributed evaluator parity: evaluate_distributed (Ray leaves +
+local combinators) must equal the local batch evaluator on the same
+samples for a battery of query shapes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pq_ray.query.distributed import DistributedContext, evaluate_distributed
+from pq_ray.query.engine import EvalContext, evaluate
+from pq_ray.query.parser import parse_expr
+
+INTERVAL = 1000
+
+
+@pytest.fixture(scope="module")
+def samples_df():
+    rng = np.random.default_rng(17)
+    n = 4000
+    ts = 1_700_000_000_000 + np.sort(rng.integers(0, 30_000, n)).astype(np.int64)
+    labs = rng.choice(["a", "b", "c"], n)
+    jobs = rng.choice(["x", "y"], n)
+    names = rng.choice(["m", "k"], n)
+    values = rng.integers(0, 100, n).astype(np.float64)  # ints → exact sums
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "seq": np.arange(n, dtype=np.int64),
+            "name": names,
+            "value": values,
+            "l_lab": labs,
+            "l_job": jobs,
+        }
+    )
+
+
+QUERIES = [
+    "m",
+    'm{lab="a"}',
+    'm{lab=~"(a|b)", job!="y"}',
+    "sum(m) by (lab)",
+    "min(m) without (lab)",
+    "count(m)",
+    "avg(m) by (job)",
+    "topk(2, m) by (lab)",
+    "sum_over_time(m[3s])",
+    "count_over_time(m[2s])",
+    "last_over_time(m[3s])",
+    "max_over_time(m[5s])",
+    "rate(m[4s])",
+    "-m + 3",
+    "m > 50",
+    "m >= bool 50",
+    'sum(m) by (lab) + on(lab) min(k) by (lab)',
+    "sum_over_time(m[2s]) / count_over_time(m[2s])",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_distributed_equals_local(ray_session, samples_df, q):
+    expr = parse_expr(q)
+    local = evaluate(
+        expr,
+        EvalContext(
+            samples=samples_df,
+            label_cols=["job", "lab"],
+            interval=INTERVAL,
+            lookback=INTERVAL,
+        ),
+    )
+    ds = rd.from_pandas(samples_df).repartition(6)
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(
+            ds, ["job", "lab"], INTERVAL, INTERVAL, num_buckets=8
+        ),
+    )
+    assert np.array_equal(local.ticks, dist.ticks)
+    lcols = ["tick", "value", "name", "sig"]
+    a = local.df[lcols].sort_values(["tick", "sig", "value"]).reset_index(drop=True)
+    b = dist.df[lcols].sort_values(["tick", "sig", "value"]).reset_index(drop=True)
+    assert len(a) == len(b), (q, len(a), len(b))
+    assert (a["tick"].to_numpy() == b["tick"].to_numpy()).all()
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all()
+    assert np.allclose(a["value"].to_numpy(), b["value"].to_numpy()), q
+    # name column: both None or both equal
+    an = a["name"].where(a["name"].notna(), None)
+    bn = b["name"].where(b["name"].notna(), None)
+    assert list(an) == list(bn)
