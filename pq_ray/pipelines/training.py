@@ -738,3 +738,74 @@ def q_embed_neardup_lsh(sf_dir: str) -> pd.DataFrame:
 
 QUERIES["ann_ivf"] = q_ann_ivf
 QUERIES["embed_neardup_lsh"] = q_embed_neardup_lsh
+
+
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Duplicate clusters: connected components over the exact Jaccard
+    pair graph (>= tau), labeled by the minimum doc_id in the component.
+
+    Distributed plan: iterative min-label propagation over the pair
+    list (each round is a groupby-min — the standard scalable CC loop;
+    rounds needed = graph diameter, tiny for near-dup clusters).  The
+    oracle expresses the same closure with a recursive CTE.
+    """
+    pairs = q_jaccard_pairs(sf_dir)
+    docs = _read_docs(sf_dir).to_pandas()["doc_id"]
+    label = {int(d): int(d) for d in docs}
+    edges = [(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])]
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            la, lb = label[a], label[b]
+            m = min(la, lb)
+            if la != m:
+                label[a] = m
+                changed = True
+            if lb != m:
+                label[b] = m
+                changed = True
+    out = pd.DataFrame(
+        {"doc_id": list(label.keys()), "cluster_id": list(label.values())}
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents
+    ),
+    bi AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS sh
+        FROM toks a JOIN toks b USING (doc_id)
+        WHERE b.ord = a.ord + 1
+    ),
+    bid AS (SELECT DISTINCT doc_id, sh FROM bi),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM bid GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+        FROM bid x JOIN bid y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    pairs AS (
+        SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE c / (sa.n + sb.n - c) >= {JACCARD_TAU}
+    ),
+    edges AS (
+        SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT node AS doc_id, MIN(src) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+"""

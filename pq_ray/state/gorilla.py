@@ -237,3 +237,32 @@ def chunk_series(df: "pd.DataFrame", label_cols: list[str], value_cols=None):
         row.update(encode_chunk(g, value_cols))
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def read_chunks(chunks_path: str, label_cols=None, value_cols=None):
+    """Gorilla chunks directory → decoded points Dataset.
+
+    The read side of the chunk store: each chunk row decodes back to its
+    (window_ts, aggregates) rows inside map_batches, so queries can run
+    off the compressed tier without the points files.  Bit-exact inverse
+    of chunk_series (tested against the written points)."""
+    import pandas as pd
+    import ray.data as rd
+
+    label_cols = label_cols or ["name", "source", "shard"]
+    value_cols = value_cols or VALUE_COLS
+
+    def decode_batch(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, row in df.iterrows():
+            pts = decode_chunk(row.to_dict(), value_cols)
+            pts["series_id"] = row["series_id"]
+            for c in label_cols:
+                if c in row:
+                    pts[c] = row[c]
+            outs.append(pts)
+        return pd.concat(outs, ignore_index=True)
+
+    return rd.read_parquet(chunks_path).map_batches(
+        decode_batch, batch_format="pandas"
+    )

@@ -154,3 +154,36 @@ def test_fill_series_densifies():
     gap = out[out["is_gap"]]
     assert list(gap["window_ts"]) == [60_000]
     assert gap["count"].iloc[0] == 0 and np.isnan(gap["sum"].iloc[0])
+
+
+def test_read_chunks_reconstructs_points(cascade_run):
+    """Decoding the chunk store reproduces the tier points bit-exactly —
+    the compressed tier is a full substitute for the points files."""
+    import duckdb
+
+    from pq_ray.state.gorilla import read_chunks
+
+    corpus, out, stats = cascade_run
+    tier = 60_000
+    decoded = (
+        read_chunks(chunks_dir(out, tier))
+        .to_pandas()
+        .sort_values(["series_id", "window_ts"])
+        .reset_index(drop=True)
+    )
+    pts = (
+        duckdb.sql(
+            f"select * from read_parquet('{tier_dir(out, tier)}/*.parquet')"
+        )
+        .df()
+        .sort_values(["series_id", "window_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(decoded) == len(pts)
+    assert (decoded["window_ts"].to_numpy() == pts["window_ts"].to_numpy()).all()
+    for c in ["sum", "count", "min", "max", "first_v", "last_v"]:
+        assert np.array_equal(
+            decoded[c].to_numpy(dtype=np.float64).view(np.uint64),
+            pts[c].to_numpy(dtype=np.float64).view(np.uint64),
+        ), c
+    assert (decoded["source"].to_numpy() == pts["source"].to_numpy()).all()

@@ -137,3 +137,26 @@ def test_embed_neardup_lsh_recall(ray_session):
     if exact_pairs:
         recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
         assert recall >= 0.9, recall
+
+
+def test_dedup_clusters_planted(ray_session, tmp_path):
+    """Planted A~B~C duplicate chain collapses into one cluster labeled
+    by the minimum doc_id (transitivity through connected components)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import q_dedup_clusters
+
+    base = " ".join(f"w{i}" for i in range(50))
+    near1 = base.replace("w3", "x3")
+    near2 = near1.replace("w7", "x7")
+    far = " ".join(f"z{i}" for i in range(50))
+    table = pa.table({"doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+                      "text": pa.array([base, near1, near2, far])})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    out = q_dedup_clusters(str(d))
+    lbl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert lbl[10] == lbl[11] == lbl[12] == 10
+    assert lbl[13] == 13
