@@ -142,6 +142,7 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="0",
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_SCALING_DOCS", "3000000"),
         )
         cmd = [sys.executable, os.path.abspath(__file__)]
         if shutil.which("taskset"):
@@ -156,10 +157,15 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # The sandbox VM shows ±40% run-to-run CPU-steal noise at fixed
+    # The sandbox VM shows up to 2x run-to-run CPU-steal noise at fixed
     # configuration (see BASELINE.md); interleave the legs and take the
     # best of two so one noisy window doesn't decide the ratio.
-    lo, hi = 8, 32
+    # 4 vs 16 cores at a 3M-doc corpus is the most compute-dominated
+    # N-vs-4N pair that fits the time budget (the exchange/write
+    # bandwidth fraction shrinks as the corpus grows).
+    lo, hi = int(os.environ.get("GRAFT_SCALING_LO", "4")), int(
+        os.environ.get("GRAFT_SCALING_HI", "16")
+    )
     runs = {lo: [], hi: []}
     t_start = time.perf_counter()
     for rep in range(2):
@@ -174,12 +180,13 @@ def scaling() -> None:
     print(
         json.dumps(
             {
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "samples_per_sec_8": r_lo["samples_per_sec"],
-                "samples_per_sec_32": r_hi["samples_per_sec"],
+                "sec_lo": t_lo,
+                "sec_hi": t_hi,
+                "samples_per_sec_lo": r_lo["samples_per_sec"],
+                "samples_per_sec_hi": r_hi["samples_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "raw_samples": r_lo["raw_samples"],
+                "cores": {"lo": lo, "hi": hi},
                 "reps_per_leg": {str(lo): len(runs[lo]), str(hi): len(runs[hi])},
                 "all_secs": {str(n): [r["value"] for r in rs] for n, rs in runs.items()},
             }

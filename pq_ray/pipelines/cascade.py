@@ -45,7 +45,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ..stages.decode import DecodeToPartials, series_label_table
+from ..stages.decode import DecodeToPartials, series_code_lut, series_label_table
 from ..stages.gapfill import global_gaps_table
 from ..stages.rollup import (
     AGG_COLS,
@@ -68,6 +68,25 @@ def tier_dir(out_dir: str, tier_ms: int) -> str:
 
 def chunks_dir(out_dir: str, tier_ms: int) -> str:
     return os.path.join(out_dir, "chunks", f"tier_ms={tier_ms}")
+
+
+def _narrow_bucket_fn(tiers: list[int], num_buckets: int):
+    """Bucket assignment for the narrow exchange schema: same
+    (series, coarsest-window) partitioning, computed from (code, widx)."""
+    import pyarrow as pa
+
+    span_s = tiers[-1] // 1000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
+        widx = t["widx"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = (code.astype(np.uint64) + np.uint64(1)) * _PHI ^ (
+            (widx // np.uint32(span_s)).astype(np.uint64) * _PHI
+        )
+        bucket = ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket))
+
+    return add_bucket
 
 
 def _cascade_bucket_fn(tiers: list[int], num_buckets: int):
@@ -112,17 +131,57 @@ def _cascade_group_fn(tiers: list[int]):
     return cascade_bucket
 
 
-def _cascade_reduce_fn(tiers: list[int]):
+def widen_narrow_partials(t: "pa.Table") -> dict:
+    """Inverse of DecodeToPartials._narrow_table: reconstruct the wide
+    f64/i64 partial columns from the compact wire schema."""
+    from ..fixtures import STEP_MS
+    from ..model import EPOCH0_MS
+
+    code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
+    widx = t["widx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    window = EPOCH0_MS + widx * 1000
+    fkey = t["fkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    lkey = t["lkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    mask = (1 << 17) - 1
+    lut = series_code_lut()
+    return {
+        "series_id": lut[code],
+        "window_ts": window,
+        "sum": t["sum"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64),
+        "count": t["count"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64),
+        "min": t["min"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64),
+        "max": t["max"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64),
+        "first_ts": window + (fkey >> 17) * STEP_MS,
+        "first_v": (fkey & mask).astype(np.float64),
+        "last_ts": window + (lkey >> 17) * STEP_MS,
+        "last_v": (lkey & mask).astype(np.float64),
+    }
+
+
+def _cascade_reduce_fn(tiers: list[int], narrow: bool = False):
     """Arrow-in/Arrow-out per-bucket reduce for the hash exchange:
     combine 1s partials, then derive every coarser tier in-memory."""
     import pyarrow as pa
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        if narrow and t.num_rows > 0:
+            cols = widen_narrow_partials(t)
+            t = pa.table({c: pa.array(v) for c, v in cols.items()})
         if t.num_rows == 0:
+            f64, i64 = pa.float64(), pa.int64()
             return pa.table(
                 {
-                    **{c: t[c].slice(0, 0) for c in NUMERIC_COLS},
-                    "tier_ms": pa.array([], type=pa.int64()),
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=i64),
+                    "sum": pa.array([], type=f64),
+                    "count": pa.array([], type=i64),
+                    "min": pa.array([], type=f64),
+                    "max": pa.array([], type=f64),
+                    "first_ts": pa.array([], type=i64),
+                    "first_v": pa.array([], type=f64),
+                    "last_ts": pa.array([], type=i64),
+                    "last_v": pa.array([], type=f64),
+                    "tier_ms": pa.array([], type=i64),
                 }
             )
         cols = {
@@ -162,6 +221,7 @@ def run_cascade(
     chunk_min_tier_ms: int = 60_000,
     write_gaps: bool = True,
     precombine_rows: int | None = None,
+    narrow_exchange: bool = True,
 ) -> dict:
     """Run (or resume) the fused cascade. Returns per-tier stats."""
     import duckdb
@@ -213,9 +273,12 @@ def run_cascade(
         )
     else:
         raw_tier = tiers[0]
+        use_narrow = narrow_exchange and raw_tier == 1000
 
         def decode_tokens_to_partials(batch):
-            return decode_partials_task(batch, interval_ms=raw_tier)
+            return decode_partials_task(
+                batch, interval_ms=raw_tier, narrow=use_narrow
+            )
 
         partials = rd.read_parquet(corpus_path, **read_kwargs).map_batches(
             decode_tokens_to_partials,
@@ -253,11 +316,15 @@ def run_cascade(
             local_combine, batch_format="pyarrow", batch_size=precombine_rows
         )
 
-    bucketed = partials.map_batches(
-        _cascade_bucket_fn(tiers, num_buckets), batch_format="pyarrow"
+    use_narrow = narrow_exchange and tiers[0] == 1000 and not decode_concurrency
+    bucket_fn = (
+        _narrow_bucket_fn(tiers, num_buckets)
+        if use_narrow
+        else _cascade_bucket_fn(tiers, num_buckets)
     )
+    bucketed = partials.map_batches(bucket_fn, batch_format="pyarrow")
     points = hash_exchange(
-        bucketed, "bucket", num_buckets, _cascade_reduce_fn(tiers)
+        bucketed, "bucket", num_buckets, _cascade_reduce_fn(tiers, narrow=use_narrow)
     ).map_batches(attach_labels, batch_format="pandas")
     points.write_parquet(points_root, partition_cols=["tier_ms"])
     wall = time.perf_counter() - t0

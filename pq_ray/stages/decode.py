@@ -209,7 +209,9 @@ class DecodeToPartials:
     re-attached post-combine from series_label_table().
     """
 
-    def __init__(self, interval_ms: int, emit_doc_metric: bool = True):
+    def __init__(
+        self, interval_ms: int, emit_doc_metric: bool = True, narrow: bool = False
+    ):
         from .rollup import np_partial_agg, window_floor
 
         self._np_partial_agg = np_partial_agg
@@ -218,6 +220,10 @@ class DecodeToPartials:
         self._lut = _series_id_lut()
         self._src_code = {s: i for i, s in enumerate(SOURCES)}
         self.emit_doc_metric = emit_doc_metric
+        # narrow: emit the compact exchange schema (see narrow_schema_doc
+        # below) — ~4x fewer bytes over the wire, derived from the corpus
+        # dtype bounds (tokens < 2^17, <= 4 samples/s/doc, 1-day span).
+        self.narrow = narrow and interval_ms == 1000
 
     def _fast_partial_agg(self, codes, sid, window, ts, val):
         """Partial agg via ONE argsort on a packed uint64 key — ~3x the
@@ -253,6 +259,7 @@ class DecodeToPartials:
             s_v = val[order]
             s_ts = ts[order]
             return {
+                "code": (s_key[starts] >> np.uint64(26)).astype(np.uint8),
                 "series_id": sid[order][starts],
                 "window_ts": window[order][starts],
                 "sum": np.add.reduceat(s_v, starts),
@@ -302,6 +309,8 @@ class DecodeToPartials:
 
         window = self._window_floor(ts, self.interval_ms)
         out = self._fast_partial_agg(codes, sid, window, ts, flat_values)
+        if self.narrow:
+            return self._narrow_table(out)
         return pa.table(
             {
                 "series_id": pa.array(out["series_id"], type=pa.uint64()),
@@ -317,11 +326,67 @@ class DecodeToPartials:
             }
         )
 
+    def _narrow_table(self, out: dict) -> pa.Table:
+        """Compact exchange schema — ~22 B/row vs ~80 B wide.
+
+        Legal because the corpus bounds every field (input_hint: tokens
+        int32 < 50257 → values < 2^17; n_tok <= 4096; STEP_MS=250 → <= 4
+        samples/s/doc; one-day span → window index < 2^26; a decode
+        batch <= 16384 docs bounds per-(series, window) count < 2^16 and
+        sum < 2^32).  ``widen_narrow_partials`` inverts this inside the
+        exchange reduce, so narrowness lives only on the wire.
+        """
+        window = out["window_ts"]
+        widx = ((window - EPOCH0_MS) // self.interval_ms).astype(np.uint32)
+        code = out.get("code")
+        if code is None:  # wide-kernel fallback path
+            code = self._code_of_sid(out["series_id"])
+        count = out["count"]
+        s = out["sum"]
+        if count.max(initial=0) >= (1 << 16) or s.max(initial=0) >= (1 << 32):
+            raise ValueError("narrow exchange bounds exceeded; use narrow=False")
+        f_off = ((out["first_ts"] - window) // STEP_MS).astype(np.uint32)
+        l_off = ((out["last_ts"] - window) // STEP_MS).astype(np.uint32)
+        fkey = (f_off << np.uint32(17)) | out["first_v"].astype(np.uint32)
+        lkey = (l_off << np.uint32(17)) | out["last_v"].astype(np.uint32)
+        return pa.table(
+            {
+                "code": pa.array(code, type=pa.uint8()),
+                "widx": pa.array(widx, type=pa.uint32()),
+                "sum": pa.array(s.astype(np.uint32), type=pa.uint32()),
+                "count": pa.array(count.astype(np.uint16), type=pa.uint16()),
+                "min": pa.array(out["min"].astype(np.uint32), type=pa.uint32()),
+                "max": pa.array(out["max"].astype(np.uint32), type=pa.uint32()),
+                "fkey": pa.array(fkey, type=pa.uint32()),
+                "lkey": pa.array(lkey, type=pa.uint32()),
+            }
+        )
+
+    def _code_of_sid(self, sids: np.ndarray) -> np.ndarray:
+        if not hasattr(self, "_sid_to_code"):
+            lut = self._lut
+            m = {}
+            for base, name in ((0, "token"), (len(lut["token"]), "n_tok")):
+                for i, s in enumerate(lut[name]):
+                    m[int(s)] = base + i
+            self._sid_to_code = m
+        m = self._sid_to_code
+        return np.fromiter(
+            (m[int(s)] for s in sids), dtype=np.uint8, count=len(sids)
+        )
+
+
+def series_code_lut() -> np.ndarray:
+    """code (uint8) → series_id (uint64): token combos first, n_tok after
+    (the inverse of the narrow exchange schema's code column)."""
+    lut = _series_id_lut()
+    return np.concatenate((lut["token"], lut["n_tok"]))
+
 
 _TASK_DECODER: "DecodeToPartials | None" = None
 
 
-def decode_partials_task(batch: pa.Table, *, interval_ms: int) -> pa.Table:
+def decode_partials_task(batch: pa.Table, *, interval_ms: int, narrow: bool = False) -> pa.Table:
     """Task-pool variant of DecodeToPartials with per-worker-process
     decoder caching.
 
@@ -335,8 +400,12 @@ def decode_partials_task(batch: pa.Table, *, interval_ms: int) -> pa.Table:
     per-actor state (models, large vocabs).
     """
     global _TASK_DECODER
-    if _TASK_DECODER is None or _TASK_DECODER.interval_ms != interval_ms:
-        _TASK_DECODER = DecodeToPartials(interval_ms)
+    if (
+        _TASK_DECODER is None
+        or _TASK_DECODER.interval_ms != interval_ms
+        or _TASK_DECODER.narrow != narrow
+    ):
+        _TASK_DECODER = DecodeToPartials(interval_ms, narrow=narrow)
     return _TASK_DECODER(batch)
 
 
