@@ -323,10 +323,30 @@ def run_cascade(
         else _cascade_bucket_fn(tiers, num_buckets)
     )
     bucketed = partials.map_batches(bucket_fn, batch_format="pyarrow")
-    points = hash_exchange(
-        bucketed, "bucket", num_buckets, _cascade_reduce_fn(tiers, narrow=use_narrow)
-    ).map_batches(attach_labels, batch_format="pandas")
+    from ..stages.exchange import bucket_row_counts
+
+    exchange_ds, out_refs = hash_exchange(
+        bucketed,
+        "bucket",
+        num_buckets,
+        _cascade_reduce_fn(tiers, narrow=use_narrow),
+        return_refs=True,
+    )
+    points = exchange_ds.map_batches(attach_labels, batch_format="pandas")
     points.write_parquet(points_root, partition_cols=["tier_ms"])
+    # per-partition metrics: output rows per exchange bucket — skew
+    # observability for the manifest (north rule: per-partition lineage
+    # + row counts per stage)
+    b_rows = bucket_row_counts(out_refs)
+    bucket_stats = {
+        "num_buckets": num_buckets,
+        "rows_min": int(min(b_rows)),
+        "rows_max": int(max(b_rows)),
+        "rows_mean": round(sum(b_rows) / max(len(b_rows), 1), 1),
+        "skew_max_over_mean": round(
+            max(b_rows) / max(sum(b_rows) / max(len(b_rows), 1), 1e-9), 3
+        ),
+    }
     wall = time.perf_counter() - t0
 
     con = duckdb.connect()
@@ -437,6 +457,7 @@ def run_cascade(
             extra["gap_windows"] = len(gaps)
         if t == tiers[0]:
             extra["raw_samples"] = raw_samples
+        extra["exchange_buckets"] = bucket_stats
         m = mf.publish(
             tdir,
             tier_ms=t,

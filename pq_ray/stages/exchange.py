@@ -66,11 +66,23 @@ def _gather(reduce_fn: Callable[[pa.Table], pa.Table], *parts: pa.Table) -> pa.T
     return reduce_fn(block)
 
 
+@ray.remote
+def _block_rows(t) -> int:
+    return t.num_rows if hasattr(t, "num_rows") else len(t)
+
+
+def bucket_row_counts(out_refs) -> list[int]:
+    """Per-bucket output row counts (tiny metadata tasks over the gather
+    results) — the per-partition metrics recorded in tier manifests."""
+    return ray.get([_block_rows.remote(r) for r in out_refs])
+
+
 def hash_exchange(
     ds,
     bucket_col: str,
     num_buckets: int,
     reduce_fn: Callable[[pa.Table], pa.Table],
+    return_refs: bool = False,
 ):
     """ds (with an int bucket column) → Dataset of per-bucket reduce outputs.
 
@@ -93,4 +105,7 @@ def hash_exchange(
         _gather.remote(reduce_fn, *[split_refs[j][i] for j in range(len(split_refs))])
         for i in range(num_buckets)
     ]
-    return rd.from_arrow_refs(out_refs)
+    out_ds = rd.from_arrow_refs(out_refs)
+    if return_refs:
+        return out_ds, out_refs
+    return out_ds
