@@ -70,12 +70,12 @@ def chunks_dir(out_dir: str, tier_ms: int) -> str:
     return os.path.join(out_dir, "chunks", f"tier_ms={tier_ms}")
 
 
-def _narrow_bucket_fn(tiers: list[int], num_buckets: int):
+def _narrow_bucket_fn(span: int, num_buckets: int):
     """Bucket assignment for the narrow exchange schema: same
-    (series, coarsest-window) partitioning, computed from (code, widx)."""
+    (series, span-window) partitioning, computed from (code, widx)."""
     import pyarrow as pa
 
-    span_s = tiers[-1] // 1000
+    span_s = span // 1000
 
     def add_bucket(t: pa.Table) -> pa.Table:
         code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -89,7 +89,7 @@ def _narrow_bucket_fn(tiers: list[int], num_buckets: int):
     return add_bucket
 
 
-def _cascade_bucket_fn(tiers: list[int], num_buckets: int):
+def _cascade_bucket_fn(span: int, num_buckets: int):
     """Arrow-in/Arrow-out bucket assignment.
 
     Staying ``batch_format="pyarrow"`` here matters: blocks entering the
@@ -98,8 +98,6 @@ def _cascade_bucket_fn(tiers: list[int], num_buckets: int):
     (measured: 17s → 7s on the 31M-sample bench when this op switched
     from pandas to arrow)."""
     import pyarrow as pa
-
-    span = tiers[-1]
 
     def add_bucket(t: pa.Table) -> pa.Table:
         sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -158,7 +156,7 @@ def widen_narrow_partials(t: "pa.Table") -> dict:
     }
 
 
-def _cascade_reduce_fn(tiers: list[int], narrow: bool = False):
+def _cascade_reduce_fn(tiers: list[int], narrow: bool = False, first_rewindow: bool = False):
     """Arrow-in/Arrow-out per-bucket reduce for the hash exchange:
     combine 1s partials, then derive every coarser tier in-memory."""
     import pyarrow as pa
@@ -188,6 +186,9 @@ def _cascade_reduce_fn(tiers: list[int], narrow: bool = False):
             c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
             for c in NUMERIC_COLS
         }
+        if first_rewindow:
+            cols = dict(cols)
+            cols["window_ts"] = window_floor(cols["window_ts"], tiers[0])
         outs = []
         prev = np_combine_partials(cols)
         for i, tier in enumerate(tiers):
@@ -317,10 +318,17 @@ def run_cascade(
         )
 
     use_narrow = narrow_exchange and tiers[0] == 1000 and not decode_concurrency
+    # Two-phase exchange: phase 1 buckets on (series, second-coarsest
+    # window) — with single-day data a coarsest-window key would collapse
+    # to (series) alone and skew on the hot source; phase 2 derives the
+    # coarsest tier(s) from phase 1's already-tiny output.
+    fine_tiers = tiers if len(tiers) == 1 else tiers[:-1]
+    coarse_tiers = [] if len(tiers) == 1 else tiers[-1:]
+    bucket_span = fine_tiers[-1]
     bucket_fn = (
-        _narrow_bucket_fn(tiers, num_buckets)
+        _narrow_bucket_fn(bucket_span, num_buckets)
         if use_narrow
-        else _cascade_bucket_fn(tiers, num_buckets)
+        else _cascade_bucket_fn(bucket_span, num_buckets)
     )
     bucketed = partials.map_batches(bucket_fn, batch_format="pyarrow")
     from ..stages.exchange import bucket_row_counts
@@ -329,11 +337,33 @@ def run_cascade(
         bucketed,
         "bucket",
         num_buckets,
-        _cascade_reduce_fn(tiers, narrow=use_narrow),
+        _cascade_reduce_fn(fine_tiers, narrow=use_narrow),
         return_refs=True,
     )
     points = exchange_ds.map_batches(attach_labels, batch_format="pandas")
     points.write_parquet(points_root, partition_cols=["tier_ms"])
+
+    if coarse_tiers:
+        import pyarrow as pa
+
+        def only_top_fine(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["tier_ms"], bucket_span)).drop_columns(
+                ["tier_ms"]
+            )
+
+        coarse_in = exchange_ds.map_batches(only_top_fine, batch_format="pyarrow")
+        nb2 = max(8, num_buckets // 8)
+        coarse_pts = hash_exchange(
+            coarse_in.map_batches(
+                _cascade_bucket_fn(coarse_tiers[-1], nb2), batch_format="pyarrow"
+            ),
+            "bucket",
+            nb2,
+            _cascade_reduce_fn(coarse_tiers, first_rewindow=True),
+        ).map_batches(attach_labels, batch_format="pandas")
+        coarse_pts.write_parquet(points_root, partition_cols=["tier_ms"])
     # per-partition metrics: output rows per exchange bucket — skew
     # observability for the manifest (north rule: per-partition lineage
     # + row counts per stage)
