@@ -60,8 +60,8 @@ def test_cascade_bucket_skew_spreading():
 
     t = generate_tokens_table(3000, seed=42)
     partials = DecodeToPartials(1000)(t)
-    tiers = [1000, 60_000]  # coarse span = 1m -> many windows per series
-    bucketed = _cascade_bucket_fn(tiers, 16)(partials)
+    # bucket span = 1m -> many windows per series spread the hot source
+    bucketed = _cascade_bucket_fn(60_000, 16)(partials)
     counts = (
         pd.Series(bucketed["bucket"].to_numpy(zero_copy_only=False))
         .value_counts()
