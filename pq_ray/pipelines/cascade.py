@@ -75,14 +75,21 @@ def _narrow_bucket_fn(span: int, num_buckets: int):
     (series, span-window) partitioning, computed from (code, widx)."""
     import pyarrow as pa
 
+    from ..model import EPOCH0_MS
+
     span_s = span // 1000
+    # Bucket on the ABSOLUTE span-window (EPOCH0 offset added back), so
+    # the key agrees with the reduce's window_floor even for spans that
+    # don't divide EPOCH0; widx alone would straddle one coarse window
+    # across two buckets in that case.
+    epoch0_s = EPOCH0_MS // 1000
+    assert EPOCH0_MS % 1000 == 0
 
     def add_bucket(t: pa.Table) -> pa.Table:
         code = t["code"].combine_chunks().to_numpy(zero_copy_only=False)
         widx = t["widx"].combine_chunks().to_numpy(zero_copy_only=False)
-        h = (code.astype(np.uint64) + np.uint64(1)) * _PHI ^ (
-            (widx // np.uint32(span_s)).astype(np.uint64) * _PHI
-        )
+        span_w = (epoch0_s + widx.astype(np.uint64)) // np.uint64(span_s)
+        h = (code.astype(np.uint64) + np.uint64(1)) * _PHI ^ (span_w * _PHI)
         bucket = ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(bucket))
 

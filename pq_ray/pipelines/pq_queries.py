@@ -50,12 +50,12 @@ def _samples(sf_dir: str):
         )
         et = batch["event_type"]
         combo = pc.binary_join_element_wise(et, user_mod, "\x00")
-        combo_py = combo.to_pylist()
-        uniq = {}
-        for c in combo_py:
-            if c not in uniq:
-                uniq[c] = np.uint64(stable_hash64(c))
-        sid = np.fromiter((uniq[c] for c in combo_py), dtype=np.uint64, count=len(combo_py))
+        # hash once per DISTINCT combo (dictionary encode), not per row
+        enc = combo.combine_chunks().dictionary_encode()
+        lut = np.array(
+            [stable_hash64(c) for c in enc.dictionary.to_pylist()], dtype=np.uint64
+        )
+        sid = lut[enc.indices.to_numpy(zero_copy_only=False)]
         return pa.table(
             {
                 "ts": ts_ms,
@@ -84,9 +84,13 @@ def _instant_rollup(samples, t0: int, interval: int) -> pd.DataFrame:
     pts_ds = rollup_numeric(samples, interval, offset_ms=t0 % interval, num_buckets=16)
     # labels re-attached from the tiny (event_type, user_mod) map —
     # recoverable from series_id because _samples hashes the combo
+    # dedupe INSIDE each batch (pyarrow group_by): the driver collects at
+    # most |blocks| x |series| rows, never the label columns of every sample
     label_rows = (
         samples.map_batches(
-            lambda t: t.select(["series_id", "event_type", "user_mod"]),
+            lambda t: t.select(["series_id", "event_type", "user_mod"])
+            .group_by(["series_id", "event_type", "user_mod"])
+            .aggregate([]),
             batch_format="pyarrow",
         )
         .to_pandas()

@@ -147,13 +147,17 @@ def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
         return None
     ticks = first + interval * np.arange(k_max + 1, dtype=np.int64)
 
-    # distinct labelsets (small): collected once to map sig-hash → labels
+    # distinct labelsets (small): deduped INSIDE each batch (pyarrow
+    # group_by) so what reaches the driver is bounded by
+    # |blocks| x |series|, never |samples|
     cols = ["name"] + [L(c) for c in label_cols if L(c) in ctx.ds.schema().names]
+
+    def distinct_batch(t: pa.Table) -> pa.Table:
+        keep = [c for c in cols if c in t.schema.names]
+        return t.select(keep).group_by(keep).aggregate([])
+
     distinct = (
-        filtered.map_batches(
-            lambda t: t.select([c for c in cols if c in t.schema.names]),
-            batch_format="pyarrow",
-        )
+        filtered.map_batches(distinct_batch, batch_format="pyarrow")
         .to_pandas()
         .drop_duplicates()
         .reset_index(drop=True)
@@ -178,33 +182,55 @@ def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
         for sid, row in zip(distinct["sid"], distinct[cols].itertuples(index=False))
     }
 
+    def _empty_partials() -> pa.Table:
+        return pa.table(
+            {
+                "sid": pa.array([], type=pa.uint64()),
+                "tick": pa.array([], type=pa.int64()),
+                "sum": pa.array([], type=pa.float64()),
+                "count": pa.array([], type=pa.int64()),
+                "min": pa.array([], type=pa.float64()),
+                "max": pa.array([], type=pa.float64()),
+                "first_key": pa.array([], type=pa.int64()),
+                "first_v": pa.array([], type=pa.float64()),
+                "last_key": pa.array([], type=pa.int64()),
+                "last_v": pa.array([], type=pa.float64()),
+                "bucket": pa.array([], type=pa.int32()),
+            }
+        )
+
+    def _batch_sids(t: pa.Table, n: int) -> np.ndarray:
+        """Vectorized series-id per row: pack per-column dictionary codes
+        into one int64 key, then look up sid once per UNIQUE key (a
+        handful per batch), never per row."""
+        packed = np.zeros(n, dtype=np.int64)
+        dicts = []
+        for c in cols:
+            enc = t[c].combine_chunks().dictionary_encode()
+            dvals = enc.dictionary.to_pylist()
+            idx = enc.indices.fill_null(len(dvals)).to_numpy(zero_copy_only=False)
+            packed = packed * (len(dvals) + 1) + idx.astype(np.int64)
+            dicts.append(dvals + [None])
+        uniq, inverse = np.unique(packed, return_inverse=True)
+        # decode each unique packed key back to its label tuple
+        lut = np.empty(len(uniq), dtype=np.uint64)
+        for i, u in enumerate(uniq):
+            key = []
+            rem = int(u)
+            for dvals in reversed(dicts):
+                key.append(dvals[rem % len(dvals)])
+                rem //= len(dvals)
+            lut[i] = sid_lut[tuple(reversed(key))]
+        return lut[inverse]
+
     def explode_partial(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "sid": pa.array([], type=pa.uint64()),
-                    "tick": pa.array([], type=pa.int64()),
-                    "sum": pa.array([], type=pa.float64()),
-                    "count": pa.array([], type=pa.int64()),
-                    "min": pa.array([], type=pa.float64()),
-                    "max": pa.array([], type=pa.float64()),
-                    "first_key": pa.array([], type=pa.int64()),
-                    "first_v": pa.array([], type=pa.float64()),
-                    "last_key": pa.array([], type=pa.int64()),
-                    "last_v": pa.array([], type=pa.float64()),
-                    "bucket": pa.array([], type=pa.int32()),
-                }
-            )
-        df = t.to_pandas()
-        key_rows = [
-            tuple(None if (isinstance(v, float) and np.isnan(v)) else v for v in row)
-            for row in df[[c for c in cols]].itertuples(index=False)
-        ]
-        sid = np.array([sid_lut[k] for k in key_rows], dtype=np.uint64)
-        ts = df["ts"].to_numpy(dtype=np.int64)
-        seq = df["seq"].to_numpy(dtype=np.int64)
-        val = df["value"].to_numpy(dtype=np.float64)
+            return _empty_partials()
+        sid = _batch_sids(t, n)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = t["seq"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
 
         k_lo = np.maximum(np.ceil((ts - first) / interval).astype(np.int64), 0)
         k_hi = np.minimum((ts + d - 1 - first) // interval, k_max)
@@ -214,32 +240,38 @@ def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
             sid[keep], ts[keep], seq[keep], val[keep], k_lo[keep], reps[keep]
         )
         total = int(reps.sum())
+        if total == 0:
+            # non-empty batch whose samples are all invisible on the tick
+            # grid (range < interval or start_at past the batch) — mirror
+            # eval_selector's total==0 branch with a typed empty
+            return _empty_partials()
         within = np.arange(total, dtype=np.int64) - np.repeat(
             np.concatenate(([0], np.cumsum(reps)[:-1])), reps
         )
         tick = first + (np.repeat(k_lo, reps) + within) * interval
         sid_r = np.repeat(sid, reps)
-        ts_r = np.repeat(ts, reps)
         seq_r = np.repeat(seq, reps)
         val_r = np.repeat(val, reps)
 
-        # partial-reduce within the batch, keyed (sid, tick); the
-        # arrival key (ts, seq) orders first/last exactly like the
-        # reference's push order
-        order = np.lexsort((seq_r, ts_r, tick, sid_r))
+        # partial-reduce within the batch, keyed (sid, tick); the arrival
+        # key is seq ALONE — the reference's deque is pure push order
+        # (vector.rs:203-236), so first/last tie-breaks ride on arrival
+        # order even for out-of-order timestamps
+        order = np.lexsort((seq_r, tick, sid_r))
         s_sid, s_tick = sid_r[order], tick[order]
-        s_ts, s_seq, s_val = ts_r[order], seq_r[order], val_r[order]
+        s_seq, s_val = seq_r[order], val_r[order]
         boundary = (
             np.nonzero((s_sid[1:] != s_sid[:-1]) | (s_tick[1:] != s_tick[:-1]))[0] + 1
         )
         starts = np.concatenate(([0], boundary))
         counts = np.diff(np.concatenate((starts, [len(s_val)])))
         ends = starts + counts - 1
-        # arrival key packs (ts, seq) for cross-batch tie-breaks; seq is
-        # masked to 22 bits — ties only matter within one exact ts, and
-        # same-ms different-value collisions beyond 4M samples/run are
-        # out of conformance scope (documented)
-        key = s_ts * np.int64(1 << 22) + (s_seq & np.int64((1 << 22) - 1))
+        # min/max match the reference's fold(+-inf, f64::min/max): NaN
+        # values are skipped, an all-NaN window yields +-inf
+        mn = np.fmin.reduceat(s_val, starts)
+        mn[np.isnan(mn)] = np.inf
+        mx = np.fmax.reduceat(s_val, starts)
+        mx[np.isnan(mx)] = -np.inf
         h = s_sid[starts] ^ (
             s_tick[starts].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         )
@@ -250,11 +282,11 @@ def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
                 "tick": pa.array(s_tick[starts], type=pa.int64()),
                 "sum": pa.array(np.add.reduceat(s_val, starts)),
                 "count": pa.array(counts.astype(np.int64)),
-                "min": pa.array(np.minimum.reduceat(s_val, starts)),
-                "max": pa.array(np.maximum.reduceat(s_val, starts)),
-                "first_key": pa.array(key[starts], type=pa.int64()),
+                "min": pa.array(mn),
+                "max": pa.array(mx),
+                "first_key": pa.array(s_seq[starts], type=pa.int64()),
                 "first_v": pa.array(s_val[starts]),
-                "last_key": pa.array(key[ends], type=pa.int64()),
+                "last_key": pa.array(s_seq[ends], type=pa.int64()),
                 "last_v": pa.array(s_val[ends]),
                 "bucket": pa.array(bucket),
             }

@@ -239,10 +239,12 @@ def eval_selector(sel: VectorSelector, ctx: EvalContext) -> VectorStream:
     ex["sig"] = compute_sig(ex, label_cols, name_col=True)
 
     if kind == "instant":
-        # latest sample per (tick, series): max (ts, seq) — seq is arrival
-        # order, the reference scans the deque newest-pushed-first
-        ex = ex.sort_values(["ts", "seq"], kind="stable")
-        ex = ex.groupby(["tick", "sig"], sort=False).last().reset_index()
+        # latest sample per (tick, series) = latest-PUSHED in-range sample:
+        # the reference scans the deque newest-pushed-first regardless of
+        # ts (vector.rs:203-217), so order by seq (arrival) alone; tail(1)
+        # is positional — unlike groupby.last() it never skips a NaN value
+        ex = ex.sort_values("seq", kind="stable")
+        ex = ex.groupby(["tick", "sig"], sort=False).tail(1)
         ex = ex.sort_values(["tick", "sig"], kind="stable")
         ex = _rank_within_tick(ex)
         cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
@@ -492,25 +494,34 @@ def eval_aggregate(node: Aggregate, inner) -> VectorStream:
         cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
         return VectorStream("instant", inner.ticks, out[cols], label_cols)
 
-    g = df.groupby(["tick", "gsig"], sort=True)
-    agg = g.agg(
-        first=("value", "first"),
-        n=("value", "size"),
-        s=("value", "sum"),
-        mn=("value", "min"),
-        mx=("value", "max"),
-        **{L(c): (L(c), "first") for c in gcols},
-    ).reset_index()
-    n = agg["n"].to_numpy()
-    first = agg["first"].to_numpy()
+    # NaN-exact fold: the reference seeds the accumulator with the first
+    # member's value and folds in input order (aggregate.rs:30-66) — sum
+    # is plain f64 addition (NaN propagates), min/max use f64::min/max
+    # (NaN-skipping), count seeds with the first VALUE.  pandas groupby
+    # agg skips NaN, so reduce positionally on the (tick, gsig)-sorted
+    # frame instead (stable sort keeps input order inside each group,
+    # matching the reference's fold order bit-for-bit).
+    df = df.sort_values(["tick", "gsig"], kind="stable")
+    tick_a = df["tick"].to_numpy()
+    gsig_a = df["gsig"].to_numpy()
+    vals = df["value"].to_numpy(dtype=np.float64)
+    boundary = np.nonzero((tick_a[1:] != tick_a[:-1]) | (gsig_a[1:] != gsig_a[:-1]))[0] + 1
+    starts = np.concatenate(([0], boundary))
+    counts = np.diff(np.concatenate((starts, [len(vals)])))
+    agg = df.iloc[starts][["tick", "gsig", *[L(c) for c in gcols if L(c) in df.columns]]].reset_index(drop=True)
+    for c in gcols:
+        if L(c) not in agg.columns:
+            agg[L(c)] = None
+    n = counts
+    first = vals[starts]
     if op == "sum":
-        val = agg["s"].to_numpy()
+        val = np.add.reduceat(vals, starts)
     elif op == "min":
-        val = agg["mn"].to_numpy()
+        val = np.fmin.reduceat(vals, starts)
     elif op == "max":
-        val = agg["mx"].to_numpy()
+        val = np.fmax.reduceat(vals, starts)
     elif op == "avg":
-        val = agg["s"].to_numpy() / n
+        val = np.add.reduceat(vals, starts) / n
     elif op == "count":
         # Q8 seed quirk: accumulator seeded with the first member's VALUE
         val = first + (n - 1)
@@ -562,35 +573,44 @@ def eval_function(node: FunctionCall, args: list, node_range_ms: int | None = No
             columns=["tick", "value", "name", *[L(c) for c in inner.label_cols], "sig", "ord"]
         )
         return VectorStream("instant", inner.ticks, out, inner.label_cols)
-    # order by arrival within series so 'first' = chronologically oldest
-    df = df.sort_values(["tick", "sig", "ts", "seq"], kind="stable")
-    g = df.groupby(["tick", "sig"], sort=True)
-    agg = g.agg(
-        s=("value", "sum"),
-        n=("value", "size"),
-        mn=("value", "min"),
-        mx=("value", "max"),
-        oldest=("value", "first"),
-        newest=("value", "last"),
-        **{L(c): (L(c), "first") for c in inner.label_cols},
-    ).reset_index()
+    # order by arrival (seq alone — the reference's deque is pure push
+    # order, vector.rs:225-236) so 'oldest' = first-pushed exactly
+    df = df.sort_values(["tick", "sig", "seq"], kind="stable")
+    # positional/NaN-exact kernels: pandas groupby sum/first/last skip
+    # NaN, the reference does not (f64 `.sum()` propagates NaN; min/max
+    # fold from +-inf with NaN-skipping f64::min/max — function.rs:49-64)
+    tick_a = df["tick"].to_numpy()
+    sig_a = df["sig"].to_numpy()
+    vals = df["value"].to_numpy(dtype=np.float64)
+    boundary = np.nonzero((tick_a[1:] != tick_a[:-1]) | (sig_a[1:] != sig_a[:-1]))[0] + 1
+    starts = np.concatenate(([0], boundary))
+    counts = np.diff(np.concatenate((starts, [len(vals)])))
+    ends = starts + counts - 1
+    agg = df.iloc[starts][["tick", "sig", *[L(c) for c in inner.label_cols if L(c) in df.columns]]].reset_index(drop=True)
+    for c in inner.label_cols:
+        if L(c) not in agg.columns:
+            agg[L(c)] = None
+    n = counts.astype(np.float64)
     if name == "sum_over_time":
-        val = agg["s"].to_numpy()
+        val = np.add.reduceat(vals, starts)
     elif name == "count_over_time":
-        val = agg["n"].to_numpy(dtype=np.float64)
+        val = n
     elif name == "avg_over_time":
-        val = agg["s"].to_numpy() / agg["n"].to_numpy()
+        val = np.add.reduceat(vals, starts) / n
     elif name == "min_over_time":
-        val = agg["mn"].to_numpy()
+        # fold(INFINITY, f64::min): skip NaN, all-NaN window -> +inf
+        val = np.fmin.reduceat(vals, starts)
+        val[np.isnan(val)] = np.inf
     elif name == "max_over_time":
-        val = agg["mx"].to_numpy()
+        val = np.fmax.reduceat(vals, starts)
+        val[np.isnan(val)] = -np.inf
     elif name in ("last_over_time", "first_over_time"):
         # Q7: the reference's last_over_time returns the chronologically
         # OLDEST sample (newest-first storage + .last()); our
         # first_over_time extension is the same value by construction
-        val = agg["oldest"].to_numpy()
+        val = vals[starts]
     else:  # rate / increase / delta extensions
-        diff = agg["newest"].to_numpy() - agg["oldest"].to_numpy()
+        diff = vals[ends] - vals[starts]
         if name == "rate":
             val = diff / (node_range_ms / 1000.0)
         else:

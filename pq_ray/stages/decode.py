@@ -345,6 +345,17 @@ class DecodeToPartials:
         s = out["sum"]
         if count.max(initial=0) >= (1 << 16) or s.max(initial=0) >= (1 << 32):
             raise ValueError("narrow exchange bounds exceeded; use narrow=False")
+        # values reaching the narrow path via the wide-kernel fallback
+        # must be integer-valued and fit 17 bits — check every packed
+        # value column, not just sum/count, or they'd silently wrap
+        for c in ("min", "max", "first_v", "last_v"):
+            v = out[c]
+            if len(v) and (
+                np.any(v != np.floor(v))
+                or v.min() < 0
+                or v.max() >= (1 << 17)
+            ):
+                raise ValueError("narrow exchange bounds exceeded; use narrow=False")
         f_off = ((out["first_ts"] - window) // STEP_MS).astype(np.uint32)
         l_off = ((out["last_ts"] - window) // STEP_MS).astype(np.uint32)
         fkey = (f_off << np.uint32(17)) | out["first_v"].astype(np.uint32)

@@ -138,23 +138,24 @@ class PartialAggBatch:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         ts = df[self.ts_col].to_numpy()
         df = df.assign(window_ts=window_floor(ts, self.interval_ms, self.offset_ms))
-        # Stable sort by (ts, value): deterministic first/last under ts ties.
-        df = df.sort_values([self.ts_col, self.value_col], kind="stable")
-        keys = ["series_id", "window_ts"]
-        g = df.groupby(keys, sort=False)
-        out = g.agg(
-            **{c: (c, "first") for c in self.label_cols},
-            sum=(self.value_col, "sum"),
-            count=(self.value_col, "size"),
-            min=(self.value_col, "min"),
-            max=(self.value_col, "max"),
-            first_ts=(self.ts_col, "first"),
-            first_v=(self.value_col, "first"),
-            last_ts=(self.ts_col, "last"),
-            last_v=(self.value_col, "last"),
-        ).reset_index()
+        # NaN parity with np_partial_agg: positional first/last and
+        # NaN-propagating sum/min/max (pandas groupby agg would skip NaN).
+        agg = np_partial_agg(
+            df["series_id"].to_numpy(),
+            df["window_ts"].to_numpy(),
+            df[self.ts_col].to_numpy(),
+            df[self.value_col].to_numpy(dtype=np.float64),
+        )
+        out = pd.DataFrame(agg)
+        if self.label_cols:
+            # labels are a function of series_id — attach from per-batch
+            # distinct rows (positional, NaN-safe)
+            labels = df[["series_id", *self.label_cols]].drop_duplicates("series_id")
+            out = out.merge(labels, on="series_id", sort=False)
         out["count"] = out["count"].astype(np.int64)
-        return out
+        return out[
+            ["series_id", "window_ts", *self.label_cols, *AGG_COLS]
+        ].reset_index(drop=True)
 
 
 class CombinePartials:
@@ -167,28 +168,17 @@ class CombinePartials:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         if "bucket" in df.columns:
             df = df.drop(columns=["bucket"])
-        # Deterministic merge order under first_ts/last_ts ties.
-        df = df.sort_values(["first_ts", "first_v"], kind="stable")
-        keys = ["series_id", "window_ts"]
-        g = df.groupby(keys, sort=False)
-        first_part = g.agg(
-            **{c: (c, "first") for c in self.label_cols},
-            sum=("sum", "sum"),
-            count=("count", "sum"),
-            min=("min", "min"),
-            max=("max", "max"),
-            first_ts=("first_ts", "first"),
-            first_v=("first_v", "first"),
-        ).reset_index()
-        df2 = df.sort_values(["last_ts", "last_v"], kind="stable")
-        last_part = (
-            df2.groupby(keys, sort=False)
-            .agg(last_ts=("last_ts", "last"), last_v=("last_v", "last"))
-            .reset_index()
-        )
-        out = first_part.merge(last_part, on=keys, sort=False)
+        # NaN parity with np_combine_partials: positional first/last and
+        # NaN-propagating merges (pandas groupby agg would skip NaN).
+        cols = {c: df[c].to_numpy() for c in ["series_id", "window_ts", *AGG_COLS]}
+        out = pd.DataFrame(np_combine_partials(cols))
+        if self.label_cols:
+            labels = df[["series_id", *self.label_cols]].drop_duplicates("series_id")
+            out = out.merge(labels, on="series_id", sort=False)
         out["count"] = out["count"].astype(np.int64)
-        return out
+        return out[
+            ["series_id", "window_ts", *self.label_cols, *AGG_COLS]
+        ].reset_index(drop=True)
 
 
 def _add_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:

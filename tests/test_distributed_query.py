@@ -89,3 +89,49 @@ def test_distributed_equals_local(ray_session, samples_df, q):
     an = a["name"].where(a["name"].notna(), None)
     bn = b["name"].where(b["name"].notna(), None)
     assert list(an) == list(bn)
+
+
+def test_distributed_empty_tick_grid_guard(ray_session, samples_df):
+    # start_at past every sample: explode_partial's keep-filter empties
+    # every batch — must return a typed empty, not crash (ADVICE r2)
+    expr = parse_expr("sum_over_time(m[2s])")
+    ds = rd.from_pandas(samples_df).repartition(4)
+    far_future = int(samples_df["ts"].max()) + 10_000
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(
+            ds, ["job", "lab"], INTERVAL, INTERVAL, start_at=far_future,
+            num_buckets=4,
+        ),
+    )
+    assert len(dist.df) == 0
+
+
+def test_distributed_label_collect_bounded(ray_session, samples_df):
+    # the distinct-labelset collection must be per-batch deduped: rows
+    # reaching the driver are bounded by |blocks| x |series|, not |samples|
+    from pq_ray.query import distributed as dmod
+
+    captured = {}
+    orig = pd.DataFrame.drop_duplicates
+
+    def spy(self, *a, **k):
+        # the first drop_duplicates call in _selector_partials sees the
+        # concatenated per-block distincts
+        if set(["name", "l_job", "l_lab"]).issubset(self.columns) and "n" not in captured:
+            captured["n"] = len(self)
+        return orig(self, *a, **k)
+
+    ds = rd.from_pandas(samples_df).repartition(6)
+    expr = parse_expr("m")
+    import unittest.mock as mock
+
+    with mock.patch.object(pd.DataFrame, "drop_duplicates", spy):
+        evaluate_distributed(
+            expr,
+            DistributedContext(ds, ["job", "lab"], INTERVAL, INTERVAL, num_buckets=4),
+        )
+    n_series = samples_df.groupby(["name", "l_job", "l_lab"]).ngroups
+    n_blocks = 6
+    assert captured["n"] <= n_series * n_blocks
+    assert captured["n"] < len(samples_df) / 10

@@ -173,3 +173,68 @@ def test_extension_over_time_functions():
     assert _vals(evaluate(parse_expr("rate(m[1s])"), ctx))[5999] == 6.0 / 1.0
     assert _vals(evaluate(parse_expr("first_over_time(m[1s])"), ctx))[5999] == 10.0
     assert _vals(evaluate(parse_expr("avg_over_time(m[1s])"), ctx))[5999] == 13.0
+
+
+# ---------------------------------------------------------------------------
+# NaN propagation + arrival-order parity (reference: aggregate.rs:30-66,
+# function.rs:49-64, vector.rs:203-236 — fixes from round-2 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_nan_instant_vector_not_skipped():
+    # latest-pushed sample is NaN → instant value is NaN, not an older
+    # non-NaN one (pandas .last() would skip it)
+    rows = [(5000, "m", 1.0, "a"), (5500, "m", np.nan, "a")]
+    s = evaluate(parse_expr("m"), _ctx(rows))
+    assert np.isnan(_vals(s)[5999])
+
+
+def test_nan_sum_propagates():
+    rows = [(5000, "m", 1.0, "a"), (5200, "m", np.nan, "b"), (5400, "m", 2.0, "c")]
+    s = evaluate(parse_expr("sum(m)"), _ctx(rows))
+    assert np.isnan(_vals(s)[5999])
+    s = evaluate(parse_expr("avg(m)"), _ctx(rows))
+    assert np.isnan(_vals(s)[5999])
+
+
+def test_nan_count_seed_quirk():
+    # count seeds the accumulator with the FIRST member's value (Q8);
+    # NaN first → NaN count
+    rows = [(5000, "m", np.nan, "a"), (5200, "m", 2.0, "b")]
+    s = evaluate(parse_expr("count(m)"), _ctx(rows))
+    assert np.isnan(_vals(s)[5999])
+
+
+def test_nan_min_max_aggregate_skip():
+    # f64::min/max skip NaN (seeded with first value)
+    rows = [(5000, "m", np.nan, "a"), (5200, "m", 2.0, "b"), (5400, "m", 7.0, "c")]
+    assert _vals(evaluate(parse_expr("min(m)"), _ctx(rows)))[5999] == 2.0
+    assert _vals(evaluate(parse_expr("max(m)"), _ctx(rows)))[5999] == 7.0
+
+
+def test_nan_over_time_kernels():
+    rows = [(5000, "m", 1.0, "a"), (5500, "m", np.nan, "a")]
+    ctx = _ctx(rows)
+    assert np.isnan(_vals(evaluate(parse_expr("sum_over_time(m[1s])"), ctx))[5999])
+    assert np.isnan(_vals(evaluate(parse_expr("avg_over_time(m[1s])"), ctx))[5999])
+    # min/max fold from +-inf with NaN-skipping f64::min/max
+    assert _vals(evaluate(parse_expr("min_over_time(m[1s])"), ctx))[5999] == 1.0
+    assert _vals(evaluate(parse_expr("max_over_time(m[1s])"), ctx))[5999] == 1.0
+    # all-NaN window → fold seed survives: +inf / -inf
+    rows = [(5000, "m", np.nan, "a")]
+    ctx = _ctx(rows)
+    assert _vals(evaluate(parse_expr("min_over_time(m[1s])"), ctx))[5999] == np.inf
+    assert _vals(evaluate(parse_expr("max_over_time(m[1s])"), ctx))[5999] == -np.inf
+    # count is positional — NaN still counts
+    assert _vals(evaluate(parse_expr("count_over_time(m[1s])"), ctx))[5999] == 1.0
+
+
+def test_arrival_order_beats_timestamp_order():
+    # out-of-order ts within a window: the reference's deque is pure push
+    # order — instant picks the latest-PUSHED (ts 5200 here, pushed after
+    # 5800), last_over_time picks the first-pushed
+    rows = [(5800, "m", 1.0, "a"), (5200, "m", 2.0, "a")]
+    ctx = _ctx(rows)
+    # t0 = min matched ts (5200) → first tick 6199; window (5199, 6199]
+    assert _vals(evaluate(parse_expr("m"), ctx))[6199] == 2.0
+    assert _vals(evaluate(parse_expr("last_over_time(m[1s])"), ctx))[6199] == 1.0
