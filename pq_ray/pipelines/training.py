@@ -1,15 +1,18 @@
 """Training-data pipeline operators over the documents/embeddings tables.
 
 The large-scale data-curation operators a 100 TB training pipeline needs,
-each expressed Ray-Data-first (map_batches + bucketed groupby — the same
-one-shuffle pattern as the rollup cascade):
+each expressed Ray-Data-first (map_batches + bucketed shuffles — the same
+one-exchange pattern as the rollup cascade):
 
 - exact dedup           content-hash partition → per-group winner
 - n-gram Jaccard dedup  bigram inverted index → pair counts → exact J
-- MinHash + LSH dedup   shingle→minhash→band→bucket → verify candidates
-- SimHash dedup         64-bit simhash, banded hamming candidates
+- MinHash + LSH dedup   shingle→minhash→band→bucket → distributed verify
+- SimHash dedup         64-bit simhash, vectorized popcount accumulation
 - ANN similarity        brute-force cosine top-k vs a broadcast query
-                        (numpy matmul per batch); LSH-bucketed near-dup
+                        (numpy matmul per batch); IVF + hyperplane-LSH
+                        bucketed scale paths
+- dedup clusters        distributed connected components over the pair
+                        graph (stages/graph.py min-label propagation)
 - text analysis         token stats, language-ID heuristic, quality
                         scoring, winnowing fingerprints
 
@@ -19,9 +22,12 @@ lang-id, fingerprints) are registered without oracles → rows-only checks,
 with exactness cross-checks in tests/test_training.py instead.
 
 Scale notes: every pairwise op keys its shuffle on a content bucket so
-hot shingles / hot hash prefixes spread; the only broadcast is the ANN
-query matrix (ray.put once, read per actor); nothing materializes the
-corpus on the driver.
+hot shingles / hot hash prefixes spread; the broadcasts are the ANN query
+matrix, the IVF centroids (sample-trained) and the (small) dedup-cluster
+label map (ray.put once, read per task); nothing materializes the corpus
+on the driver.  Shingles are 64-bit hashes end-to-end (vectorized siphash
+via pd.util.hash_array + arithmetic bigram mixing) — J values equal the
+string-shingle oracle up to negligible (<1e-9) collision probability.
 """
 
 from __future__ import annotations
@@ -30,13 +36,23 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
+
+from ..stages.exchange import hash_exchange
 
 JACCARD_TAU = 0.3
 COSINE_TAU = 0.45
 ANN_K = 10
 NUM_BUCKETS = 32
+# hot-shingle document-frequency cap: shingles appearing in more than
+# MAX_DF docs are skipped during pair emission (bounds the quadratic
+# blowup of stopword bigrams).  None = exact (the oracle setting).
+MAX_DF = None
+
+_PHI = np.uint64(0x9E3779B97F4A7C15)
+_PHI2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -55,15 +71,52 @@ def _hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
-def _bigrams(text: str) -> list[str]:
-    toks = text.split(" ")
-    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-
-
 def _bucket_of_str(values, num=NUM_BUCKETS) -> np.ndarray:
     return np.fromiter(
         ((_hash64(v) % num) for v in values), dtype=np.int32, count=len(values)
     )
+
+
+def _bucket_of_u64(h: np.ndarray, num: int = NUM_BUCKETS) -> np.ndarray:
+    return (((h.astype(np.uint64) * _PHI) >> np.uint64(17)) % np.uint64(num)).astype(
+        np.int32
+    )
+
+
+def _bucket_of_i64(v: np.ndarray, num: int = NUM_BUCKETS) -> np.ndarray:
+    return _bucket_of_u64(v.astype(np.int64).astype(np.uint64), num)
+
+
+def _doc_shingles(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word-bigram 64-bit hashes per document, fully vectorized.
+
+    Returns (doc_idx, shingle_hash) sorted by (doc, hash): tokens are
+    hashed in one cython pass (pd.util.hash_array — stable siphash), a
+    bigram is the asymmetric arithmetic mix of two adjacent token hashes,
+    and per-doc dedup is a lexsort + boundary scan.  No per-doc Python.
+    """
+    s = pd.Series(texts, dtype=object)
+    toks = s.str.split(" ")
+    counts = toks.str.len().to_numpy().astype(np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    th = pd.util.hash_array(flat).astype(np.uint64)
+    n = len(s)
+    nbi = np.maximum(counts - 1, 0)
+    total = int(nbi.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(nbi)[:-1])), nbi
+    )
+    first_idx = within + np.repeat(tok_starts, nbi)
+    bh = th[first_idx] * _PHI ^ th[first_idx + 1] * _PHI2
+    didx = np.repeat(np.arange(n, dtype=np.int64), nbi)
+    order = np.lexsort((bh, didx))
+    db, hb = didx[order], bh[order]
+    keep = np.ones(len(db), dtype=bool)
+    keep[1:] = (db[1:] != db[:-1]) | (hb[1:] != hb[:-1])
+    return db[keep], hb[keep]
 
 
 # ---------------------------------------------------------------------------
@@ -116,12 +169,13 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.split(" ")
+        n_tokens = toks.str.len().astype(np.int64)
+        # distinct tokens per doc: explode + index-grouped nunique (C path)
+        n_unique = (
+            toks.explode().groupby(level=0).nunique().reindex(df.index).astype(np.int64)
+        )
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_tokens": toks.map(len).astype(np.int64),
-                "n_unique_tokens": toks.map(lambda t: len(set(t))).astype(np.int64),
-            }
+            {"doc_id": df["doc_id"], "n_tokens": n_tokens, "n_unique_tokens": n_unique}
         )
 
     return (
@@ -137,60 +191,62 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _jaccard_pairs_from_ds(ds, tau: float) -> pd.DataFrame:
-    """Exact all-pairs Jaccard >= tau over distinct word-bigram sets.
+def _shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+    didx, shs = _doc_shingles(df["text"].to_numpy())
+    n_doc = np.bincount(didx, minlength=len(df)).astype(np.int64)
+    doc_ids = df["doc_id"].to_numpy()
+    out = pd.DataFrame(
+        {
+            "sh": shs,
+            "doc_id": doc_ids[didx],
+            "n_doc": n_doc[didx],
+        }
+    )
+    out["bucket"] = _bucket_of_u64(shs)
+    return out
 
-    Plan (3 stages, 2 shuffles, no driver materialization):
-      1. doc → distinct shingles, rows (sh, doc_id, n_doc) — n_doc rides
-         along so no broadcast of a sizes table is ever needed;
-      2. groupby shingle-hash bucket → per-shingle pair emission
-         (a, b, na, nb, 1);
-      3. groupby pair bucket → sum intersections → J = c/(na+nb-c) → filter.
-    Hot shingles (document-frequency explosion) would be capped by a
-    max_df knob at real scale; left uncapped here for oracle exactness.
-    """
 
-    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
-        rows_sh, rows_doc, rows_n = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            shs = set(_bigrams(text))
-            for sh in shs:
-                rows_sh.append(sh)
-                rows_doc.append(doc_id)
-                rows_n.append(len(shs))
-        out = pd.DataFrame(
-            {"sh": rows_sh, "doc_id": rows_doc, "n_doc": np.array(rows_n, dtype=np.int64)}
-        )
-        out["bucket"] = _bucket_of_str(out["sh"])
-        return out
-
+def _emit_pairs_fn(max_df: int | None):
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["sh"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        ns = df["n_doc"].to_numpy()
+        order = np.argsort(sh, kind="stable")
+        sh, ids, ns = sh[order], ids[order], ns[order]
+        boundary = np.nonzero(sh[1:] != sh[:-1])[0] + 1
+        starts = np.concatenate(([0], boundary))
+        sizes = np.diff(np.concatenate((starts, [len(sh)])))
         outs = []
-        for _, g in df.groupby("sh", sort=False):
-            if len(g) < 2:
+        for st, sz in zip(starts, sizes):
+            if sz < 2 or (max_df is not None and sz > max_df):
+                # max_df: a shingle shared by more than max_df docs emits
+                # no pairs — the stopword-bigram guard (quadratic cap)
                 continue
-            g = g.sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            ns = g["n_doc"].to_numpy()
-            iu, ju = np.triu_indices(len(ids), k=1)
+            o = np.argsort(ids[st : st + sz], kind="stable")
+            gi = ids[st : st + sz][o]
+            gn = ns[st : st + sz][o]
+            iu, ju = np.triu_indices(sz, k=1)
             outs.append(
-                pd.DataFrame(
-                    {"a": ids[iu], "b": ids[ju], "na": ns[iu], "nb": ns[ju]}
-                )
+                pd.DataFrame({"a": gi[iu], "b": gi[ju], "na": gn[iu], "nb": gn[ju]})
             )
         if not outs:
             return pd.DataFrame(
                 {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-                 "na": pd.Series(dtype=np.int64), "nb": pd.Series(dtype=np.int64)}
+                 "na": pd.Series(dtype=np.int64), "nb": pd.Series(dtype=np.int64),
+                 "pbucket": pd.Series(dtype=np.int32)}
             )
         out = pd.concat(outs, ignore_index=True)
         h = (
-            out["a"].to_numpy(dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            ^ out["b"].to_numpy(dtype=np.uint64)
+            out["a"].to_numpy().astype(np.uint64) * _PHI
+            ^ out["b"].to_numpy().astype(np.uint64)
         )
         out["pbucket"] = (h % np.uint64(NUM_BUCKETS)).astype(np.int32)
         return out
 
+    return emit_pairs
+
+
+def _reduce_pairs_fn(tau: float):
     def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
         g = (
             df.groupby(["a", "b"], sort=False)
@@ -201,14 +257,31 @@ def _jaccard_pairs_from_ds(ds, tau: float) -> pd.DataFrame:
         g["j"] = j.round(6)
         return g.loc[j >= tau, ["a", "b", "j"]]
 
-    out = (
-        ds.map_batches(shingle_rows, batch_format="pandas")
+    return reduce_pairs
+
+
+def _jaccard_pairs_ds(ds, tau: float, max_df: int | None = None):
+    """Exact all-pairs Jaccard >= tau over distinct word-bigram sets,
+    as a Dataset (columns a, b, j) — nothing reaches the driver.
+
+    Plan (3 stages, 2 shuffles):
+      1. doc → distinct shingle hashes, rows (sh, doc_id, n_doc) — n_doc
+         rides along so no broadcast of a sizes table is ever needed;
+      2. groupby shingle-hash bucket → per-shingle pair emission
+         (a, b, na, nb), optionally skipping shingles with df > max_df;
+      3. groupby pair bucket → sum intersections → J = c/(na+nb-c) → filter.
+    """
+    return (
+        ds.map_batches(_shingle_rows, batch_format="pandas")
         .groupby("bucket")
-        .map_groups(emit_pairs, batch_format="pandas")
+        .map_groups(_emit_pairs_fn(max_df), batch_format="pandas")
         .groupby("pbucket")
-        .map_groups(reduce_pairs, batch_format="pandas")
-        .to_pandas()
+        .map_groups(_reduce_pairs_fn(tau), batch_format="pandas")
     )
+
+
+def _jaccard_pairs_from_ds(ds, tau: float, max_df: int | None = None) -> pd.DataFrame:
+    out = _jaccard_pairs_ds(ds, tau, max_df).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
@@ -220,115 +293,273 @@ def _jaccard_pairs_from_ds(ds, tau: float) -> pd.DataFrame:
 
 
 def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    return _jaccard_pairs_from_ds(_read_docs(sf_dir), JACCARD_TAU)
+    return _jaccard_pairs_from_ds(_read_docs(sf_dir), JACCARD_TAU, MAX_DF)
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH dedup (approximate candidates, exact verification)
+# MinHash + LSH dedup (approximate candidates, exact DISTRIBUTED verify)
 # ---------------------------------------------------------------------------
 
 _MH_PERMS = 128
 _MH_BANDS = 32  # 32 bands x 4 rows: catches J>=0.3 with high recall
-_MH_PRIME = (1 << 61) - 1
-
-
-def _minhash_params(seed: int = 7):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MH_PRIME, size=_MH_PERMS, dtype=np.int64).astype(object)
-    b = rng.integers(0, _MH_PRIME, size=_MH_PERMS, dtype=np.int64).astype(object)
-    return a, b
 
 
 class MinHasher:
-    """Actor-pool stage: per-doc shingle set → 128 minhashes → LSH band
-    rows.  Permutation parameters built once per actor (__init__), the
-    per-batch work is vectorized numpy."""
+    """Actor-pool stage: batch → LSH band rows, fully vectorized.
+
+    Permutation parameters are built once per actor (__init__); per batch
+    the shingle hashes of ALL docs are minhashed in one (perm-chunked)
+    broadcast multiply + segment-min (np.minimum.reduceat along axis=1),
+    and band keys are an arithmetic mix of the band's signature rows —
+    no per-doc loop, no per-band md5.
+    """
 
     def __init__(self):
-        self.a, self.b = _minhash_params()
+        rng = np.random.default_rng(7)
+        self.a = (
+            rng.integers(1, 1 << 61, size=_MH_PERMS).astype(np.uint64) << np.uint64(1)
+        ) | np.uint64(1)  # odd multipliers
+        self.b = rng.integers(0, 1 << 61, size=_MH_PERMS).astype(np.uint64)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"band": [], "band_hash": [], "doc_id": [], "n_doc": []}
-        a = np.array(self.a, dtype=np.uint64)
-        b = np.array(self.b, dtype=np.uint64)
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            shs = set(_bigrams(text))
-            if not shs:
-                continue
-            hv = np.fromiter(
-                (_hash64(s) for s in shs), dtype=np.uint64, count=len(shs)
+        didx, shs = _doc_shingles(df["text"].to_numpy())
+        if len(shs) == 0:
+            return pd.DataFrame(
+                {"band_key": pd.Series(dtype=np.uint64),
+                 "doc_id": pd.Series(dtype=np.int64),
+                 "n_doc": pd.Series(dtype=np.int64)}
             )
-            # (a*h + b) mod 2^64 universal-ish hashing, vectorized:
-            # matrix perms x shingles via outer broadcast, then min
-            m = (hv[None, :] * a[:, None] + b[:, None]).min(axis=1)
-            bands = m.reshape(_MH_BANDS, -1)
-            for bi in range(_MH_BANDS):
-                bh = hashlib.md5(bands[bi].tobytes()).hexdigest()[:16]
-                rows["band"].append(bi)
-                rows["band_hash"].append(bh)
-                rows["doc_id"].append(doc_id)
-                rows["n_doc"].append(len(shs))
-        return pd.DataFrame(rows)
+        starts = np.concatenate(([0], np.nonzero(didx[1:] != didx[:-1])[0] + 1))
+        doc_pos = didx[starts]  # rows of df that have >= 1 shingle
+        counts = np.diff(np.concatenate((starts, [len(didx)]))).astype(np.int64)
+        D = len(starts)
+        sig = np.empty((_MH_PERMS, D), dtype=np.uint64)
+        for c0 in range(0, _MH_PERMS, 16):  # chunk perms: bounds the matrix
+            A = self.a[c0 : c0 + 16, None]
+            B = self.b[c0 : c0 + 16, None]
+            sig[c0 : c0 + 16] = np.minimum.reduceat(
+                shs[None, :] * A + B, starts, axis=1
+            )
+        rows_per_band = _MH_PERMS // _MH_BANDS
+        bands = sig.reshape(_MH_BANDS, rows_per_band, D)
+        bh = np.zeros((_MH_BANDS, D), dtype=np.uint64)
+        for r in range(rows_per_band):
+            bh = (bh ^ bands[:, r, :]) * _PHI + _PHI2
+        bh ^= (np.arange(_MH_BANDS, dtype=np.uint64)[:, None] + np.uint64(1)) * _PHI2
+        doc_ids = df["doc_id"].to_numpy()[doc_pos]
+        return pd.DataFrame(
+            {
+                "band_key": bh.ravel(),
+                "doc_id": np.tile(doc_ids, _MH_BANDS),
+                "n_doc": np.tile(counts, _MH_BANDS),
+            }
+        )
+
+
+def _lsh_candidates(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket: same-band-key docs → candidate pairs (deduped)."""
+    key = df["band_key"].to_numpy()
+    ids = df["doc_id"].to_numpy()
+    order = np.lexsort((ids, key))
+    k, i = key[order], ids[order]
+    boundary = np.nonzero(k[1:] != k[:-1])[0] + 1
+    starts = np.concatenate(([0], boundary))
+    sizes = np.diff(np.concatenate((starts, [len(k)])))
+    outs = []
+    for st, sz in zip(starts, sizes):
+        if sz < 2:
+            continue
+        gi = i[st : st + sz]
+        iu, ju = np.triu_indices(sz, k=1)
+        outs.append(np.stack((gi[iu], gi[ju]), axis=1))
+    if not outs:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+        )
+    arr = np.unique(np.concatenate(outs), axis=0)
+    return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1]})
+
+
+def _doc_set_rows(df: pd.DataFrame) -> pa.Table:
+    """docs batch → (a=doc_id, b=-1, sa=shingle hashes, na=|set|) rows
+    in the unified verify-exchange schema."""
+    didx, shs = _doc_shingles(df["text"].to_numpy())
+    n = len(df)
+    cnt = np.bincount(didx, minlength=n).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(cnt))).astype(np.int64)
+    la = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(shs, type=pa.uint64())
+    )
+    ids = df["doc_id"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "a": pa.array(ids),
+            "b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "sa": la,
+            "na": pa.array(cnt),
+            "bucket": pa.array(_bucket_of_i64(ids, NUM_BUCKETS)),
+        }
+    )
+
+
+def _empty_verify_table() -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "sa": pa.array([], type=pa.list_(pa.uint64())),
+            "na": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int32()),
+        }
+    )
+
+
+def _verify_pairs_distributed(cand_ds, docs_ds, tau: float) -> pd.DataFrame:
+    """Exact-Jaccard verification of candidate pairs, zero driver
+    materialization: two hash exchanges attach each side's shingle set
+    (pairs keyed by a, then by b, co-bucketed with the doc-set rows),
+    then a vectorized tagged-merge intersection computes J per pair."""
+
+    def cand_rows(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _empty_verify_table()
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "sa": pa.array([None] * len(a), type=pa.list_(pa.uint64())),
+                "na": pa.array(np.zeros(len(a), dtype=np.int64)),
+                "bucket": pa.array(_bucket_of_i64(a, NUM_BUCKETS)),
+            }
+        )
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_verify_table()
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_doc = b == -1
+        td = t.filter(pa.array(is_doc))
+        tc = t.filter(pa.array(~is_doc))
+        if tc.num_rows == 0:
+            return _empty_verify_table()
+        da = td["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(da, kind="stable")
+        da_sorted = da[order]
+        sets_sorted = td["sa"].combine_chunks().take(pa.array(order))
+        na_sorted = td["na"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        # dedupe candidates (same (a,b) from several bands lands here)
+        ca = tc["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = tc["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        arr = np.unique(np.stack((ca, cb), axis=1), axis=0)
+        ca, cb = arr[:, 0], arr[:, 1]
+        idx = np.searchsorted(da_sorted, ca)
+        return pa.table(
+            {
+                "a": pa.array(ca),
+                "b": pa.array(cb),
+                "sa": sets_sorted.take(pa.array(idx)),
+                "na": pa.array(na_sorted[idx]),
+                "bucket": pa.array(_bucket_of_i64(cb, NUM_BUCKETS)),
+            }
+        )
+
+    def verify_b(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "j": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_doc = b == -1
+        td = t.filter(pa.array(is_doc))
+        tc = t.filter(pa.array(~is_doc))
+        if tc.num_rows == 0:
+            return empty
+        da = td["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(da, kind="stable")
+        da_sorted = da[order]
+        dsets = td["sa"].combine_chunks().take(pa.array(order))
+        dn = td["na"].combine_chunks().to_numpy(zero_copy_only=False)[order]
+        ca = tc["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        cb = tc["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        sa = tc["sa"].combine_chunks()
+        na = tc["na"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(da_sorted, cb)
+        sb = dsets.take(pa.array(idx))
+        nb = dn[idx]
+        # vectorized intersection: tag every shingle with its pair index,
+        # sort, count adjacent duplicates within a pair (each side is a
+        # distinct set, so a duplicate == an intersection member)
+        P = len(ca)
+        fa = sa.flatten().to_numpy(zero_copy_only=False)
+        fb = sb.flatten().to_numpy(zero_copy_only=False)
+        tags = np.concatenate(
+            (np.repeat(np.arange(P, dtype=np.int64), na),
+             np.repeat(np.arange(P, dtype=np.int64), nb))
+        )
+        allh = np.concatenate((fa, fb))
+        o = np.lexsort((allh, tags))
+        ts_, hs_ = tags[o], allh[o]
+        dup = (ts_[1:] == ts_[:-1]) & (hs_[1:] == hs_[:-1])
+        inter = np.bincount(ts_[1:][dup], minlength=P)
+        j = np.round(inter / (na + nb - inter), 6)
+        keep = j >= tau
+        return pa.table(
+            {
+                "a": pa.array(ca[keep]),
+                "b": pa.array(cb[keep]),
+                "j": pa.array(j[keep]),
+            }
+        )
+
+    doc_rows = docs_ds.map_batches(_doc_set_rows, batch_format="pandas")
+    stage1_in = cand_ds.map_batches(cand_rows, batch_format="pandas").union(doc_rows)
+    stage1 = hash_exchange(stage1_in, "bucket", NUM_BUCKETS, attach_a)
+    # doc-set rows recomputed for stage 2 (at scale: a second cheap pass
+    # over the corpus beats materializing every shingle set)
+    doc_rows2 = docs_ds.map_batches(_doc_set_rows, batch_format="pandas")
+    stage2_in = stage1.union(doc_rows2)
+    out = hash_exchange(stage2_in, "bucket", NUM_BUCKETS, verify_b).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "j": pd.Series(dtype=np.float64)}
+        )
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH candidate pairs verified with exact Jaccard >= tau.
 
-    The verification joins candidate pairs back to shingle sets by
-    re-reading the docs (broadcast here — at scale the verify is another
-    bucket shuffle keyed on doc_id).  Output shape matches
-    q_jaccard_pairs; recall is checked against it in tests.
+    Every stage is a Ray stage: band rows (actor-pool MinHasher) →
+    band-key bucket shuffle → candidate pairs → two-exchange distributed
+    verify (shingle sets attached per side, never collected).  Output
+    shape matches q_jaccard_pairs; recall is pytest-checked against it.
     """
     ds = _read_docs(sf_dir)
     band_rows = ds.map_batches(
         MinHasher, batch_format="pandas", batch_size=1024, concurrency=2
     )
 
-    def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in df.groupby(["band", "band_hash"], sort=False):
-            if len(g) < 2:
-                continue
-            ids = np.sort(g["doc_id"].to_numpy())
-            iu, ju = np.triu_indices(len(ids), k=1)
-            out.append(pd.DataFrame({"a": ids[iu], "b": ids[ju]}))
-        if not out:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
-            )
-        return pd.concat(out, ignore_index=True).drop_duplicates()
-
-    def add_band_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["bucket"] = _bucket_of_str(df["band_hash"])
+        df["bucket"] = _bucket_of_u64(df["band_key"].to_numpy())
         return df
 
-    cand = (
-        band_rows.map_batches(add_band_bucket, batch_format="pandas")
+    cand_ds = (
+        band_rows.map_batches(add_bucket, batch_format="pandas")
         .groupby("bucket")
-        .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(["a", "b"])
+        .map_groups(_lsh_candidates, batch_format="pandas")
     )
-    if cand.empty:
-        return pd.DataFrame(
-            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
-             "j": pd.Series(dtype=np.float64)}
-        )
-
-    # exact verification (small side broadcast: doc_id → shingle set)
-    docs = _read_docs(sf_dir).to_pandas()
-    sets = {d: set(_bigrams(t)) for d, t in zip(docs["doc_id"], docs["text"])}
-    j = []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = sets[a], sets[b]
-        inter = len(sa & sb)
-        j.append(round(inter / (len(sa) + len(sb) - inter), 6))
-    cand = cand.assign(j=j)
-    cand = cand[cand["j"] >= JACCARD_TAU]
-    cand["a"] = cand["a"].astype(np.int64)
-    cand["b"] = cand["b"].astype(np.int64)
-    return cand.sort_values(["a", "b"]).reset_index(drop=True)
+    return _verify_pairs_distributed(cand_ds, _read_docs(sf_dir), JACCARD_TAU)
 
 
 # ---------------------------------------------------------------------------
@@ -336,31 +567,33 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _simhash64(tokens: list[str]) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for t in set(tokens):
-        h = _hash64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
-
-
 def q_simhash(sf_dir: str) -> pd.DataFrame:
-    """64-bit SimHash per doc (over word bigrams) + hamming-candidate
-    pairs <= 3 bits via 4-way band pigeonhole."""
+    """64-bit SimHash per doc over distinct word bigrams — vectorized:
+    the ±1 bit contributions of every shingle in the batch accumulate via
+    one reduceat along the doc axis (no per-doc or per-token loop)."""
     ds = _read_docs(sf_dir)
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
-        vals = [_simhash64(_bigrams(t)) for t in df["text"]]
+        n = len(df)
+        packed = np.zeros(n, dtype=np.uint64)
+        didx, shs = _doc_shingles(df["text"].to_numpy())
+        if len(shs):
+            bits = (
+                (shs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int32)
+            contrib = 2 * bits - 1  # S x 64 in {-1, +1}
+            starts = np.concatenate(
+                ([0], np.nonzero(didx[1:] != didx[:-1])[0] + 1)
+            )
+            sums = np.add.reduceat(contrib, starts, axis=0)  # D x 64
+            hv = (sums > 0).astype(np.uint64)
+            vals = np.bitwise_or.reduce(
+                hv << np.arange(64, dtype=np.uint64)[None, :], axis=1
+            )
+            packed[didx[starts]] = vals
         return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "simhash": [f"{v:016x}" for v in vals],
-            }
+            {"doc_id": df["doc_id"], "simhash": [f"{v:016x}" for v in packed]}
         )
 
     return (
@@ -384,42 +617,45 @@ _LANG_MARKERS = {
 
 
 class LangQuality:
-    """Actor-pool text-analysis stage: stopword tables + marker sets are
-    actor state; scoring is per-batch pandas."""
+    """Actor-pool text-analysis stage: marker sets are actor state; the
+    scoring is vectorized pandas/numpy (explode + grouped reductions),
+    no per-row Python."""
 
     def __init__(self):
         self.markers = _LANG_MARKERS
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        preds, quals = [], []
-        for text in df["text"]:
-            toks = text.split(" ")
-            low = [t.lower() for t in toks]
-            ls = set(low)
-            best, best_n = "en", 0
-            for lang, markers in self.markers.items():
-                n = len(ls & markers)
-                if n > best_n:
-                    best, best_n = lang, n
-            if any("一" <= ch <= "鿿" for ch in text):
-                best = "zh"
-            preds.append(best)
-            n_tok = max(len(toks), 1)
-            mean_len = sum(len(t) for t in toks) / n_tok
-            uniq_ratio = len(ls) / n_tok
-            punct = sum(not ch.isalnum() and not ch.isspace() for ch in text)
-            punct_ratio = punct / max(len(text), 1)
-            # simple bounded quality score: favors diverse, word-sized
-            # tokens with little punctuation
-            q = (
-                min(n_tok / 100.0, 1.0) * 0.3
-                + uniq_ratio * 0.3
-                + max(0.0, 1.0 - abs(mean_len - 5.0) / 5.0) * 0.2
-                + max(0.0, 1.0 - punct_ratio * 5) * 0.2
-            )
-            quals.append(round(q, 6))
+        df = df.reset_index(drop=True)
+        s = df["text"]
+        toks = s.str.split(" ")
+        n_tok = toks.str.len().clip(lower=1).astype(np.int64)
+        low = toks.explode().str.lower()
+        # distinct (doc, lowercase token) pairs
+        u = low.reset_index().drop_duplicates()
+        u.columns = ["doc", "tok"]
+        votes = np.zeros((len(df), len(self.markers)), dtype=np.int64)
+        for li, (lang, markers) in enumerate(self.markers.items()):
+            hits = u.loc[u["tok"].isin(markers), "doc"].value_counts()
+            votes[hits.index.to_numpy(), li] = hits.to_numpy()
+        langs = np.array(list(self.markers.keys()))
+        preds = langs[votes.argmax(axis=1)]  # all-zero → first key ("en")
+        zh = s.str.contains("[一-鿿]", regex=True, na=False).to_numpy()
+        preds = np.where(zh, "zh", preds)
+
+        char_sum = low.str.len().groupby(level=0).sum().reindex(df.index, fill_value=0)
+        mean_len = char_sum.to_numpy() / n_tok.to_numpy()
+        uniq = u.groupby("doc").size().reindex(df.index, fill_value=0).to_numpy()
+        uniq_ratio = uniq / n_tok.to_numpy()
+        punct = (s.str.count(r"[^\w\s]") + s.str.count("_")).to_numpy()
+        punct_ratio = punct / np.maximum(s.str.len().to_numpy(), 1)
+        q = (
+            np.minimum(n_tok.to_numpy() / 100.0, 1.0) * 0.3
+            + uniq_ratio * 0.3
+            + np.maximum(0.0, 1.0 - np.abs(mean_len - 5.0) / 5.0) * 0.2
+            + np.maximum(0.0, 1.0 - punct_ratio * 5) * 0.2
+        )
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "pred_lang": preds, "quality": quals}
+            {"doc_id": df["doc_id"], "pred_lang": preds, "quality": np.round(q, 6)}
         )
 
 
@@ -440,26 +676,40 @@ def q_lang_quality(sf_dir: str) -> pd.DataFrame:
 
 def q_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pd.DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
-    k-gram rolling hashes, per-window minimum selection."""
+    k-gram hashes + per-window minimum selection.  Token hashing is one
+    cython pass per batch; the window minimum is a vectorized
+    sliding_window_view argmin per doc."""
     ds = _read_docs(sf_dir)
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        flat = toks.explode().to_numpy(dtype=object)
+        th = pd.util.hash_array(flat).astype(np.uint64)
+        tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         n_fps, fp_hash = [], []
-        for text in df["text"]:
-            toks = text.split(" ")
-            grams = [" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))]
-            hs = [_hash64(g) for g in grams]
-            picks = set()
-            for i in range(max(len(hs) - w + 1, 0)):
-                window = hs[i : i + w]
-                picks.add(min(range(len(window)), key=lambda j: window[j]) + i)
-            fps = sorted(hs[i] for i in picks)
+        for st, cnt in zip(tok_starts, counts):
+            hs_tok = th[st : st + cnt]
+            ng = cnt - k + 1
+            if ng <= 0:
+                hs = np.array([], dtype=np.uint64)
+            else:
+                hs = np.zeros(ng, dtype=np.uint64)
+                for j in range(k):  # k tiny (5): k vectorized passes
+                    hs = hs * _PHI ^ hs_tok[j : j + ng]
+            if len(hs) == 0:
+                picks = np.array([], dtype=np.int64)
+            elif len(hs) <= w:
+                picks = np.array([int(np.argmin(hs))])
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(hs, w)
+                picks = np.unique(win.argmin(axis=1) + np.arange(len(win)))
+            fps = np.sort(hs[picks])
             n_fps.append(len(fps))
-            fp_hash.append(
-                hashlib.md5(np.array(fps, dtype=np.uint64).tobytes()).hexdigest()[:16]
-            )
+            fp_hash.append(hashlib.md5(fps.tobytes()).hexdigest()[:16])
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "n_fingerprints": np.array(n_fps, dtype=np.int64),
+            {"doc_id": df["doc_id"],
+             "n_fingerprints": np.array(n_fps, dtype=np.int64),
              "fp_hash": fp_hash}
         )
 
@@ -485,8 +735,7 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
 
     The scale pattern: normalize + matmul per batch against the
     broadcast query matrix (ray.put once), local top-k per batch, tiny
-    global reduce.  An IVF/LSH variant for huge corpora is
-    q_embed_neardup's bucketing."""
+    global reduce."""
     emb = _read_emb(sf_dir)
     qrow = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -518,8 +767,8 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     """All-pairs cosine >= tau via batch x broadcast-matrix matmul.
 
     The full normalized matrix is broadcast (ray.put) — right-sized for
-    dimension tables; at true 100 TB scale swap in the hyperplane-LSH
-    bucket shuffle (same bucket pattern as the Jaccard pipeline)."""
+    dimension tables and used as the small-side ORACLE for the LSH scale
+    path (q_embed_neardup_lsh is the 100 TB shape)."""
     emb = _read_emb(sf_dir).to_pandas().sort_values("vec_id")
     ids = emb["vec_id"].to_numpy(dtype=np.int64)
     M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
@@ -632,6 +881,7 @@ ORACLES = {
 
 _IVF_LISTS = 16
 _IVF_PROBES = 4
+_IVF_SAMPLE = 4096  # centroid-training sample size (broadcast)
 # Hyperplane LSH: T tables of B bits. The bench threshold (cosine 0.45,
 # theta ~63 deg, per-bit agreement ~0.65) is a deliberately WEAK
 # similarity, so recall needs many short tables (16 x 4: ~96% per-pair);
@@ -639,12 +889,12 @@ _IVF_PROBES = 4
 # suffice and the candidate volume collapses.
 _LSH_TABLES = 16
 _LSH_BITS = 4
+_LSH_SEED = 29
 
 
 def _kmeans_lite(M: np.ndarray, k: int, iters: int = 5, seed: int = 13) -> np.ndarray:
-    """Deterministic small k-means (numpy) for the IVF coarse quantizer.
-    At 100 TB the centroids are trained on a sample and broadcast; here
-    the sample is the (small) embeddings table itself."""
+    """Deterministic small k-means (numpy) for the IVF coarse quantizer —
+    trained on a bounded SAMPLE of the corpus, then broadcast."""
     rng = np.random.default_rng(seed)
     C = M[rng.choice(len(M), size=min(k, len(M)), replace=False)].copy()
     for _ in range(iters):
@@ -663,20 +913,23 @@ def _kmeans_lite(M: np.ndarray, k: int, iters: int = 5, seed: int = 13) -> np.nd
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF-bucketed ANN top-k — the scale path for q_ann_topk.
 
-    Plan: train/broadcast centroids → assign vectors to inverted lists
-    inside map_batches (batch x centroid matmul) → probe the query's
-    top-P lists → exact cosine rerank of candidates only.  Rows-only
-    driver check; recall vs brute force is pytest-asserted (>=0.8).
+    Plan: train centroids on a bounded deterministic sample
+    (``limit(_IVF_SAMPLE)`` — never the full table) → broadcast → assign
+    vectors to inverted lists inside map_batches (batch x centroid
+    matmul) → probe the query's top-P lists → exact cosine rerank of
+    candidates only.  Rows-only driver check; recall vs brute force is
+    pytest-asserted (>=0.8).
     """
-    emb = _read_emb(sf_dir).to_pandas().sort_values("vec_id")
-    ids = emb["vec_id"].to_numpy(dtype=np.int64)
-    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    C = _kmeans_lite(M, _IVF_LISTS)
+    sample = _read_emb(sf_dir).limit(_IVF_SAMPLE).to_pandas().sort_values("vec_id")
+    S = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    C = _kmeans_lite(S, _IVF_LISTS)
     cref = ray.put(C)
 
-    qid = int(ids[0])
-    qv = M[0]
+    qrow = _read_emb(sf_dir).sort("vec_id").limit(1).to_pandas()
+    qid = int(qrow["vec_id"].iloc[0])
+    qv = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qv /= np.linalg.norm(qv)
     probe_lists = np.argsort(-(C @ qv))[:_IVF_PROBES]
     probes = set(int(p) for p in probe_lists)
 
@@ -702,37 +955,137 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embed_neardup_lsh(sf_dir: str) -> pd.DataFrame:
-    """Hyperplane-LSH near-duplicate pairs — the bucketed scale path for
-    q_embed_neardup: sign-bit sketches route vectors into buckets (multi-
-    probe over 1-bit flips), exact cosine verifies candidates, so
-    precision is 1.0 and only recall is approximate (pytest >= 0.9)."""
-    emb = _read_emb(sf_dir).to_pandas().sort_values("vec_id")
-    ids = emb["vec_id"].to_numpy(dtype=np.int64)
-    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    rng = np.random.default_rng(29)
-    pairs = set()
-    for table in range(_LSH_TABLES):
-        H = rng.normal(size=(_LSH_BITS, M.shape[1]))
-        bits = (M @ H.T) > 0
-        codes = (bits * (1 << np.arange(_LSH_BITS))).sum(axis=1)
-        buckets: dict[int, list[int]] = {}
-        for i, c in enumerate(codes):
-            buckets.setdefault(int(c), []).append(i)
-        for members in buckets.values():
-            arr = np.array(members)
-            iu, ju = np.triu_indices(len(arr), k=1)
-            pairs.update(zip(arr[iu].tolist(), arr[ju].tolist()))
-    if not pairs:
+    """Hyperplane-LSH near-duplicate pairs — the bucketed 100 TB path for
+    q_embed_neardup, now real Ray stages end-to-end:
+
+      1. map_batches: normalize each batch, compute T sign-bit codes per
+         vector (batch x hyperplane matmul; hyperplanes regenerated from
+         a fixed seed per worker — no broadcast needed), emit one row per
+         (table, code) with the normalized vector attached;
+      2. hash exchange keyed (table, code): each bucket holds complete
+         LSH buckets → per-bucket pairwise cosine (matmul) emits verified
+         pairs >= tau;
+      3. tiny second exchange keyed on the pair → cross-table dedupe.
+
+    Precision is 1.0 (exact cosine verification in stage 2); recall is
+    pytest-asserted >= 0.9 vs the exact q_embed_neardup oracle.  The x16
+    vector duplication on the wire is the standard LSH trade; at real
+    scale bits grow with log2(N/bucket_target) to bound bucket sizes.
+    """
+
+    def sketch(df: pd.DataFrame) -> pa.Table:
+        B = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        n, dim = B.shape
+        rng = np.random.default_rng(_LSH_SEED)  # same planes on every worker
+        tables, codes, out_ids, rows = [], [], [], []
+        vec_idx = []
+        for ti in range(_LSH_TABLES):
+            H = rng.normal(size=(_LSH_BITS, dim))
+            bits = (B @ H.T) > 0
+            code = (bits * (1 << np.arange(_LSH_BITS))).sum(axis=1).astype(np.int64)
+            tables.append(np.full(n, ti, dtype=np.int64))
+            codes.append(code)
+            out_ids.append(ids)
+            vec_idx.append(np.arange(n, dtype=np.int64))
+        t_arr = np.concatenate(tables)
+        c_arr = np.concatenate(codes)
+        i_arr = np.concatenate(out_ids)
+        v_idx = np.concatenate(vec_idx)
+        key = t_arr * (1 << _LSH_BITS) + c_arr
+        flat = B[v_idx].ravel()
+        offsets = np.arange(len(i_arr) + 1, dtype=np.int64) * dim
+        vecs = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.float64())
+        )
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "vec_id": pa.array(i_arr),
+                "vec": vecs,
+                "bucket": pa.array(_bucket_of_i64(key, NUM_BUCKETS)),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "sim": pa.array([], type=pa.float64()),
+                "pbucket": pa.array([], type=pa.int32()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        key = t["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        flat = t["vec"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(ids)
+        M = flat.reshape(len(ids), dim)
+        order = np.lexsort((ids, key))
+        key, ids, M = key[order], ids[order], M[order]
+        starts = np.concatenate(([0], np.nonzero(key[1:] != key[:-1])[0] + 1))
+        sizes = np.diff(np.concatenate((starts, [len(key)])))
+        outs_a, outs_b, outs_s = [], [], []
+        for st, sz in zip(starts, sizes):
+            if sz < 2:
+                continue
+            G = M[st : st + sz]
+            gi = ids[st : st + sz]
+            S = G @ G.T
+            iu, ju = np.triu_indices(sz, k=1)
+            sim = np.round(S[iu, ju], 6)
+            keep = sim >= COSINE_TAU
+            outs_a.append(gi[iu][keep])
+            outs_b.append(gi[ju][keep])
+            outs_s.append(sim[keep])
+        if not outs_a:
+            return empty
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        s = np.concatenate(outs_s)
+        h = a.astype(np.uint64) * _PHI ^ b.astype(np.uint64)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "sim": pa.array(s),
+                "pbucket": pa.array((h % np.uint64(8)).astype(np.int32)),
+            }
+        )
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = t["sim"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, s = a[order], b[order], s[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "sim": pa.array(s[keep])}
+        )
+
+    sketched = _read_emb(sf_dir).map_batches(sketch, batch_format="pandas")
+    pairs = hash_exchange(sketched, "bucket", NUM_BUCKETS, bucket_pairs)
+    out = hash_exchange(pairs, "pbucket", 8, dedupe).to_pandas()
+    if out.empty:
         return pd.DataFrame(
             {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
              "sim": pd.Series(dtype=np.float64)}
         )
-    ii = np.array([p[0] for p in pairs])
-    jj = np.array([p[1] for p in pairs])
-    sims = np.round((M[ii] * M[jj]).sum(axis=1), 6)
-    keep = sims >= COSINE_TAU
-    out = pd.DataFrame({"a": ids[ii[keep]], "b": ids[jj[keep]], "sim": sims[keep]})
+    out["a"] = out["a"].astype(np.int64)
+    out["b"] = out["b"].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -744,33 +1097,33 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Duplicate clusters: connected components over the exact Jaccard
     pair graph (>= tau), labeled by the minimum doc_id in the component.
 
-    Distributed plan: iterative min-label propagation over the pair
-    list (each round is a groupby-min — the standard scalable CC loop;
-    rounds needed = graph diameter, tiny for near-dup clusters).  The
-    oracle expresses the same closure with a recursive CTE.
+    Distributed plan: the pair Dataset feeds
+    ``stages.graph.connected_components`` — min-label propagation rounds
+    as hash exchanges (no driver edge loop); the resulting label table
+    (bounded by the number of DUPLICATE docs, not the corpus) broadcasts
+    into one map_batches over the documents table.  The oracle expresses
+    the same closure with a recursive CTE.
     """
-    pairs = q_jaccard_pairs(sf_dir)
-    docs = _read_docs(sf_dir).to_pandas()["doc_id"]
-    label = {int(d): int(d) for d in docs}
-    edges = [(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])]
-    changed = True
-    while changed:
-        changed = False
-        for a, b in edges:
-            la, lb = label[a], label[b]
-            m = min(la, lb)
-            if la != m:
-                label[a] = m
-                changed = True
-            if lb != m:
-                label[b] = m
-                changed = True
-    out = pd.DataFrame(
-        {"doc_id": list(label.keys()), "cluster_id": list(label.values())}
+    from ..stages.graph import connected_components
+
+    pairs_ds = _jaccard_pairs_ds(_read_docs(sf_dir), JACCARD_TAU, MAX_DF)
+    labels = connected_components(pairs_ds, num_buckets=8)
+    lmap_ref = ray.put(dict(zip(labels["node"], labels["label"])))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lmap_ref)
+        ids = df["doc_id"].astype(np.int64)
+        lab = ids.map(m).fillna(ids).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "cluster_id": lab})
+
+    out = (
+        _read_docs(sf_dir)
+        .map_batches(attach, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )
-    out["doc_id"] = out["doc_id"].astype(np.int64)
-    out["cluster_id"] = out["cluster_id"].astype(np.int64)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return out
 
 
 QUERIES["dedup_clusters"] = q_dedup_clusters

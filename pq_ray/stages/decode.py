@@ -54,6 +54,16 @@ def _series_id_lut() -> dict[str, np.ndarray]:
     return luts
 
 
+def _source_codes(source: pa.Array, code_map: dict[str, int]) -> np.ndarray:
+    """source column → int codes via dictionary indices: one Python
+    lookup per DISTINCT source (a handful), not per row."""
+    if isinstance(source, pa.ChunkedArray):
+        source = source.combine_chunks()
+    enc = source.dictionary_encode()
+    lut = np.array([code_map[s] for s in enc.dictionary.to_pylist()], dtype=np.int64)
+    return lut[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 def _doc_hashes(doc_ids: pa.Array) -> np.ndarray:
     """Vector of stable_hash64 per doc_id.
 
@@ -101,9 +111,7 @@ class DecodeTokens:
         t_doc = EPOCH0_MS + ((hashes % T_SPAN_MS) // 1000) * 1000
         t_doc = t_doc.astype(np.int64)
         shard = (hashes % N_SHARDS).astype(np.int32)
-        src_codes = np.fromiter(
-            (self._src_code[s] for s in source.to_pylist()), dtype=np.int64, count=n
-        )
+        src_codes = _source_codes(source, self._src_code)
         combo = src_codes * N_SHARDS + shard
 
         counts = batch.column("n_tok").combine_chunks().to_numpy().astype(np.int64)
@@ -284,9 +292,7 @@ class DecodeToPartials:
         hashes = _doc_hashes(doc_ids)
         t_doc = (EPOCH0_MS + ((hashes % T_SPAN_MS) // 1000) * 1000).astype(np.int64)
         shard = (hashes % N_SHARDS).astype(np.int32)
-        src_codes = np.fromiter(
-            (self._src_code[s] for s in source.to_pylist()), dtype=np.int64, count=n
-        )
+        src_codes = _source_codes(source, self._src_code)
         combo = src_codes * N_SHARDS + shard
 
         counts = batch.column("n_tok").combine_chunks().to_numpy().astype(np.int64)

@@ -160,3 +160,64 @@ def test_dedup_clusters_planted(ray_session, tmp_path):
     lbl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert lbl[10] == lbl[11] == lbl[12] == 10
     assert lbl[13] == 13
+
+
+def test_connected_components_long_chain(ray_session):
+    """>2-hop chain: propagation needs multiple rounds to reach the end."""
+    from pq_ray.stages.graph import connected_components
+
+    edges = pd.DataFrame(
+        {"a": [1, 2, 3, 4, 5, 100], "b": [2, 3, 4, 5, 6, 101]}
+    )
+    out = connected_components(rd.from_pandas(edges), num_buckets=4)
+    lbl = dict(zip(out["node"], out["label"]))
+    assert all(lbl[n] == 1 for n in range(1, 7))
+    assert lbl[100] == lbl[101] == 100
+
+
+def test_connected_components_empty(ray_session):
+    from pq_ray.stages.graph import connected_components
+
+    out = connected_components(
+        rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                     "b": pd.Series(dtype=np.int64)})),
+        num_buckets=4,
+    )
+    assert len(out) == 0
+
+
+def test_jaccard_max_df_caps_hot_shingles(ray_session):
+    """A stopword bigram shared by every doc must not explode pair
+    emission when max_df is set; with the cap off the oracle-exact pairs
+    come back."""
+    import pyarrow as pa
+
+    from pq_ray.pipelines.training import _jaccard_pairs_from_ds
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(400)]
+    # every doc starts with the same hot bigram "of the"
+    docs = ["of the " + " ".join(rng.choice(vocab, size=40)) for _ in range(40)]
+    docs.append(docs[0])  # one exact dup pair
+    table = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                      "text": pa.array(docs)})
+    ds = rd.from_arrow(table)
+    uncapped = _jaccard_pairs_from_ds(ds, 0.3)
+    capped = _jaccard_pairs_from_ds(ds, 0.3, max_df=10)
+    # the planted dup survives the cap (it shares 40 rare bigrams)
+    assert (0, 40) in set(zip(capped["a"], capped["b"]))
+    assert set(zip(capped["a"], capped["b"])) <= set(zip(uncapped["a"], uncapped["b"]))
+
+
+def test_minhash_verify_is_distributed(ray_session, tmp_path):
+    """The exact-verify step must not materialize the docs table on the
+    driver (no Dataset.to_pandas before the verify exchanges)."""
+    import inspect
+
+    from pq_ray.pipelines import training
+
+    src = inspect.getsource(training.q_minhash_pairs)
+    assert "to_pandas" not in src  # collect happens inside _verify_pairs_distributed
+    src2 = inspect.getsource(training._verify_pairs_distributed)
+    # only the final (tiny) pair table is collected
+    assert src2.count("to_pandas") == 1
