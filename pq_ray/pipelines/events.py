@@ -19,12 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..stages.rollup import (
-    CombinePartials,
-    PartialAggBatch,
-    _add_bucket,
-    window_floor,
-)
+from ..stages.rollup import window_floor
 
 MINUTE_MS = 60_000
 HOUR_MS = 3_600_000
@@ -87,6 +82,17 @@ def _event_type_map(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def rollup_events_numeric(sf_dir: str, interval_ms: int = MINUTE_MS):
+    """Numeric rollup points (no labels) + the tiny series_id→event_type
+    broadcast map.  Blocks stay Arrow through the exchange."""
+    from ..stages.rollup import rollup_numeric
+
+    ds = read_events(sf_dir)
+    samples = ds.map_batches(_to_samples, batch_format="pyarrow")
+    pts = rollup_numeric(samples, interval_ms, num_buckets=16)
+    return pts, _event_type_map(sf_dir)
+
+
 def rollup_events(sf_dir: str, interval_ms: int = MINUTE_MS):
     """Windowed partial-aggregate rollup of event values by event_type.
 
@@ -95,12 +101,7 @@ def rollup_events(sf_dir: str, interval_ms: int = MINUTE_MS):
     label re-attach from the broadcast map. Blocks stay Arrow through
     the exchange (see pipelines/cascade.py for the measurements).
     """
-    from ..stages.rollup import rollup_numeric
-
-    ds = read_events(sf_dir)
-    samples = ds.map_batches(_to_samples, batch_format="pyarrow")
-    pts = rollup_numeric(samples, interval_ms, num_buckets=16)
-    label_df = _event_type_map(sf_dir)
+    pts, label_df = rollup_events_numeric(sf_dir, interval_ms)
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         return df.merge(label_df, on="series_id", sort=False)
@@ -124,24 +125,48 @@ def q_rollup_1m(sf_dir: str) -> pd.DataFrame:
 def q_rollup_1h_cascade(sf_dir: str) -> pd.DataFrame:
     """1h rollup computed by RE-AGGREGATING the 1m tier's partials (the
     continuous-aggregate path); oracle aggregates raw rows directly —
-    matching proves the cascade is exact."""
-    pts_1m = rollup_events(sf_dir, MINUTE_MS)
+    matching proves the cascade is exact.  The re-aggregation rides the
+    same Arrow hash exchange as the 1m rollup (labels re-attached once,
+    after the combine — numeric-only blocks on the wire)."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.rollup import AGG_COLS, np_combine_partials
 
-    def rewindow(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["window_ts"] = window_floor(df["window_ts"].to_numpy(), HOUR_MS)
-        return _add_bucket(df, 16)
+    pts_1m, label_df = rollup_events_numeric(sf_dir, MINUTE_MS)
+    numeric_cols = ["series_id", "window_ts", *AGG_COLS]
 
-    combiner = CombinePartials(label_cols=["event_type"])
+    def rewindow(t: pa.Table) -> pa.Table:
+        w = window_floor(
+            t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False), HOUR_MS
+        )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = sid.astype(np.uint64) ^ (
+            w.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        t = t.set_column(
+            t.schema.get_field_index("window_ts"), "window_ts", pa.array(w)
+        )
+        return t.append_column(
+            "bucket", pa.array(((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32))
+        )
 
-    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return combiner(df)
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: t[c].slice(0, 0) for c in numeric_cols})
+        cols = {
+            c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            for c in numeric_cols
+        }
+        out = np_combine_partials(cols)
+        tbl = {c: pa.array(out[c]) for c in numeric_cols}
+        tbl["series_id"] = pa.array(out["series_id"], type=pa.uint64())
+        return pa.table(tbl)
 
     df = (
-        pts_1m.map_batches(rewindow, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(combine_bucket, batch_format="pandas")
+        hash_exchange(
+            pts_1m.map_batches(rewindow, batch_format="pyarrow"), "bucket", 16, combine
+        )
         .to_pandas()
+        .merge(label_df, on="series_id", sort=False)
     )
     out = df[["window_ts", "event_type", "sum", "count", "min", "max"]].copy()
     out.columns = ["window_ts", "event_type", "sum_value", "n", "min_value", "max_value"]

@@ -192,6 +192,24 @@ def _add_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
     return df
 
 
+def _labeled_reduce_fn(label_cols: list[str] | None):
+    """Per-bucket Arrow reduce for the labeled exchange: numeric combine
+    via np_combine_partials + positional label re-attach (labels are a
+    function of series_id, deduped inside the bucket)."""
+    combiner = CombinePartials(label_cols)
+    out_cols = ["series_id", "window_ts", *combiner.label_cols, *AGG_COLS]
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            drop = [c for c in t.schema.names if c == "bucket"]
+            return (t.drop_columns(drop) if drop else t).select(
+                [c for c in out_cols if c in t.schema.names]
+            )
+        return pa.Table.from_pandas(combiner(t.to_pandas()), preserve_index=False)
+
+    return reduce_fn
+
+
 def rollup(
     ds,
     interval_ms: int,
@@ -203,26 +221,25 @@ def rollup(
 ):
     """samples Dataset → rollup points Dataset at ``interval_ms``.
 
-    One all-to-all exchange (the bucket groupby); everything else is
-    embarrassingly parallel map_batches.  ``num_buckets`` bounds peak
-    per-task memory: each bucket must fit a worker heap (~rows/buckets).
+    One all-to-all exchange (the parallel hash exchange — Ray Data's
+    sort-groupby carries a flat multi-second critical path, measured in
+    BASELINE.md); everything else is embarrassingly parallel map_batches.
+    Blocks enter the exchange as Arrow (pandas blocks pickle >2x slower).
+    ``num_buckets`` bounds peak per-task memory: each bucket must fit a
+    worker heap (~rows/buckets).
     """
-    partial = ds.map_batches(
-        PartialAggBatch(interval_ms, offset_ms, label_cols),
-        batch_format="pandas",
-        batch_size=batch_size,
-    )
-    bucketed = partial.map_batches(
-        lambda df: _add_bucket(df, num_buckets), batch_format="pandas"
-    )
-    combiner = CombinePartials(label_cols)
+    from .exchange import hash_exchange
 
-    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return combiner(df)
+    partial_fn = PartialAggBatch(interval_ms, offset_ms, label_cols)
 
-    return bucketed.groupby("bucket").map_groups(
-        combine_bucket, batch_format="pandas"
+    def partial_arrow(df: pd.DataFrame) -> pa.Table:
+        out = _add_bucket(partial_fn(df), num_buckets)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    bucketed = ds.map_batches(
+        partial_arrow, batch_format="pandas", batch_size=batch_size
     )
+    return hash_exchange(bucketed, "bucket", num_buckets, _labeled_reduce_fn(label_cols))
 
 
 def cascade(
@@ -237,24 +254,23 @@ def cascade(
 
     Exact: partials are mergeable, so 1h-from-1m equals 1h-from-raw
     bit-for-bit (tested in tests/test_cascade.py).  Reads only the finer
-    tier's (already small) points — never raw samples.
+    tier's (already small) points — never raw samples.  Same Arrow hash
+    exchange as rollup().
     """
+    from .exchange import hash_exchange
 
-    def rewindow(df: pd.DataFrame) -> pd.DataFrame:
+    def rewindow(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["window_ts"] = window_floor(
             df["window_ts"].to_numpy(), coarser_interval_ms, offset_ms
         )
-        return _add_bucket(df, num_buckets)
+        return pa.Table.from_pandas(
+            _add_bucket(df, num_buckets), preserve_index=False
+        )
 
     rewindowed = points_ds.map_batches(rewindow, batch_format="pandas")
-    combiner = CombinePartials(label_cols)
-
-    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return combiner(df)
-
-    return rewindowed.groupby("bucket").map_groups(
-        combine_bucket, batch_format="pandas"
+    return hash_exchange(
+        rewindowed, "bucket", num_buckets, _labeled_reduce_fn(label_cols)
     )
 
 
