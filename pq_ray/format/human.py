@@ -29,9 +29,55 @@ def _dict(d: dict, sep: str) -> str:
     return sep.join(f"{k}={d[k]}" for k in sorted(d))
 
 
-def format_stream_human(stream, verbose: bool = False) -> list[str]:
+class InteractiveModeError(RuntimeError):
+    """Typed stand-in for the reference's ``unimplemented!`` when the
+    interactive screen mode meets a non-instant-vector result
+    (src/format/humanreadable.rs:185-192)."""
+
+
+def _format_instant_interactive(tick: int, g, label_cols) -> str:
+    """ANSI screen mode — parity with the reference's 'quick and dirty
+    draft' (src/format/humanreadable.rs:102-131): clear screen + home,
+    tick header, then one line per sample with ``label: 'value'`` cells
+    joined by double tabs.  Quirks kept: a literal "\\n" line after each
+    metric name, the indent prefix is sticky once a named sample is
+    seen, and __name__ is NOT stripped from the label cells."""
+    esc = chr(27)
+    dt = datetime.fromtimestamp(tick // 1000, tz=timezone.utc)
+    lines = [f"{esc}[2J{esc}[1;1H", dt.strftime("%Y-%m-%d %H:%M:%S"), "-"]
+    prefix = ""
+    for _, row in g.sort_values("ord", kind="stable").iterrows():
+        labels = labels_of_row(row, list(label_cols), include_name=True)
+        name = labels.get("__name__")
+        if name is not None:
+            lines.append(name)
+            lines.append("\n")
+            prefix = "\t"
+        cells = [f"{prefix}{k}: '{labels[k]}'" for k in sorted(labels)]
+        cells.append(f"\t\t\t{rust_f64_str(row['value'])}")
+        lines.append("\t\t".join(cells))
+    return "\n".join(lines)
+
+
+def format_stream_human(
+    stream, verbose: bool = False, interactive: bool = False
+) -> list[str]:
     """Query-value stream → output lines (one list entry per tick; an
     entry may contain embedded newlines like the reference's writer)."""
+    if interactive:
+        if isinstance(stream, ScalarStream) or stream.kind != "instant":
+            raise InteractiveModeError(
+                "interactive mode is not supported for this type of result"
+            )
+        out = []
+        df = stream.df
+        groups = {t: g for t, g in df.groupby("tick", sort=False)} if len(df) else {}
+        for t in stream.ticks:
+            g = groups.get(t)
+            if g is None:
+                g = df.iloc[0:0]
+            out.append(_format_instant_interactive(int(t), g, stream.label_cols))
+        return out
     if isinstance(stream, ScalarStream):
         return [rust_f64_str(stream.value)]
 

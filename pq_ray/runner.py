@@ -34,33 +34,56 @@ def run_program(
     lookback_ms: int | None = None,
     since_ms: int | None = None,
     until_ms: int | None = None,
+    verbose: bool = False,
+    interactive: bool = False,
+    error_sink=None,
 ) -> list[str]:
-    """Run a pq program over lines; returns the output lines."""
+    """Run a pq program over lines; returns the output lines.
+
+    ``verbose`` mirrors the reference runner's ``-v``: item-level decode
+    and map errors are reported (src/runner.rs:139-156 ``eprintln!``)
+    instead of silently dropped, and empty ticks print ``<no data>``.
+    Errors go to ``error_sink`` (a list-like with ``append``) or stderr.
+    """
     ast = parse_program(program) if isinstance(program, str) else program
 
+    def report(err: Exception) -> None:
+        if not verbose:
+            return
+        if error_sink is not None:
+            error_sink.append(str(err))
+        else:
+            import sys
+
+            print(err, file=sys.stderr)
+
+    from .registry import get_decoder
+
     if isinstance(ast.decoder, RegexDecoder):
-        decode = RegexLineDecoder(ast.decoder.regex)
+        decode = get_decoder("regex")(ast.decoder.regex)
     else:
         assert isinstance(ast.decoder, JsonDecoder)
-        decode = JsonLineDecoder()
+        decode = get_decoder("json")()
 
     entries: list[tuple[int, list | dict]] = []
     for i, line in enumerate(lines, start=1):
         raw = line.encode("utf-8") if isinstance(line, str) else line
         try:
             entries.append((i, decode(raw)))
-        except DecodeError:
-            continue  # Q11: drop silently
+        except DecodeError as e:
+            report(e)  # Q11: dropped; verbose reports like the reference
+            continue
 
     if ast.mapper is None:
-        return _format_entries(entries, ast.formatter)
+        return _format_entries(entries, ast.formatter, verbose)
 
     records: list[Record] = []
     for line_no, entry in entries:
         try:
             rec = map_entry(ast.mapper, line_no, entry)
-        except MapError:
-            continue  # Q11
+        except MapError as e:
+            report(e)  # Q11
+            continue
         ts = rec.ts
         if since_ms is not None and (ts if ts is not None else 2**62) < since_ms:
             continue  # skip records before the range
@@ -69,7 +92,7 @@ def run_program(
         records.append(rec)
 
     if ast.query is None:
-        return _format_records(records, ast.formatter)
+        return _format_records(records, ast.formatter, verbose)
 
     interval = interval_ms or find_smallest_range_ms(ast.query) or DEFAULT_INTERVAL_MS
     lookback = lookback_ms or interval
@@ -92,12 +115,19 @@ def run_program(
         if isinstance(stream, ScalarStream):
             return [rust_f64_str(stream.value)]
         return format_stream(stream)
+    # custom formatters registered by name take precedence over the
+    # built-in human formatter (registry parity with Formatter trait)
+    from .registry import get_formatter
+
+    custom = get_formatter(ast.formatter)
+    if custom is not None and ast.formatter not in (None, "human"):
+        return custom(stream, verbose=verbose)
     from .format.human import format_stream_human
 
-    return format_stream_human(stream)
+    return format_stream_human(stream, verbose=verbose, interactive=interactive)
 
 
-def _format_entries(entries, formatter) -> list[str]:
+def _format_entries(entries, formatter, verbose: bool = False) -> list[str]:
     from .format.human import format_entry_human
 
     out = []
@@ -113,11 +143,11 @@ def _format_entries(entries, formatter) -> list[str]:
             else:
                 out.append(_json.dumps(e, separators=(",", ":"), ensure_ascii=False))
         else:
-            out.append(format_entry_human(line_no, e))
+            out.append(format_entry_human(line_no, e, verbose))
     return out
 
 
-def _format_records(records, formatter) -> list[str]:
+def _format_records(records, formatter, verbose: bool = False) -> list[str]:
     """Record JSON shape mirrors the reference's RecordRepr
     (src/format/json.rs:25-32): {"timestamp": ms?, "labels": {...},
     "values": {...}} with BTreeMap (sorted) keys; timestamp omitted when
@@ -134,5 +164,5 @@ def _format_records(records, formatter) -> list[str]:
         else:
             from .format.human import format_record_human
 
-            out.append(format_record_human(r))
+            out.append(format_record_human(r, verbose))
     return out
