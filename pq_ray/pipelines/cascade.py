@@ -230,6 +230,7 @@ def run_cascade(
     write_gaps: bool = True,
     precombine_rows: int | None = None,
     narrow_exchange: bool = True,
+    blocks_per_split: int | None = None,
 ) -> dict:
     """Run (or resume) the fused cascade. Returns per-tier stats."""
     import duckdb
@@ -340,15 +341,19 @@ def run_cascade(
     bucketed = partials.map_batches(bucket_fn, batch_format="pyarrow")
     from ..stages.exchange import bucket_row_counts
 
+    if blocks_per_split is None:
+        blocks_per_split = int(os.environ.get("PQ_RAY_BLOCKS_PER_SPLIT", "8"))
     exchange_ds, out_refs = hash_exchange(
         bucketed,
         "bucket",
         num_buckets,
         _cascade_reduce_fn(fine_tiers, narrow=use_narrow),
         return_refs=True,
+        blocks_per_split=blocks_per_split,
     )
     points = exchange_ds.map_batches(attach_labels, batch_format="pandas")
     points.write_parquet(points_root, partition_cols=["tier_ms"])
+    phases = {"decode_exchange_write": round(time.perf_counter() - t0, 2)}
 
     if coarse_tiers:
         import pyarrow as pa
@@ -371,6 +376,7 @@ def run_cascade(
             _cascade_reduce_fn(coarse_tiers, first_rewindow=True),
         ).map_batches(attach_labels, batch_format="pandas")
         coarse_pts.write_parquet(points_root, partition_cols=["tier_ms"])
+    phases["coarse_tiers"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
     # per-partition metrics: output rows per exchange bucket — skew
     # observability for the manifest (north rule: per-partition lineage
     # + row counts per stage)
@@ -393,6 +399,7 @@ def run_cascade(
         ).fetchone()[0]
     )
     stats["raw_samples"] = raw_samples
+    phases["metrics_count"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
 
     # Gorilla chunks: ONE job for every chunked tier — the hive-partitioned
     # points root reads back with tier_ms as a column, so a single
@@ -466,6 +473,7 @@ def run_cascade(
         for t in chunk_tiers:
             chunk_rows[t] = sum(mf.file_row_counts(chunks_dir(out_dir, t)).values())
 
+    phases["gorilla_chunks"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
     # gap sidecars + manifests
     gaps_dir = os.path.join(out_dir, "gaps")
     os.makedirs(gaps_dir, exist_ok=True)
@@ -506,4 +514,6 @@ def run_cascade(
         )
         stats["tier_rows"][str(t)] = m["rows_out"]
 
+    phases["gaps_manifests"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
+    stats["phases"] = phases
     return stats

@@ -36,16 +36,26 @@ import ray.data as rd
 
 
 @ray.remote
-def _split(block, bucket_col: str, num_buckets: int):
+def _split(bucket_col: str, num_buckets: int, *blocks):
     # Blocks should be Arrow (keep upstream ops batch_format="pyarrow" —
     # pandas blocks cost a conversion here and pickle slowly upstream).
-    if not isinstance(block, pa.Table):
-        block = pa.Table.from_pandas(block, preserve_index=False)
+    # Several input blocks may be grouped into one split task
+    # (``blocks_per_split``): fewer, larger shuffle objects and shorter
+    # gather argument lists — the sub-block concat is zero-copy.
+    blocks = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+        for b in blocks
+    ]
     # Ray may pass empty blocks through upstream map UDFs untouched, so
     # an empty block can arrive without the bucket column — emit empty
     # slices (reduce_fn owns the typed-empty case).
-    if block.num_rows == 0 or bucket_col not in block.schema.names:
-        return tuple(block.slice(0, 0) for _ in range(num_buckets))
+    usable = [
+        b for b in blocks if b.num_rows > 0 and bucket_col in b.schema.names
+    ]
+    if not usable:
+        empty = blocks[0].slice(0, 0)
+        return tuple(empty for _ in range(num_buckets))
+    block = usable[0] if len(usable) == 1 else pa.concat_tables(usable)
     buckets = block[bucket_col].combine_chunks().to_numpy(zero_copy_only=False)
     order = np.argsort(buckets, kind="stable")
     sorted_b = buckets[order]
@@ -83,6 +93,7 @@ def hash_exchange(
     num_buckets: int,
     reduce_fn: Callable[[pa.Table], pa.Table],
     return_refs: bool = False,
+    blocks_per_split: int = 1,
 ):
     """ds (with an int bucket column) → Dataset of per-bucket reduce outputs.
 
@@ -93,14 +104,31 @@ def hash_exchange(
     executor (``iter_internal_ref_bundles``), so the map side of the
     exchange overlaps the producing stages; only the gather side has the
     inherent all-splits barrier.
+
+    ``blocks_per_split`` groups several upstream blocks into one split
+    task: the shuffle moves ``#blocks/g x num_buckets`` objects instead
+    of ``#blocks x num_buckets``, and each gather's argument list shrinks
+    by g — the per-object scheduler/object-store overhead is the serial
+    residue of the exchange at high block counts.
     """
     split_refs = []
+    pending: list = []
+
+    def flush():
+        if not pending:
+            return
+        r = _split.options(num_returns=num_buckets).remote(
+            bucket_col, num_buckets, *pending
+        )
+        split_refs.append([r] if num_buckets == 1 else r)
+        pending.clear()
+
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            r = _split.options(num_returns=num_buckets).remote(
-                block_ref, bucket_col, num_buckets
-            )
-            split_refs.append([r] if num_buckets == 1 else r)
+            pending.append(block_ref)
+            if len(pending) >= blocks_per_split:
+                flush()
+    flush()
     out_refs = [
         _gather.remote(reduce_fn, *[split_refs[j][i] for j in range(len(split_refs))])
         for i in range(num_buckets)
