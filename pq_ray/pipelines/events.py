@@ -255,28 +255,60 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
     pq's empty-tick gap-fill semantic (SURVEY.md Q3) as a table: every
     window between a series' first and last window appears, absent ones
     with n=0 and NULL sum (the oracle builds the same spine with
-    generate_series + LEFT JOIN)."""
+    generate_series + LEFT JOIN).
+
+    The densification runs INSIDE the shuffle: points bucket by
+    hash(series_id) so each series' windows co-locate, and the spine
+    merge happens per bucket — the driver only collects the final dense
+    table, never loops series."""
+    from ..stages.exchange import hash_exchange
     from ..stages.gapfill import window_spine
 
-    pts = rollup_events(sf_dir, MINUTE_MS).to_pandas()
+    pts, label_df = rollup_events_numeric(sf_dir, MINUTE_MS)
 
-    outs = []
-    for et, g in pts.groupby("event_type", sort=True):
-        g = g.sort_values("window_ts")
-        spine = window_spine(
-            int(g["window_ts"].min()), int(g["window_ts"].max()), MINUTE_MS
-        )
-        dense = pd.DataFrame({"window_ts": spine})
-        dense["event_type"] = et
-        dense = dense.merge(
-            g[["window_ts", "sum", "count"]], on="window_ts", how="left", sort=False
-        )
-        outs.append(dense)
-    out = pd.concat(outs, ignore_index=True)
-    out["n"] = out["count"].fillna(0).astype(np.int64)
-    out["is_gap"] = out["count"].isna()
-    # COALESCE on both sides: NaN vs SQL NULL would hash differently
-    out["sum_value"] = out["sum"].round(6).fillna(0.0)
+    def add_b(t: pa.Table) -> pa.Table:
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = ((sid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)) % np.uint64(8)
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def fill(t: pa.Table) -> pa.Table:
+        cols = ["series_id", "window_ts", "n", "sum_value", "is_gap"]
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "sum_value": pa.array([], type=pa.float64()),
+                    "is_gap": pa.array([], type=pa.bool_()),
+                }
+            )
+        df = t.to_pandas()
+        outs = []
+        for sid, g in df.groupby("series_id", sort=False):
+            g = g.sort_values("window_ts")
+            spine = window_spine(
+                int(g["window_ts"].min()), int(g["window_ts"].max()), MINUTE_MS
+            )
+            dense = pd.DataFrame({"window_ts": spine})
+            dense = dense.merge(
+                g[["window_ts", "sum", "count"]], on="window_ts", how="left",
+                sort=False,
+            )
+            dense["series_id"] = sid
+            outs.append(dense)
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["count"].fillna(0).astype(np.int64)
+        out["is_gap"] = out["count"].isna()
+        # COALESCE on both sides: NaN vs SQL NULL would hash differently
+        out["sum_value"] = out["sum"].round(6).fillna(0.0)
+        out["series_id"] = out["series_id"].astype(np.uint64)
+        return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+    dense = hash_exchange(
+        pts.map_batches(add_b, batch_format="pyarrow"), "bucket", 8, fill
+    ).to_pandas()
+    out = dense.merge(label_df, on="series_id", sort=False)
     return (
         out[["window_ts", "event_type", "n", "sum_value", "is_gap"]]
         .sort_values(["event_type", "window_ts"])

@@ -175,36 +175,34 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
             np.concatenate(([0], np.cumsum(reps)[:-1])), reps
         )
         ex["tick"] = first + (np.repeat(k_lo, reps) + within) * interval
-        # partial count per (tick, event_type) right here in the batch
+        # partial count per (tick, event_type) right here in the batch,
+        # bucket key computed in the same pass — Arrow out, onto the wire
         out = (
             ex.groupby(["tick", "event_type"], sort=False)
             .size()
             .rename("n")
             .reset_index()
         )
+        h = out["tick"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        out["bucket"] = ((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partial = samples.map_batches(explode, batch_format="pyarrow")
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = df["tick"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        df["bucket"] = ((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32)
-        return df
-
-    def reduce_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.groupby(["tick", "event_type"], sort=False)["n"]
+    def reduce_counts(t: pa.Table) -> pa.Table:
+        cols = ["tick", "event_type", "n"]
+        if t.num_rows == 0:
+            return t.select(cols)
+        out = (
+            t.to_pandas()
+            .groupby(["tick", "event_type"], sort=False)["n"]
             .sum()
             .reset_index()
         )
+        return pa.Table.from_pandas(out[cols], preserve_index=False)
 
-    out = (
-        partial.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(reduce_counts, batch_format="pandas")
-        .to_pandas()
-    )
+    from ..stages.exchange import hash_exchange
+
+    partial = samples.map_batches(explode, batch_format="pyarrow")
+    out = hash_exchange(partial, "bucket", 16, reduce_counts).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
 
