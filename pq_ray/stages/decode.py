@@ -67,8 +67,9 @@ def _source_codes(source: pa.Array, code_map: dict[str, int]) -> np.ndarray:
 def _doc_hashes(doc_ids: pa.Array) -> np.ndarray:
     """Vector of stable_hash64 per doc_id.
 
-    One md5 per *row* (not per token) — ~1us/row against ~100+ tokens of
-    numpy work per row, <1% of stage time (measured in bench).
+    One md5 per *row* (not per token) — ~3us/row, ~20% of the
+    sort-free decode kernel.  The md5 rule is part of the fixed decode
+    contract (FIXTURES.md), so it cannot be swapped for a faster hash.
     """
     return np.fromiter(
         (stable_hash64(s) for s in doc_ids.to_pylist()),
@@ -281,6 +282,100 @@ class DecodeToPartials:
             }
         return self._np_partial_agg(sid, window, ts, val)
 
+    def _doc_aligned_partials(self, flat, counts, offsets, t_doc, combo):
+        """Sort-free partial aggregation exploiting the corpus structure:
+        t_doc is 1s-quantized and STEP_MS divides the interval, so every
+        doc's samples tile its windows in exact runs of
+        ``interval/STEP`` — per-(doc, window) partials are plain
+        ``reduceat`` segments with NO per-sample ts/sid/window arrays and
+        no sort.  The cross-doc combine then sorts only the ~4x-smaller
+        per-doc-window partial stream on one packed uint64 key.
+
+        Returns None when the corpus bounds don't hold (caller falls
+        back to the generic per-sample kernel)."""
+        spw = self.interval_ms // STEP_MS  # samples per window (4)
+        n = len(counts)
+        total = int(offsets[-1])
+        if total and (flat.min() < 0 or flat.max() >= (1 << 17)):
+            return None
+        if self.emit_doc_metric and n and counts.max() >= (1 << 17):
+            return None
+        t_doc_w = (t_doc - EPOCH0_MS) // self.interval_ms  # window index/doc
+        if len(t_doc_w) and (t_doc_w.min() < 0 or t_doc_w.max() >= (1 << 26) - (1 << 13)):
+            return None
+
+        # per-doc window segmentation: ceil(n_tok / spw) windows per doc
+        nw = (counts + spw - 1) // spw
+        total_w = int(nw.sum())
+        within = np.arange(total_w, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nw)[:-1])), nw
+        )
+        wstarts = np.repeat(offsets[:-1], nw) + within * spw
+        w_cnt = np.minimum(np.repeat(counts, nw) - within * spw, spw)
+        if total_w:
+            w_sum = np.add.reduceat(flat, wstarts).astype(np.int64)
+            w_min = np.minimum.reduceat(flat, wstarts)
+            w_max = np.maximum.reduceat(flat, wstarts)
+            w_first = flat[wstarts]
+            w_last = flat[wstarts + w_cnt - 1]
+        else:
+            w_sum = w_min = w_max = w_first = w_last = np.array([], dtype=np.int64)
+        widx = np.repeat(t_doc_w, nw) + within
+        codes = np.repeat(combo, nw)
+        l_off = w_cnt - 1
+
+        if self.emit_doc_metric:
+            codes = np.concatenate((codes, combo + len(SOURCES) * N_SHARDS))
+            widx = np.concatenate((widx, t_doc_w))
+            w_sum = np.concatenate((w_sum, counts))
+            w_cnt = np.concatenate((w_cnt, np.ones(n, dtype=np.int64)))
+            w_min = np.concatenate((w_min, counts))
+            w_max = np.concatenate((w_max, counts))
+            w_first = np.concatenate((w_first, counts))
+            w_last = np.concatenate((w_last, counts))
+            l_off = np.concatenate((l_off, np.zeros(n, dtype=np.int64)))
+
+        # cross-doc combine on ONE packed key; window starts are sample-
+        # aligned (first offset is always 0) so the first tie-break is
+        # the value itself, and last = max (offset, value) via lkey
+        key = (
+            (codes.astype(np.uint64) << np.uint64(55))
+            | (widx.astype(np.uint64) << np.uint64(29))
+            | w_first.astype(np.uint64)
+        )
+        order = np.argsort(key)
+        s_key = key[order]
+        gkey = s_key >> np.uint64(29)
+        boundary = np.nonzero(gkey[1:] != gkey[:-1])[0] + 1
+        starts = np.concatenate(([0], boundary))
+        lkey = (l_off.astype(np.uint64) << np.uint64(17)) | w_last.astype(np.uint64)
+        g = gkey[starts]
+        g_code = (g >> np.uint64(26)).astype(np.uint8)
+        g_widx = (g & np.uint64((1 << 26) - 1)).astype(np.int64)
+        window = EPOCH0_MS + g_widx * self.interval_ms
+        lk = np.maximum.reduceat(lkey[order], starts)
+        first_v = (s_key[starts] & np.uint64((1 << 17) - 1)).astype(np.float64)
+        return {
+            "code": g_code,
+            "series_id": self._code_lut()[g_code],
+            "window_ts": window,
+            "sum": np.add.reduceat(w_sum[order], starts).astype(np.float64),
+            "count": np.add.reduceat(w_cnt[order], starts).astype(np.int64),
+            "min": np.minimum.reduceat(w_min[order], starts).astype(np.float64),
+            "max": np.maximum.reduceat(w_max[order], starts).astype(np.float64),
+            "first_ts": window,  # first offset is always 0
+            "first_v": first_v,
+            "last_ts": window + ((lk >> np.uint64(17)).astype(np.int64)) * STEP_MS,
+            "last_v": (lk & np.uint64((1 << 17) - 1)).astype(np.float64),
+        }
+
+    def _code_lut(self) -> np.ndarray:
+        if not hasattr(self, "_code_lut_arr"):
+            self._code_lut_arr = np.concatenate(
+                (self._lut["token"], self._lut["n_tok"])
+            )
+        return self._code_lut_arr
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         tokens = batch.column("tokens").combine_chunks()
         if isinstance(tokens, pa.ChunkedArray):
@@ -300,21 +395,28 @@ class DecodeToPartials:
         np.cumsum(counts, out=offsets[1:])
         total = int(offsets[-1])
 
-        flat_values = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
-        ts = np.repeat(t_doc, counts) + pos * STEP_MS
-        sid = np.repeat(self._lut["token"][combo], counts)
+        out = None
+        if self.interval_ms % STEP_MS == 0 and n > 0:
+            flat_i = tokens.flatten().to_numpy(zero_copy_only=False)
+            out = self._doc_aligned_partials(flat_i, counts, offsets, t_doc, combo)
+        if out is None:
+            flat_values = (
+                tokens.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+            pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+            ts = np.repeat(t_doc, counts) + pos * STEP_MS
+            sid = np.repeat(self._lut["token"][combo], counts)
 
-        # token codes instead of 64-bit sids for the sort key
-        codes = np.repeat(combo, counts)
-        if self.emit_doc_metric:
-            ts = np.concatenate((ts, t_doc))
-            flat_values = np.concatenate((flat_values, counts.astype(np.float64)))
-            sid = np.concatenate((sid, self._lut["n_tok"][combo]))
-            codes = np.concatenate((codes, combo + len(SOURCES) * N_SHARDS))
+            # token codes instead of 64-bit sids for the sort key
+            codes = np.repeat(combo, counts)
+            if self.emit_doc_metric:
+                ts = np.concatenate((ts, t_doc))
+                flat_values = np.concatenate((flat_values, counts.astype(np.float64)))
+                sid = np.concatenate((sid, self._lut["n_tok"][combo]))
+                codes = np.concatenate((codes, combo + len(SOURCES) * N_SHARDS))
 
-        window = self._window_floor(ts, self.interval_ms)
-        out = self._fast_partial_agg(codes, sid, window, ts, flat_values)
+            window = self._window_floor(ts, self.interval_ms)
+            out = self._fast_partial_agg(codes, sid, window, ts, flat_values)
         if self.narrow:
             return self._narrow_table(out)
         return pa.table(
