@@ -163,6 +163,55 @@ def widen_narrow_partials(t: "pa.Table") -> dict:
     }
 
 
+def narrow_precombine(t: "pa.Table") -> "pa.Table":
+    """Collapse duplicate (code, widx) narrow rows — the split-task tree
+    pre-combine.  At window saturation the decode stream carries many
+    partial rows per distinct (series, window) (≈17x at 3M docs over a
+    1-day span); combining inside the split task shrinks the wire volume
+    by that factor for one extra packed-key argsort of the grouped
+    blocks.  Falls back to the input unchanged if the narrow dtype
+    bounds would overflow (count >= 2^16 or sum >= 2^32)."""
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        return t
+    cols = {
+        c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+        for c in ("code", "widx", "sum", "count", "min", "max", "fkey", "lkey")
+    }
+    bucket = t["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+    key = (
+        (cols["code"].astype(np.uint64) << np.uint64(55))
+        | (cols["widx"].astype(np.uint64) << np.uint64(29))
+        | cols["fkey"].astype(np.uint64)
+    )
+    order = np.argsort(key)
+    skey = key[order]
+    g = skey >> np.uint64(29)
+    boundary = np.nonzero(g[1:] != g[:-1])[0] + 1
+    starts = np.concatenate(([0], boundary))
+    if len(starts) == len(key):  # nothing to combine
+        return t
+    s64 = np.add.reduceat(cols["sum"][order].astype(np.int64), starts)
+    c64 = np.add.reduceat(cols["count"][order].astype(np.int64), starts)
+    if c64.max() >= (1 << 16) or s64.max() >= (1 << 32):
+        return t
+    gk = g[starts]
+    return pa.table(
+        {
+            "code": pa.array((gk >> np.uint64(26)).astype(np.uint8)),
+            "widx": pa.array((gk & np.uint64((1 << 26) - 1)).astype(np.uint32)),
+            "sum": pa.array(s64.astype(np.uint32)),
+            "count": pa.array(c64.astype(np.uint16)),
+            "min": pa.array(np.minimum.reduceat(cols["min"][order], starts)),
+            "max": pa.array(np.maximum.reduceat(cols["max"][order], starts)),
+            "fkey": pa.array((skey[starts] & np.uint64((1 << 29) - 1)).astype(np.uint32)),
+            "lkey": pa.array(np.maximum.reduceat(cols["lkey"][order], starts)),
+            "bucket": pa.array(bucket[order][starts]),
+        }
+    )
+
+
 def _cascade_reduce_fn(tiers: list[int], narrow: bool = False, first_rewindow: bool = False):
     """Arrow-in/Arrow-out per-bucket reduce for the hash exchange:
     combine 1s partials, then derive every coarser tier in-memory."""
@@ -170,6 +219,14 @@ def _cascade_reduce_fn(tiers: list[int], narrow: bool = False, first_rewindow: b
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         if narrow and t.num_rows > 0:
+            # combine in the narrow domain FIRST (one packed-key argsort)
+            # so the widen + wide lexsort run on the ~rows/duplication
+            # combined stream, not the full bucket
+            if "bucket" not in t.schema.names:
+                t = t.append_column(
+                    "bucket", pa.array(np.zeros(t.num_rows, dtype=np.int32))
+                )
+            t = narrow_precombine(t)
             cols = widen_narrow_partials(t)
             t = pa.table({c: pa.array(v) for c, v in cols.items()})
         if t.num_rows == 0:
@@ -272,59 +329,6 @@ def run_cascade(
     )
     read_kwargs = {"override_num_blocks": n_files} if n_files else {}
 
-    if decode_concurrency:
-        partials = rd.read_parquet(corpus_path, **read_kwargs).map_batches(
-            DecodeToPartials,
-            fn_constructor_kwargs={"interval_ms": tiers[0]},
-            batch_format="pyarrow",
-            batch_size=decode_batch_size,
-            concurrency=decode_concurrency,
-        )
-    else:
-        raw_tier = tiers[0]
-        use_narrow = narrow_exchange and raw_tier == 1000
-
-        def decode_tokens_to_partials(batch):
-            return decode_partials_task(
-                batch, interval_ms=raw_tier, narrow=use_narrow
-            )
-
-        partials = rd.read_parquet(corpus_path, **read_kwargs).map_batches(
-            decode_tokens_to_partials,
-            batch_format="pyarrow",
-            batch_size=decode_batch_size,
-        )
-    label_df = series_label_table()
-
-    def attach_labels(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(label_df, on="series_id", sort=False)
-
-    from ..stages.exchange import hash_exchange
-
-    if precombine_rows:
-        # Tree pre-combine: merge several decode outputs locally before
-        # the exchange.  Collapses cross-batch duplicates of the same
-        # (series, window) near window saturation — but the re-batching
-        # coalesce stalls the streaming executor on this single-node
-        # setup (measured 14s -> 68s at 1M docs), so it is OFF by
-        # default; on a real cluster with per-node bandwidth it is the
-        # standard tree-aggregation lever.
-        import pyarrow as pa
-
-        def local_combine(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t
-            cols = {
-                c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
-                for c in NUMERIC_COLS
-            }
-            out = np_combine_partials(cols)
-            return pa.table({c: pa.array(out[c]) for c in NUMERIC_COLS})
-
-        partials = partials.map_batches(
-            local_combine, batch_format="pyarrow", batch_size=precombine_rows
-        )
-
     use_narrow = narrow_exchange and tiers[0] == 1000 and not decode_concurrency
     # Two-phase exchange: phase 1 buckets on (series, second-coarsest
     # window) — with single-day data a coarsest-window key would collapse
@@ -338,11 +342,62 @@ def run_cascade(
         if use_narrow
         else _cascade_bucket_fn(bucket_span, num_buckets)
     )
-    bucketed = partials.map_batches(bucket_fn, batch_format="pyarrow")
+
+    if decode_concurrency:
+        partials = rd.read_parquet(corpus_path, **read_kwargs).map_batches(
+            DecodeToPartials,
+            fn_constructor_kwargs={"interval_ms": tiers[0]},
+            batch_format="pyarrow",
+            batch_size=decode_batch_size,
+            concurrency=decode_concurrency,
+        )
+        bucketed = partials.map_batches(bucket_fn, batch_format="pyarrow")
+    else:
+        raw_tier = tiers[0]
+
+        # decode + bucket in ONE map op: a separate bucket map_batches
+        # costs a full block round-trip through the executor per block
+        # (measured: 19.8s -> 12.9s phase-1 at 16 cores when fused)
+        def decode_tokens_to_partials(batch):
+            return bucket_fn(
+                decode_partials_task(batch, interval_ms=raw_tier, narrow=use_narrow)
+            )
+
+        bucketed = rd.read_parquet(corpus_path, **read_kwargs).map_batches(
+            decode_tokens_to_partials,
+            batch_format="pyarrow",
+            batch_size=decode_batch_size,
+        )
+    label_df = series_label_table()
+
+    def attach_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(label_df, on="series_id", sort=False)
+
+    from ..stages.exchange import hash_exchange
+
+    # Tree pre-combine now lives INSIDE the split tasks
+    # (exchange.pre_reduce + narrow_precombine): the earlier map_batches
+    # variant re-batched the stream and stalled the streaming executor
+    # (measured 14s -> 68s at 1M docs); the split-task variant groups
+    # blocks as they arrive with no re-batching.  ``precombine_rows`` is
+    # kept for API compatibility and ignored.
+    del precombine_rows
+
     from ..stages.exchange import bucket_row_counts
 
     if blocks_per_split is None:
-        blocks_per_split = int(os.environ.get("PQ_RAY_BLOCKS_PER_SPLIT", "8"))
+        env_bps = os.environ.get("PQ_RAY_BLOCKS_PER_SPLIT")
+        if env_bps is not None:
+            blocks_per_split = int(env_bps)
+        else:
+            # adaptive: group so the split stage still has ~2 waves of
+            # tasks per core; more grouping = more pre-combine dedup and
+            # fewer shuffle objects (the 4-core leg groups harder, which
+            # is exactly the leg that needs less wire traffic)
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 32))
+            blocks_per_split = int(min(64, max(8, n_files // max(cpus * 2, 1))))
     exchange_ds, out_refs = hash_exchange(
         bucketed,
         "bucket",
@@ -350,6 +405,7 @@ def run_cascade(
         _cascade_reduce_fn(fine_tiers, narrow=use_narrow),
         return_refs=True,
         blocks_per_split=blocks_per_split,
+        pre_reduce=narrow_precombine if use_narrow else None,
     )
     points = exchange_ds.map_batches(attach_labels, batch_format="pandas")
     points.write_parquet(points_root, partition_cols=["tier_ms"])
@@ -367,15 +423,18 @@ def run_cascade(
 
         coarse_in = exchange_ds.map_batches(only_top_fine, batch_format="pyarrow")
         nb2 = max(8, num_buckets // 8)
-        coarse_pts = hash_exchange(
+        coarse_ex = hash_exchange(
             coarse_in.map_batches(
                 _cascade_bucket_fn(coarse_tiers[-1], nb2), batch_format="pyarrow"
             ),
             "bucket",
             nb2,
             _cascade_reduce_fn(coarse_tiers, first_rewindow=True),
-        ).map_batches(attach_labels, batch_format="pandas")
+        )
+        coarse_pts = coarse_ex.map_batches(attach_labels, batch_format="pandas")
         coarse_pts.write_parquet(points_root, partition_cols=["tier_ms"])
+    else:
+        coarse_ex = None
     phases["coarse_tiers"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
     # per-partition metrics: output rows per exchange bucket — skew
     # observability for the manifest (north rule: per-partition lineage
@@ -411,12 +470,23 @@ def run_cascade(
         chunks_root = os.path.join(out_dir, "chunks")
         shutil.rmtree(chunks_root, ignore_errors=True)
 
-        # reading a partition dir re-infers tier_ms from the hive path,
-        # so each branch already carries its tier column
-        parts = [rd.read_parquet(tier_dir(out_dir, t)) for t in chunk_tiers]
-        tp = parts[0]
-        for p in parts[1:]:
-            tp = tp.union(p)
+        # feed the chunk job from the exchange output refs already in
+        # the object store (numeric points + tier_ms) — no parquet
+        # read-back, no per-tier read jobs; labels re-attach inside the
+        # encode step from the broadcast label table
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tier_arr = pa.array(chunk_tiers, type=pa.int64())
+
+        def keep_chunk_tiers(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["tier_ms"], value_set=tier_arr))
+
+        tp = exchange_ds.map_batches(keep_chunk_tiers, batch_format="pyarrow")
+        if coarse_ex is not None and any(t >= chunk_min_tier_ms for t in coarse_tiers):
+            tp = tp.union(
+                coarse_ex.map_batches(keep_chunk_tiers, batch_format="pyarrow")
+            )
 
         chunk_buckets = max(8, num_buckets // 4)
 
@@ -451,7 +521,7 @@ def run_cascade(
                         "tier_ms": pa.array([], type=pa.int64()),
                     }
                 )
-            df = tb.to_pandas()
+            df = tb.to_pandas().merge(label_df, on="series_id", sort=False)
             outs = []
             for tms, g in df.groupby("tier_ms", sort=False):
                 enc = chunk_series(g.drop(columns=["bucket"]), DEFAULT_LABEL_COLS)

@@ -36,7 +36,7 @@ import ray.data as rd
 
 
 @ray.remote
-def _split(bucket_col: str, num_buckets: int, *blocks):
+def _split(bucket_col: str, num_buckets: int, pre_reduce, *blocks):
     # Blocks should be Arrow (keep upstream ops batch_format="pyarrow" —
     # pandas blocks cost a conversion here and pickle slowly upstream).
     # Several input blocks may be grouped into one split task
@@ -56,6 +56,11 @@ def _split(bucket_col: str, num_buckets: int, *blocks):
         empty = blocks[0].slice(0, 0)
         return tuple(empty for _ in range(num_buckets))
     block = usable[0] if len(usable) == 1 else pa.concat_tables(usable)
+    if pre_reduce is not None:
+        # tree pre-combine: collapse duplicate keys across the grouped
+        # blocks BEFORE anything hits the wire — the split-task variant
+        # avoids the Dataset re-batching stall of a map_batches combine
+        block = pre_reduce(block)
     buckets = block[bucket_col].combine_chunks().to_numpy(zero_copy_only=False)
     order = np.argsort(buckets, kind="stable")
     sorted_b = buckets[order]
@@ -94,6 +99,7 @@ def hash_exchange(
     reduce_fn: Callable[[pa.Table], pa.Table],
     return_refs: bool = False,
     blocks_per_split: int = 1,
+    pre_reduce: Callable[[pa.Table], pa.Table] | None = None,
 ):
     """ds (with an int bucket column) → Dataset of per-bucket reduce outputs.
 
@@ -118,7 +124,7 @@ def hash_exchange(
         if not pending:
             return
         r = _split.options(num_returns=num_buckets).remote(
-            bucket_col, num_buckets, *pending
+            bucket_col, num_buckets, pre_reduce, *pending
         )
         split_refs.append([r] if num_buckets == 1 else r)
         pending.clear()
