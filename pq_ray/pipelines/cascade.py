@@ -43,6 +43,7 @@ import time
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 from ..stages.decode import DecodeToPartials, series_code_lut, series_label_table
@@ -275,6 +276,48 @@ def _cascade_reduce_fn(tiers: list[int], narrow: bool = False, first_rewindow: b
     return reduce_fn
 
 
+def _combine_attach_write_impl(
+    reduce_fn, points_root: str, bucket_idx: int, label_df, keep_tiers, raw_tier, *parts
+):
+    """Fused gather: combine the bucket, attach labels, write one parquet
+    file per tier, return (stats dict, small numeric table of
+    ``keep_tiers`` rows) — the write overlaps the other buckets' reduces
+    and no post-exchange Dataset job ever runs.  Files land in the same
+    hive layout (``tier_ms=T/part-<bucket>.parquet``) as write_parquet's
+    partition_cols, so manifests/resume are unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    nonempty = [p for p in parts if p.num_rows]
+    block = pa.concat_tables(nonempty) if nonempty else parts[0].slice(0, 0)
+    out = reduce_fn(block)  # numeric cols + tier_ms
+    df = out.to_pandas().merge(label_df, on="series_id", sort=False)
+    rows: dict = {}
+    raw_samples = 0
+    for tms, g in df.groupby("tier_ms", sort=False):
+        tdir = os.path.join(points_root, f"tier_ms={int(tms)}")
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(g.drop(columns=["tier_ms"]), preserve_index=False),
+            os.path.join(tdir, f"part-{bucket_idx:05d}.parquet"),
+        )
+        rows[int(tms)] = len(g)
+        if int(tms) == raw_tier:
+            raw_samples = int(g["count"].sum())
+    keep_tiers = [t for t in keep_tiers]
+    if keep_tiers and out.num_rows:
+        keep = out.filter(
+            pc.is_in(out["tier_ms"], value_set=pa.array(keep_tiers, type=pa.int64()))
+        )
+    else:
+        keep = out.slice(0, 0)
+    return {"rows": rows, "raw_samples": raw_samples}, keep
+
+
+_combine_attach_write = ray.remote(num_returns=2)(_combine_attach_write_impl)
+
+
 def run_cascade(
     corpus_path: str,
     out_dir: str,
@@ -370,9 +413,6 @@ def run_cascade(
         )
     label_df = series_label_table()
 
-    def attach_labels(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(label_df, on="series_id", sort=False)
-
     from ..stages.exchange import hash_exchange
 
     # Tree pre-combine now lives INSIDE the split tasks
@@ -382,8 +422,6 @@ def run_cascade(
     # blocks as they arrive with no re-batching.  ``precombine_rows`` is
     # kept for API compatibility and ignored.
     del precombine_rows
-
-    from ..stages.exchange import bucket_row_counts
 
     if blocks_per_split is None:
         env_bps = os.environ.get("PQ_RAY_BLOCKS_PER_SPLIT")
@@ -398,17 +436,33 @@ def run_cascade(
 
             cpus = int(_ray.cluster_resources().get("CPU", 32))
             blocks_per_split = int(min(64, max(8, n_files // max(cpus * 2, 1))))
-    exchange_ds, out_refs = hash_exchange(
+    from ..stages.exchange import split_stream
+
+    chunk_tiers = [t for t in tiers if t >= chunk_min_tier_ms]
+    # rows the downstream jobs need back from the gathers: the top fine
+    # tier feeds phase 2, chunked fine tiers feed the Gorilla job
+    keep_tiers = sorted(
+        {t for t in fine_tiers if t in chunk_tiers} | {bucket_span}
+    )
+    label_ref = ray.put(label_df)
+    split_refs = split_stream(
         bucketed,
         "bucket",
         num_buckets,
-        _cascade_reduce_fn(fine_tiers, narrow=use_narrow),
-        return_refs=True,
         blocks_per_split=blocks_per_split,
         pre_reduce=narrow_precombine if use_narrow else None,
     )
-    points = exchange_ds.map_batches(attach_labels, batch_format="pandas")
-    points.write_parquet(points_root, partition_cols=["tier_ms"])
+    reduce_fn = _cascade_reduce_fn(fine_tiers, narrow=use_narrow)
+    gathered = [
+        _combine_attach_write.remote(
+            reduce_fn, points_root, i, label_ref, keep_tiers, tiers[0],
+            *[split_refs[j][i] for j in range(len(split_refs))],
+        )
+        for i in range(num_buckets)
+    ]
+    stat_refs = [g[0] for g in gathered]
+    keep_refs = [g[1] for g in gathered]
+    bucket_stat_rows = ray.get(stat_refs)  # barrier: all tiers written
     phases = {"decode_exchange_write": round(time.perf_counter() - t0, 2)}
 
     if coarse_tiers:
@@ -421,25 +475,35 @@ def run_cascade(
                 ["tier_ms"]
             )
 
-        coarse_in = exchange_ds.map_batches(only_top_fine, batch_format="pyarrow")
+        coarse_in = rd.from_arrow_refs(keep_refs).map_batches(
+            only_top_fine, batch_format="pyarrow"
+        )
         nb2 = max(8, num_buckets // 8)
-        coarse_ex = hash_exchange(
+        coarse_splits = split_stream(
             coarse_in.map_batches(
                 _cascade_bucket_fn(coarse_tiers[-1], nb2), batch_format="pyarrow"
             ),
             "bucket",
             nb2,
-            _cascade_reduce_fn(coarse_tiers, first_rewindow=True),
         )
-        coarse_pts = coarse_ex.map_batches(attach_labels, batch_format="pandas")
-        coarse_pts.write_parquet(points_root, partition_cols=["tier_ms"])
+        coarse_reduce = _cascade_reduce_fn(coarse_tiers, first_rewindow=True)
+        coarse_keep = [t for t in coarse_tiers if t in chunk_tiers]
+        coarse_gathered = [
+            _combine_attach_write.remote(
+                coarse_reduce, points_root, i, label_ref, coarse_keep, -1,
+                *[coarse_splits[j][i] for j in range(len(coarse_splits))],
+            )
+            for i in range(nb2)
+        ]
+        ray.get([g[0] for g in coarse_gathered])
+        coarse_keep_refs = [g[1] for g in coarse_gathered]
     else:
-        coarse_ex = None
+        coarse_keep_refs = []
     phases["coarse_tiers"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
     # per-partition metrics: output rows per exchange bucket — skew
     # observability for the manifest (north rule: per-partition lineage
     # + row counts per stage)
-    b_rows = bucket_row_counts(out_refs)
+    b_rows = [sum(s["rows"].values()) for s in bucket_stat_rows]
     bucket_stats = {
         "num_buckets": num_buckets,
         "rows_min": int(min(b_rows)),
@@ -451,29 +515,19 @@ def run_cascade(
     }
     wall = time.perf_counter() - t0
 
-    con = duckdb.connect()
-    raw_samples = int(
-        con.sql(
-            f"select sum(count) from read_parquet('{tier_dir(out_dir, tiers[0])}/*.parquet')"
-        ).fetchone()[0]
-    )
+    raw_samples = int(sum(s["raw_samples"] for s in bucket_stat_rows))
     stats["raw_samples"] = raw_samples
     phases["metrics_count"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
 
-    # Gorilla chunks: ONE job for every chunked tier — the hive-partitioned
-    # points root reads back with tier_ms as a column, so a single
-    # (series, tier)-keyed exchange encodes all tiers and writes back
-    # partitioned by tier.
-    chunk_tiers = [t for t in tiers if t >= chunk_min_tier_ms]
+    # Gorilla chunks: ONE job for every chunked tier, fed from the small
+    # keep-tier tables the gathers returned (already in the object
+    # store) — no parquet read-back, no per-tier read jobs; labels
+    # re-attach inside the encode step from the broadcast label table.
     chunk_rows: dict[int, int] = {}
     if chunk_tiers:
         chunks_root = os.path.join(out_dir, "chunks")
         shutil.rmtree(chunks_root, ignore_errors=True)
 
-        # feed the chunk job from the exchange output refs already in
-        # the object store (numeric points + tier_ms) — no parquet
-        # read-back, no per-tier read jobs; labels re-attach inside the
-        # encode step from the broadcast label table
         import pyarrow as pa
         import pyarrow.compute as pc
 
@@ -482,11 +536,9 @@ def run_cascade(
         def keep_chunk_tiers(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t["tier_ms"], value_set=tier_arr))
 
-        tp = exchange_ds.map_batches(keep_chunk_tiers, batch_format="pyarrow")
-        if coarse_ex is not None and any(t >= chunk_min_tier_ms for t in coarse_tiers):
-            tp = tp.union(
-                coarse_ex.map_batches(keep_chunk_tiers, batch_format="pyarrow")
-            )
+        tp = rd.from_arrow_refs(list(keep_refs) + list(coarse_keep_refs)).map_batches(
+            keep_chunk_tiers, batch_format="pyarrow"
+        )
 
         chunk_buckets = max(8, num_buckets // 4)
 
@@ -554,7 +606,7 @@ def run_cascade(
             extra["chunk_rows"] = chunk_rows[t]
         if write_gaps:
             present = (
-                con.sql(
+                duckdb.sql(
                     f"select distinct window_ts from read_parquet('{tdir}/*.parquet')"
                 )
                 .df()["window_ts"]

@@ -117,7 +117,33 @@ def hash_exchange(
     by g — the per-object scheduler/object-store overhead is the serial
     residue of the exchange at high block counts.
     """
-    split_refs = []
+    split_refs = split_stream(
+        ds, bucket_col, num_buckets,
+        blocks_per_split=blocks_per_split, pre_reduce=pre_reduce,
+    )
+    out_refs = [
+        _gather.remote(reduce_fn, *[split_refs[j][i] for j in range(len(split_refs))])
+        for i in range(num_buckets)
+    ]
+    out_ds = rd.from_arrow_refs(out_refs)
+    if return_refs:
+        return out_ds, out_refs
+    return out_ds
+
+
+def split_stream(
+    ds,
+    bucket_col: str,
+    num_buckets: int,
+    *,
+    blocks_per_split: int = 1,
+    pre_reduce: Callable[[pa.Table], pa.Table] | None = None,
+) -> list:
+    """The map side of the exchange on its own: stream the Dataset's
+    blocks into split tasks and return the per-split lists of bucket
+    refs, so a caller can compose a CUSTOM gather (e.g. the cascade's
+    combine+attach+write fused gather)."""
+    split_refs: list = []
     pending: list = []
 
     def flush():
@@ -135,11 +161,4 @@ def hash_exchange(
             if len(pending) >= blocks_per_split:
                 flush()
     flush()
-    out_refs = [
-        _gather.remote(reduce_fn, *[split_refs[j][i] for j in range(len(split_refs))])
-        for i in range(num_buckets)
-    ]
-    out_ds = rd.from_arrow_refs(out_refs)
-    if return_refs:
-        return out_ds, out_refs
-    return out_ds
+    return split_refs
