@@ -149,12 +149,19 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
         )
         return g.reset_index()
 
-    out = (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(winners, batch_format="pandas")
-        .to_pandas()
+    win_empty = pa.table(
+        {
+            "h": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_dups": pa.array([], type=pa.int64()),
+        }
     )
+    out = hash_exchange(
+        ds.map_batches(_arrow_map(add_hash), batch_format="pandas"),
+        "bucket",
+        NUM_BUCKETS,
+        _pandas_reduce(winners, win_empty),
+    ).to_pandas()
     out["n_dups"] = out["n_dups"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)[["h", "doc_id", "n_dups"]]
 
@@ -260,23 +267,66 @@ def _reduce_pairs_fn(tau: float):
     return reduce_pairs
 
 
+def _pandas_reduce(fn, empty: pa.Table):
+    """Wrap a pandas bucket-reduce for the Arrow hash exchange (typed
+    empty so every gather output shares one schema)."""
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        out = fn(t.to_pandas())
+        if len(out) == 0:
+            return empty
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return reduce
+
+
+def _arrow_map(fn):
+    def mapper(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(fn(df), preserve_index=False)
+
+    mapper.__name__ = getattr(fn, "__name__", "arrow_map")
+    return mapper
+
+
+_EMPTY_CAND_PAIRS = pa.table(
+    {
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "na": pa.array([], type=pa.int64()),
+        "nb": pa.array([], type=pa.int64()),
+        "pbucket": pa.array([], type=pa.int32()),
+    }
+)
+_EMPTY_J_PAIRS = pa.table(
+    {
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "j": pa.array([], type=pa.float64()),
+    }
+)
+
+
 def _jaccard_pairs_ds(ds, tau: float, max_df: int | None = None):
     """Exact all-pairs Jaccard >= tau over distinct word-bigram sets,
     as a Dataset (columns a, b, j) — nothing reaches the driver.
 
-    Plan (3 stages, 2 shuffles):
+    Plan (3 stages, 2 shuffles, both on the Arrow hash exchange):
       1. doc → distinct shingle hashes, rows (sh, doc_id, n_doc) — n_doc
          rides along so no broadcast of a sizes table is ever needed;
-      2. groupby shingle-hash bucket → per-shingle pair emission
+      2. exchange on shingle-hash bucket → per-shingle pair emission
          (a, b, na, nb), optionally skipping shingles with df > max_df;
-      3. groupby pair bucket → sum intersections → J = c/(na+nb-c) → filter.
+      3. exchange on pair bucket → sum intersections → J = c/(na+nb-c) → filter.
     """
-    return (
-        ds.map_batches(_shingle_rows, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(_emit_pairs_fn(max_df), batch_format="pandas")
-        .groupby("pbucket")
-        .map_groups(_reduce_pairs_fn(tau), batch_format="pandas")
+    rows = ds.map_batches(_arrow_map(_shingle_rows), batch_format="pandas")
+    pairs = hash_exchange(
+        rows, "bucket", NUM_BUCKETS,
+        _pandas_reduce(_emit_pairs_fn(max_df), _EMPTY_CAND_PAIRS),
+    )
+    return hash_exchange(
+        pairs, "pbucket", NUM_BUCKETS,
+        _pandas_reduce(_reduce_pairs_fn(tau), _EMPTY_J_PAIRS),
     )
 
 
@@ -554,10 +604,14 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
         df["bucket"] = _bucket_of_u64(df["band_key"].to_numpy())
         return df
 
-    cand_ds = (
-        band_rows.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(_lsh_candidates, batch_format="pandas")
+    cand_empty = pa.table(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+    )
+    cand_ds = hash_exchange(
+        band_rows.map_batches(_arrow_map(add_bucket), batch_format="pandas"),
+        "bucket",
+        NUM_BUCKETS,
+        _pandas_reduce(_lsh_candidates, cand_empty),
     )
     return _verify_pairs_distributed(cand_ds, _read_docs(sf_dir), JACCARD_TAU)
 
