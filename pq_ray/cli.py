@@ -27,9 +27,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-b", "--lookback", default=None)
     ap.add_argument("-s", "--since", default=None)
     ap.add_argument("-u", "--until", default=None)
+    # reference flags (src/cliopt.rs:26-30): -v item-level error
+    # reporting, -i interactive ANSI screen output
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("-i", "--interactive", action="store_true")
     args = ap.parse_args(argv)
 
-    opts = {}
+    opts = {"verbose": args.verbose, "interactive": args.interactive}
     if args.interval:
         opts["interval_ms"] = parse_duration_ms(args.interval)
     if args.lookback:

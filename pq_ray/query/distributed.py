@@ -69,13 +69,14 @@ class DistributedContext:
     """
 
     def __init__(self, samples_ds, label_cols, interval, lookback, start_at=None,
-                 num_buckets: int = 16):
+                 num_buckets: int = 16, extensions: bool = False):
         self.ds = samples_ds
         self.label_cols = list(label_cols)
         self.interval = interval
         self.lookback = lookback
         self.start_at = start_at
         self.num_buckets = num_buckets
+        self.extensions = extensions
 
 
 def _matcher_mask(t: pa.Table, matchers) -> np.ndarray:
@@ -435,9 +436,12 @@ def evaluate_distributed(node, ctx: DistributedContext):
             node,
             evaluate_distributed(node.lhs, ctx),
             evaluate_distributed(node.rhs, ctx),
+            ctx.extensions,
         )
     if isinstance(node, Aggregate):
-        return eng.eval_aggregate(node, evaluate_distributed(node.expr, ctx))
+        return eng.eval_aggregate(
+            node, evaluate_distributed(node.expr, ctx), ctx.extensions
+        )
     if isinstance(node, FunctionCall):
         raise QueryError(f"function {node.name!r} is not implemented")
     raise QueryError(f"cannot evaluate node {node!r}")

@@ -90,6 +90,11 @@ class EvalContext:
     interval: int
     lookback: int
     start_at: int | None = None
+    # extensions=True enables the operators the reference PARSES but
+    # never implements (and/or/unless, group_left/group_right, quantile/
+    # stddev/stdvar/count_values) with PromQL semantics; the default
+    # keeps exact parity (typed errors, tests/test_quirks.py)
+    extensions: bool = False
 
 
 # --------------------------------------------------------------------------
@@ -369,9 +374,115 @@ def _match_cols(label_cols: list[str], matching) -> list[str]:
     return sorted(c for c in label_cols if c not in names)
 
 
-def eval_binary(node: Binary, left, right) -> object:
+def _eval_logical(node: Binary, left, right) -> VectorStream:
+    """and / or / unless with PromQL set semantics (EXTENSION — the
+    reference only parses these, src/query/binary.rs hits
+    unimplemented!): full-labelset match (minus __name__), on/ignoring
+    honored, lhs rows keep their values and names."""
+    if not isinstance(left, VectorStream) or not isinstance(right, VectorStream) \
+            or left.kind != "instant" or right.kind != "instant":
+        raise QueryError(f"{node.op} requires two instant vectors")
+    ticks, joint = _zip_ticks(left.ticks, right.ticks)
+    lcols = _match_cols(left.label_cols, node.matching)
+    rcols = _match_cols(right.label_cols, node.matching)
+    ldf = left.df[left.df["tick"].isin(joint)].copy()
+    rdf = right.df[right.df["tick"].isin(joint)].copy()
+    ldf["msig"] = compute_sig(ldf, lcols, name_col=False)
+    rdf["msig"] = compute_sig(rdf, rcols, name_col=False)
+    rkeys = rdf[["tick", "msig"]].drop_duplicates()
+    if node.op == "and":
+        out = ldf.merge(rkeys, on=["tick", "msig"], how="inner", sort=False)
+        label_cols = left.label_cols
+    elif node.op == "unless":
+        out = ldf.merge(
+            rkeys, on=["tick", "msig"], how="left", indicator=True, sort=False
+        )
+        out = out[out["_merge"] == "left_only"].drop(columns=["_merge"])
+        label_cols = left.label_cols
+    else:  # or
+        lkeys = ldf[["tick", "msig"]].drop_duplicates()
+        extra = rdf.merge(
+            lkeys, on=["tick", "msig"], how="left", indicator=True, sort=False
+        )
+        extra = extra[extra["_merge"] == "left_only"].drop(columns=["_merge"])
+        label_cols = sorted(set(left.label_cols) | set(right.label_cols))
+        out = pd.concat([ldf, extra], ignore_index=True)
+    for c in label_cols:
+        if L(c) not in out.columns:
+            out[L(c)] = None
+    out = out.sort_values(["tick", "sig"], kind="stable")
+    out = _rank_within_tick(out)
+    cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+    return VectorStream("instant", ticks, out[cols], label_cols)
+
+
+def _eval_grouped_binary(node: Binary, left, right) -> VectorStream:
+    """group_left / group_right many-to-one matching (EXTENSION — the
+    reference parses the modifier then panics).  PromQL semantics: the
+    'many' side keeps its labels (plus any labels named in the modifier
+    copied from the 'one' side); the one side must be unique per
+    (tick, match-signature)."""
+    if not isinstance(left, VectorStream) or not isinstance(right, VectorStream) \
+            or left.kind != "instant" or right.kind != "instant":
+        raise QueryError("group_left/group_right requires two instant vectors")
+    kind, extra_labels = node.grouping
+    many, one = (left, right) if kind == "left" else (right, left)
+    ticks, joint = _zip_ticks(left.ticks, right.ticks)
+    mcols = _match_cols(many.label_cols, node.matching)
+    ocols = _match_cols(one.label_cols, node.matching)
+    mdf = many.df[many.df["tick"].isin(joint)].copy()
+    odf = one.df[one.df["tick"].isin(joint)].copy()
+    mdf["msig"] = compute_sig(mdf, mcols, name_col=False)
+    odf["msig"] = compute_sig(odf, ocols, name_col=False)
+    if odf.duplicated(["tick", "msig"]).any():
+        raise VectorMatchingError(
+            "found series collision for matching labels on the one side"
+        )
+    extra_labels = list(extra_labels or ())
+    ocols_take = ["tick", "msig", "value"] + [
+        L(c) for c in extra_labels if L(c) in odf.columns
+    ]
+    merged = mdf.merge(
+        odf[ocols_take].rename(
+            columns={"value": "ovalue", **{L(c): f"x_{c}" for c in extra_labels}}
+        ),
+        on=["tick", "msig"],
+        how="inner",
+        sort=False,
+    )
+    mv = merged["value"].to_numpy(dtype=np.float64)
+    ov = merged["ovalue"].to_numpy(dtype=np.float64)
+    lv, rv = (mv, ov) if kind == "left" else (ov, mv)
+    res = np.asarray(_scalar_op(node.op, lv, rv), dtype=np.float64)
+    is_cmp = node.kind == "comparison"
+    keep_name = is_cmp and not node.bool_modifier
+    if is_cmp and not node.bool_modifier:
+        keep = np.abs(res - 1.0) < F64_EPSILON
+        merged = merged[keep]  # many-side sample survives unchanged
+    else:
+        merged["value"] = res
+        merged["name"] = None
+    label_cols = sorted(set(many.label_cols) | set(extra_labels))
+    for c in extra_labels:
+        if f"x_{c}" in merged.columns:
+            merged[L(c)] = merged[f"x_{c}"]
+        elif L(c) not in merged.columns:
+            merged[L(c)] = None
+    for c in label_cols:
+        if L(c) not in merged.columns:
+            merged[L(c)] = None
+    merged["sig"] = compute_sig(merged, label_cols, name_col=keep_name)
+    merged = merged.sort_values(["tick", "sig"], kind="stable")
+    merged = _rank_within_tick(merged)
+    cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+    return VectorStream("instant", ticks, merged[cols], label_cols)
+
+
+def eval_binary(node: Binary, left, right, extensions: bool = False) -> object:
     op = node.op
     if node.kind == "logical":
+        if extensions:
+            return _eval_logical(node, left, right)
         raise QueryError(f"operator {op!r} is not implemented")
     if isinstance(left, ScalarStream) and isinstance(right, ScalarStream):
         if node.kind == "comparison" and not node.bool_modifier:
@@ -386,6 +497,8 @@ def eval_binary(node: Binary, left, right) -> object:
 
     # vector (x) vector one-to-one
     if node.grouping is not None:
+        if extensions:
+            return _eval_grouped_binary(node, left, right)
         raise QueryError("group_left/group_right matching is not implemented")
     if left.kind != "instant" or right.kind != "instant":
         raise QueryError("binary operations require instant vectors")
@@ -444,11 +557,60 @@ def eval_binary(node: Binary, left, right) -> object:
     )
 
 
-def eval_aggregate(node: Aggregate, inner) -> VectorStream:
+def _eval_count_values(node: Aggregate, inner, gcols: list[str]) -> VectorStream:
+    """count_values("<label>", v) — EXTENSION: count samples per distinct
+    value, the value itself attached as a new label (PromQL float repr)."""
+    label = str(node.argument)
+    df = inner.df.copy()
+    df["gsig"] = compute_sig(df, gcols, name_col=False)
+    from ..model import rust_f64_str
+
+    df[L(label)] = [rust_f64_str(v) for v in df["value"].to_numpy(dtype=np.float64)]
+    out_cols = sorted(set(gcols) | {label})
+    g = (
+        df.groupby(["tick", "gsig", L(label)], sort=True)
+        .agg(n=("value", "size"), **{L(c): (L(c), "first") for c in gcols})
+        .reset_index()
+    )
+    out = g[["tick", *[L(c) for c in out_cols]]].copy()
+    out["value"] = g["n"].astype(np.float64)
+    out["name"] = None
+    out["sig"] = compute_sig(out, out_cols, name_col=False)
+    out = out.sort_values(["tick", "sig"], kind="stable")
+    out = _rank_within_tick(out)
+    return VectorStream(
+        "instant",
+        inner.ticks,
+        out[["tick", "value", "name", *[L(c) for c in out_cols], "sig", "ord"]],
+        out_cols,
+    )
+
+
+def _promql_quantile(phi: float, vals: np.ndarray) -> float:
+    """PromQL's quantile: linear interpolation on the sorted values."""
+    if np.isnan(phi):
+        return float("nan")
+    if phi < 0:
+        return float("-inf")
+    if phi > 1:
+        return float("inf")
+    s = np.sort(vals)
+    n = len(s)
+    if n == 0:
+        return float("nan")
+    rank = phi * (n - 1)
+    lo = int(np.floor(rank))
+    hi = min(lo + 1, n - 1)
+    w = rank - lo
+    return float(s[lo] * (1 - w) + s[hi] * w)
+
+
+def eval_aggregate(node: Aggregate, inner, extensions: bool = False) -> VectorStream:
     if isinstance(inner, ScalarStream) or inner.kind != "instant":
         raise QueryError("aggregate operators require an instant vector")
     op = node.op
-    if op in ("quantile", "stddev", "stdvar", "count_values"):
+    if op in ("quantile", "stddev", "stdvar", "count_values") and not extensions:
+        # parity: the reference parses these then hits unimplemented!
         raise QueryError(f"aggregation operator {op!r} is not implemented yet")
 
     label_cols = inner.label_cols
@@ -469,6 +631,8 @@ def eval_aggregate(node: Aggregate, inner) -> VectorStream:
             pd.DataFrame(columns=["tick", "value", "name", *[L(c) for c in gcols], "sig", "ord"]),
             gcols,
         )
+    if op == "count_values":
+        return _eval_count_values(node, inner, gcols)
     df["gsig"] = compute_sig(df, gcols, name_col=False)
     # fold order = input vector order (reference iterates v.samples())
     df = df.sort_values(["tick", "ord"], kind="stable")
@@ -527,6 +691,17 @@ def eval_aggregate(node: Aggregate, inner) -> VectorStream:
         val = first + (n - 1)
     elif op == "group":
         val = np.where(n == 1, first, 1.0)
+    elif op in ("stddev", "stdvar"):
+        # population variance via E[x^2]-E[x]^2 (PromQL); NaN propagates
+        s1 = np.add.reduceat(vals, starts)
+        s2 = np.add.reduceat(vals * vals, starts)
+        var = np.maximum(s2 / n - (s1 / n) ** 2, 0.0)
+        val = var if op == "stdvar" else np.sqrt(var)
+    elif op == "quantile":
+        phi = float(node.argument)
+        val = np.array(
+            [_promql_quantile(phi, vals[st : st + c]) for st, c in zip(starts, counts)]
+        )
     else:  # pragma: no cover
         raise QueryError(f"aggregation operator {op!r} is not implemented")
     out = agg[["tick", *[L(c) for c in gcols]]].copy()
@@ -646,9 +821,11 @@ def evaluate(node, ctx: EvalContext):
     if isinstance(node, Unary):
         return eval_unary(node.op, evaluate(node.expr, ctx))
     if isinstance(node, Binary):
-        return eval_binary(node, evaluate(node.lhs, ctx), evaluate(node.rhs, ctx))
+        return eval_binary(
+            node, evaluate(node.lhs, ctx), evaluate(node.rhs, ctx), ctx.extensions
+        )
     if isinstance(node, Aggregate):
-        return eval_aggregate(node, evaluate(node.expr, ctx))
+        return eval_aggregate(node, evaluate(node.expr, ctx), ctx.extensions)
     if isinstance(node, FunctionCall):
         args = [
             a if isinstance(a, (float, str)) else evaluate(a, ctx) for a in node.args
