@@ -207,6 +207,46 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
 
 
+def q_pq_stddev_by_event_1h(sf_dir: str) -> pd.DataFrame:
+    """pq EXTENSION: ``stddev(value) by (event_type)`` @ 1h — population
+    stddev across the per-series instant values (the reference parses
+    stddev then panics; semantics per PromQL, engine extensions=True)."""
+    samples = _samples(sf_dir)
+    t0 = _t0(samples)
+    pts = _instant_rollup(samples, t0, HOUR)
+
+    def sd(g: pd.Series) -> float:
+        v = g.to_numpy(dtype=np.float64)
+        return float(np.sqrt(max((v * v).mean() - v.mean() ** 2, 0.0)))
+
+    out = (
+        pts.groupby(["tick", "event_type"], sort=True)["last_v"]
+        .apply(sd)
+        .round(6)
+        .reset_index()
+        .rename(columns={"last_v": "stddev_value"})
+    )
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
+def q_pq_quantile09_by_event_1h(sf_dir: str) -> pd.DataFrame:
+    """pq EXTENSION: ``quantile(0.9, value) by (event_type)`` @ 1h —
+    PromQL linear interpolation (equals SQL quantile_cont)."""
+    from ..query.engine import _promql_quantile
+
+    samples = _samples(sf_dir)
+    t0 = _t0(samples)
+    pts = _instant_rollup(samples, t0, HOUR)
+    out = (
+        pts.groupby(["tick", "event_type"], sort=True)["last_v"]
+        .apply(lambda g: _promql_quantile(0.9, g.to_numpy(dtype=np.float64)))
+        .round(6)
+        .reset_index()
+        .rename(columns={"last_v": "q90_value"})
+    )
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
 _TICK_SQL = """
         (SELECT MIN(epoch_ms(ts)) FROM events) + {imin} - 1
 """
@@ -239,6 +279,12 @@ def _oracle_instant(interval: int, agg: str, alias: str) -> str:
 ORACLES = {
     "pq_sum_by_event_1m": _oracle_instant(MINUTE, "ROUND(SUM(iv), 6)", "sum_value"),
     "pq_max_by_event_1h": _oracle_instant(HOUR, "MAX(iv)", "max_value"),
+    "pq_stddev_by_event_1h": _oracle_instant(
+        HOUR, "ROUND(COALESCE(stddev_pop(iv), 0), 6)", "stddev_value"
+    ),
+    "pq_quantile09_by_event_1h": _oracle_instant(
+        HOUR, "ROUND(quantile_cont(iv, 0.9), 6)", "q90_value"
+    ),
     "pq_topk3_1h": f"""
         WITH params AS (
             SELECT (SELECT MIN(epoch_ms(ts)) FROM events) + {HOUR} - 1 AS first
@@ -285,6 +331,8 @@ ORACLES = {
 
 QUERIES = {
     "pq_sum_by_event_1m": q_pq_sum_by_event_1m,
+    "pq_stddev_by_event_1h": q_pq_stddev_by_event_1h,
+    "pq_quantile09_by_event_1h": q_pq_quantile09_by_event_1h,
     "pq_max_by_event_1h": q_pq_max_by_event_1h,
     "pq_topk3_1h": q_pq_topk3_1h,
     "pq_count_over_time_5m": q_pq_count_over_time_5m,

@@ -166,6 +166,70 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)[["h", "doc_id", "n_dups"]]
 
 
+def q_dedup_keep(sf_dir: str) -> pd.DataFrame:
+    """Keep/drop dedup filter: every doc flagged, keep = True iff it is
+    the minimum doc_id of its exact-content group — the materialized
+    form a curation pipeline writes back out (filter on ``keep``).
+
+    Same one-shuffle plan as q_dedup_exact; the keep flag is computed
+    inside the bucket (all rows of a content hash co-locate)."""
+    ds = _read_docs(sf_dir)
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text"].map(_md5_hex)
+        return pd.DataFrame(
+            {"h": h, "doc_id": df["doc_id"], "bucket": _bucket_of_str(h)}
+        )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["doc_id"] == df.groupby("h", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": df["doc_id"], "keep": keep})
+
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "keep": pa.array([], type=pa.bool_())}
+    )
+    out = hash_exchange(
+        ds.map_batches(_arrow_map(add_hash), batch_format="pandas"),
+        "bucket",
+        NUM_BUCKETS,
+        _pandas_reduce(flag, empty),
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# BPE-ish tokenizer: letter runs, digit runs, punctuation runs — the
+# same class-based split GPT-style pre-tokenizers use, restricted to
+# ASCII classes so Python re and DuckDB RE2 agree byte-for-byte.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+class BpeTokenCounter:
+    """Actor-pool text-analysis stage: the regex compiles once per actor
+    (__init__), the per-batch work is one vectorized str.count pass."""
+
+    def __init__(self):
+        import re
+
+        self.rx = re.compile(_BPE_PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.count(self.rx)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_bpe_tokens": n.astype(np.int64)}
+        )
+
+
+def q_token_bpe(sf_dir: str) -> pd.DataFrame:
+    return (
+        _read_docs(sf_dir)
+        .map_batches(BpeTokenCounter, batch_format="pandas", batch_size=2048,
+                     concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # token stats (SQL-oracled text analysis)
 # ---------------------------------------------------------------------------
@@ -857,7 +921,9 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_keep": q_dedup_keep,
     "token_stats": q_token_stats,
+    "token_bpe": q_token_bpe,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,  # rows-only (approx candidates)
     "simhash": q_simhash,  # rows-only (hash definition is ours)
@@ -872,10 +938,20 @@ ORACLES = {
         SELECT md5(text) AS h, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
         FROM documents GROUP BY md5(text) ORDER BY doc_id
     """,
+    "dedup_keep": """
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents ORDER BY doc_id
+    """,
     "token_stats": """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
                len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "token_bpe": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens
         FROM documents ORDER BY doc_id
     """,
     "jaccard_pairs": f"""
