@@ -105,7 +105,11 @@ def format_stream_human(
                 parts.append(rust_f64_str(row["value"]))
                 lines.append("".join(parts))
         else:  # range vector
-            g = g.sort_values(["sig", "ts", "seq"], kind="stable")
+            # pure push order (seq): the reference stores range samples
+            # newest-pushed-first and the formatter reverses again
+            # (vector.rs:233-236 + humanreadable.rs:148), so out-of-order
+            # timestamps print in ARRIVAL order, not ts order
+            g = g.sort_values(["sig", "seq"], kind="stable")
             for _, series in g.groupby("sig", sort=False):
                 first = series.iloc[0]
                 labels = labels_of_row(first, stream.label_cols, include_name=True)

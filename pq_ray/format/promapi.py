@@ -70,7 +70,11 @@ def format_stream(stream) -> list[str]:
         items = []
         g = groups.get(t)
         if g is not None:
-            g = g.sort_values(["sig", "ts", "seq"], kind="stable")
+            # pure push order (seq): the reference stores range samples
+            # newest-pushed-first and the formatter reverses again
+            # (vector.rs:233-236 + humanreadable.rs:148), so out-of-order
+            # timestamps print in ARRIVAL order, not ts order
+            g = g.sort_values(["sig", "seq"], kind="stable")
             for sig, series in g.groupby("sig", sort=False):
                 first = series.iloc[0]
                 values = [
