@@ -72,6 +72,39 @@ def run_queries() -> dict:
     return out
 
 
+# Training-data operators timed at $GRAFT_SF_DIR (5000 docs / 2000 vecs
+# at sf0.1).  jaccard_pairs is exact all-pairs over a dense-vocab corpus
+# (~36M candidate pairs before the J filter at sf0.1) — the quadratic
+# cost is inherent to exactness; the approximate members (minhash, LSH)
+# are the scale paths and run in a fraction of its time.
+_TRAINING_BENCH = [
+    "dedup_exact",
+    "token_stats",
+    "token_bpe",
+    "jaccard_pairs",
+    "minhash_pairs",
+    "simhash",
+    "lang_quality",
+    "fingerprints",
+    "ann_topk",
+    "ann_ivf",
+    "embed_neardup_lsh",
+    "dedup_clusters",
+]
+
+
+def run_training_queries() -> dict:
+    from pq_ray.pipelines import training
+
+    out = {}
+    for name in _TRAINING_BENCH:
+        t0 = time.perf_counter()
+        df = training.QUERIES[name](SF_DIR)
+        out[f"tr_{name}"] = round(time.perf_counter() - t0, 3)
+        assert len(df) > 0
+    return out
+
+
 def main() -> None:
     import ray
 
@@ -104,8 +137,16 @@ def main() -> None:
 
     rd.read_parquet(CORPUS_DIR).count()
 
+    # min-of-2: the sandbox VM shows bursty 2-3x wall-time inflation at
+    # fixed configuration (BASELINE.md); one repeat filters most of it
     headline = run_headline()
+    if os.environ.get("GRAFT_BENCH_REPS", "2") == "2":
+        second = run_headline()
+        if second["sec"] < headline["sec"]:
+            headline = second
     queries = run_queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" else {}
+    if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1":
+        queries.update(run_training_queries())
 
     print(
         json.dumps(
@@ -142,6 +183,7 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="0",
+            GRAFT_BENCH_REPS="1",  # --scaling already does min-of-N reps
             GRAFT_BENCH_DOCS=os.environ.get("GRAFT_SCALING_DOCS", "6000000"),
         )
         cmd = [sys.executable, os.path.abspath(__file__)]

@@ -277,36 +277,62 @@ def _shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _all_group_pairs(
+    key: np.ndarray, ids: np.ndarray, max_df: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All within-group ordered pairs (a < b by member sort), fully
+    vectorized across every group at once: element j of a group emits j
+    pairs against all previous members (repeat/cumsum indexing — no
+    per-group Python loop).  Groups with fewer than 2 members emit
+    nothing; groups larger than ``max_df`` are skipped entirely (the
+    hot-shingle / quadratic-blowup guard).  Returns (a_idx, b_idx,
+    kept_row_mask_order): indices into the (key, id)-sorted arrays, plus
+    that sort order so callers can align payload columns."""
+    order = np.lexsort((ids, key))
+    k, i = key[order], ids[order]
+    boundary = np.nonzero(k[1:] != k[:-1])[0] + 1
+    g_starts = np.concatenate(([0], boundary))
+    g_sizes = np.diff(np.concatenate((g_starts, [len(k)])))
+    ok = g_sizes >= 2
+    if max_df is not None:
+        ok &= g_sizes <= max_df
+    g_starts, g_sizes = g_starts[ok], g_sizes[ok]
+    if len(g_starts) == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, order
+    # per element within a kept group: within-offset w emits w pairs
+    total_elems = int(g_sizes.sum())
+    within = np.arange(total_elems, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(g_sizes)[:-1])), g_sizes
+    )
+    elem_pos = within + np.repeat(g_starts, g_sizes)  # global positions
+    reps = within  # element pairs with all previous group members
+    total_pairs = int(reps.sum())
+    pair_off = np.arange(total_pairs, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+    )
+    a_idx = np.repeat(np.repeat(g_starts, g_sizes), reps) + pair_off
+    b_idx = np.repeat(elem_pos, reps)
+    return a_idx, b_idx, order
+
+
 def _emit_pairs_fn(max_df: int | None):
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["sh"].to_numpy()
         ids = df["doc_id"].to_numpy()
         ns = df["n_doc"].to_numpy()
-        order = np.argsort(sh, kind="stable")
-        sh, ids, ns = sh[order], ids[order], ns[order]
-        boundary = np.nonzero(sh[1:] != sh[:-1])[0] + 1
-        starts = np.concatenate(([0], boundary))
-        sizes = np.diff(np.concatenate((starts, [len(sh)])))
-        outs = []
-        for st, sz in zip(starts, sizes):
-            if sz < 2 or (max_df is not None and sz > max_df):
-                # max_df: a shingle shared by more than max_df docs emits
-                # no pairs — the stopword-bigram guard (quadratic cap)
-                continue
-            o = np.argsort(ids[st : st + sz], kind="stable")
-            gi = ids[st : st + sz][o]
-            gn = ns[st : st + sz][o]
-            iu, ju = np.triu_indices(sz, k=1)
-            outs.append(
-                pd.DataFrame({"a": gi[iu], "b": gi[ju], "na": gn[iu], "nb": gn[ju]})
-            )
-        if not outs:
+        a_idx, b_idx, order = _all_group_pairs(sh, ids, max_df)
+        if len(a_idx) == 0:
             return pd.DataFrame(
                 {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
                  "na": pd.Series(dtype=np.int64), "nb": pd.Series(dtype=np.int64),
                  "pbucket": pd.Series(dtype=np.int32)}
             )
-        out = pd.concat(outs, ignore_index=True)
+        ids_s, ns_s = ids[order], ns[order]
+        out = pd.DataFrame(
+            {"a": ids_s[a_idx], "b": ids_s[b_idx],
+             "na": ns_s[a_idx], "nb": ns_s[b_idx]}
+        )
         h = (
             out["a"].to_numpy().astype(np.uint64) * _PHI
             ^ out["b"].to_numpy().astype(np.uint64)
@@ -471,26 +497,17 @@ class MinHasher:
 
 
 def _lsh_candidates(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-bucket: same-band-key docs → candidate pairs (deduped)."""
+    """Per-bucket: same-band-key docs → candidate pairs (deduped,
+    vectorized across every band group at once)."""
     key = df["band_key"].to_numpy()
     ids = df["doc_id"].to_numpy()
-    order = np.lexsort((ids, key))
-    k, i = key[order], ids[order]
-    boundary = np.nonzero(k[1:] != k[:-1])[0] + 1
-    starts = np.concatenate(([0], boundary))
-    sizes = np.diff(np.concatenate((starts, [len(k)])))
-    outs = []
-    for st, sz in zip(starts, sizes):
-        if sz < 2:
-            continue
-        gi = i[st : st + sz]
-        iu, ju = np.triu_indices(sz, k=1)
-        outs.append(np.stack((gi[iu], gi[ju]), axis=1))
-    if not outs:
+    a_idx, b_idx, order = _all_group_pairs(key, ids)
+    if len(a_idx) == 0:
         return pd.DataFrame(
             {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
         )
-    arr = np.unique(np.concatenate(outs), axis=0)
+    ids_s = ids[order]
+    arr = np.unique(np.stack((ids_s[a_idx], ids_s[b_idx]), axis=1), axis=0)
     return pd.DataFrame({"a": arr[:, 0], "b": arr[:, 1]})
 
 
