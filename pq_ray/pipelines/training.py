@@ -898,6 +898,57 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+_ANN_NQ = 8
+
+
+def q_ann_topk_multi(sf_dir: str) -> pd.DataFrame:
+    """Batched ANN: top-k per EACH of the first _ANN_NQ query vectors.
+
+    The 100 TB shape for similarity search: ONE matmul per batch against
+    the broadcast query MATRIX (ray.put once), per-batch local top-k per
+    query, tiny global rerank of nq x k x blocks candidate rows."""
+    qrows = _read_emb(sf_dir).sort("vec_id").limit(_ANN_NQ).to_pandas()
+    qids = qrows["vec_id"].to_numpy(dtype=np.int64)
+    Q = np.stack(qrows["embedding"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qref = ray.put((qids, Q))
+
+    def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
+        qs_ids, Qm = ray.get(qref)
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        S = M @ Qm.T  # (batch, nq)
+        outs = []
+        k = min(ANN_K + 1, len(ids))  # +1: self may rank, dropped below
+        for qi in range(len(qs_ids)):
+            # deterministic local top-k: (sim desc, vec_id asc) so a
+            # boundary TIE keeps the same candidate the global rerank
+            # (and the SQL oracle) would pick
+            top = np.lexsort((ids, -S[:, qi]))[:k]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "qid": qs_ids[qi],
+                        "vec_id": ids[top],
+                        "sim": np.round(S[top, qi], 6),
+                    }
+                )
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out[out["vec_id"] != out["qid"]]
+
+    cand = _read_emb(sf_dir).map_batches(topk_batch, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+        .groupby("qid", sort=True)
+        .head(ANN_K)
+    )
+    out["qid"] = out["qid"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+
+
 def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
     """All-pairs cosine >= tau via batch x broadcast-matrix matmul.
 
@@ -947,6 +998,7 @@ QUERIES = {
     "lang_quality": q_lang_quality,  # rows-only (heuristic)
     "fingerprints": q_fingerprints,  # rows-only (winnowing params ours)
     "ann_topk": q_ann_topk,
+    "ann_topk_multi": q_ann_topk_multi,
     "embed_neardup": q_embed_neardup,
 }
 
@@ -1009,6 +1061,25 @@ ORACLES = {
         WHERE vec_id != (SELECT MIN(vec_id) FROM embeddings)
         ORDER BY sim DESC, vec_id
         LIMIT {ANN_K}
+    """,
+    "ann_topk_multi": f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            ORDER BY vec_id LIMIT {_ANN_NQ}
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.qv AS DOUBLE[])), 6) AS sim
+            FROM embeddings e, q WHERE e.vec_id != q.qid
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY sim DESC, vec_id
+            ) AS rn FROM scored
+        )
+        SELECT qid, vec_id, sim FROM ranked WHERE rn <= {ANN_K}
+        ORDER BY qid, vec_id
     """,
     "embed_neardup": f"""
         SELECT x.vec_id AS a, y.vec_id AS b,
