@@ -356,10 +356,22 @@ def run_cascade(
                 stats["raw_samples"] = m.get("raw_samples", 0)
         return stats
 
+    # mid-cascade resume: fine-tier manifests publish right after phase 1,
+    # so a run that died before the coarse tier / chunk / gap jobs resumes
+    # WITHOUT re-decoding the corpus — the coarse tier rebuilds from the
+    # written top-fine tier (continuous-aggregate property).
+    _fine = tiers if len(tiers) == 1 else tiers[:-1]
+    fine_resume = len(tiers) > 1 and all(
+        mf.is_complete(tier_dir(out_dir, t), corpus_fp) for t in _fine
+    )
+
     points_root = os.path.join(out_dir, "points")
     import shutil
 
-    shutil.rmtree(points_root, ignore_errors=True)
+    if fine_resume:
+        shutil.rmtree(tier_dir(out_dir, tiers[-1]), ignore_errors=True)
+    else:
+        shutil.rmtree(points_root, ignore_errors=True)
 
     t0 = time.perf_counter()
     from ..stages.decode import decode_partials_task
@@ -445,24 +457,83 @@ def run_cascade(
         {t for t in fine_tiers if t in chunk_tiers} | {bucket_span}
     )
     label_ref = ray.put(label_df)
-    split_refs = split_stream(
-        bucketed,
-        "bucket",
-        num_buckets,
-        blocks_per_split=blocks_per_split,
-        pre_reduce=narrow_precombine if use_narrow else None,
-    )
-    reduce_fn = _cascade_reduce_fn(fine_tiers, narrow=use_narrow)
-    gathered = [
-        _combine_attach_write.remote(
-            reduce_fn, points_root, i, label_ref, keep_tiers, tiers[0],
-            *[split_refs[j][i] for j in range(len(split_refs))],
+    if fine_resume:
+        import pyarrow as pa
+
+        stats["resumed"] = "fine_tiers"
+        keep_parts = []
+        for t in keep_tiers:
+            ds_t = rd.read_parquet(tier_dir(out_dir, t))
+
+            def to_keep(tb: pa.Table, _t=t) -> pa.Table:
+                cols = {c: tb[c] for c in NUMERIC_COLS}
+                cols["tier_ms"] = pa.array(
+                    np.full(tb.num_rows, _t, dtype=np.int64)
+                )
+                return pa.table(cols)
+
+            keep_parts.append(ds_t.map_batches(to_keep, batch_format="pyarrow"))
+        keep_ds = keep_parts[0]
+        for p in keep_parts[1:]:
+            keep_ds = keep_ds.union(p)
+        keep_ds = keep_ds.materialize()
+        keep_refs = [
+            br for b in keep_ds.iter_internal_ref_bundles() for br in b.block_refs
+        ]
+        m0 = mf.load(tier_dir(out_dir, tiers[0]))
+        raw_samples = int(m0.get("raw_samples", 0))
+        bucket_stats = m0.get("exchange_buckets", {})
+        stats["skipped"].extend(fine_tiers)
+    else:
+        split_refs = split_stream(
+            bucketed,
+            "bucket",
+            num_buckets,
+            blocks_per_split=blocks_per_split,
+            pre_reduce=narrow_precombine if use_narrow else None,
         )
-        for i in range(num_buckets)
-    ]
-    stat_refs = [g[0] for g in gathered]
-    keep_refs = [g[1] for g in gathered]
-    bucket_stat_rows = ray.get(stat_refs)  # barrier: all tiers written
+        reduce_fn = _cascade_reduce_fn(fine_tiers, narrow=use_narrow)
+        gathered = [
+            _combine_attach_write.remote(
+                reduce_fn, points_root, i, label_ref, keep_tiers, tiers[0],
+                *[split_refs[j][i] for j in range(len(split_refs))],
+            )
+            for i in range(num_buckets)
+        ]
+        stat_refs = [g[0] for g in gathered]
+        keep_refs = [g[1] for g in gathered]
+        bucket_stat_rows = ray.get(stat_refs)  # barrier: all tiers written
+        # per-partition metrics: output rows per exchange bucket — skew
+        # observability for the manifest (north rule: per-partition
+        # lineage + row counts per stage)
+        b_rows = [sum(s["rows"].values()) for s in bucket_stat_rows]
+        bucket_stats = {
+            "num_buckets": num_buckets,
+            "rows_min": int(min(b_rows)),
+            "rows_max": int(max(b_rows)),
+            "rows_mean": round(sum(b_rows) / max(len(b_rows), 1), 1),
+            "skew_max_over_mean": round(
+                max(b_rows) / max(sum(b_rows) / max(len(b_rows), 1), 1e-9), 3
+            ),
+        }
+        raw_samples = int(sum(s["raw_samples"] for s in bucket_stat_rows))
+        # publish fine-tier manifests NOW: the cascade is resumable from
+        # this point on (coarse tier / chunks / gaps rebuild from disk)
+        for t in fine_tiers:
+            tdir = tier_dir(out_dir, t)
+            os.makedirs(tdir, exist_ok=True)
+            extra: dict = {"exchange_buckets": bucket_stats}
+            if t == tiers[0]:
+                extra["raw_samples"] = raw_samples
+            mf.publish(
+                tdir,
+                tier_ms=t,
+                input_path=corpus_path,
+                input_fingerprint=corpus_fp,
+                rows_in=raw_samples,
+                wall_sec=time.perf_counter() - t0,
+                extra=extra,
+            )
     phases = {"decode_exchange_write": round(time.perf_counter() - t0, 2)}
 
     if coarse_tiers:
@@ -500,22 +571,7 @@ def run_cascade(
     else:
         coarse_keep_refs = []
     phases["coarse_tiers"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
-    # per-partition metrics: output rows per exchange bucket — skew
-    # observability for the manifest (north rule: per-partition lineage
-    # + row counts per stage)
-    b_rows = [sum(s["rows"].values()) for s in bucket_stat_rows]
-    bucket_stats = {
-        "num_buckets": num_buckets,
-        "rows_min": int(min(b_rows)),
-        "rows_max": int(max(b_rows)),
-        "rows_mean": round(sum(b_rows) / max(len(b_rows), 1), 1),
-        "skew_max_over_mean": round(
-            max(b_rows) / max(sum(b_rows) / max(len(b_rows), 1), 1e-9), 3
-        ),
-    }
     wall = time.perf_counter() - t0
-
-    raw_samples = int(sum(s["raw_samples"] for s in bucket_stat_rows))
     stats["raw_samples"] = raw_samples
     phases["metrics_count"] = round(time.perf_counter() - t0 - sum(phases.values()), 2)
 

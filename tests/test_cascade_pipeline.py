@@ -72,10 +72,13 @@ def test_resume_mid_cascade(ray_session, tmp_path):
     full_out = str(tmp_path / "full")
     run_cascade(corpus, partial_out, tiers=[1000, 60_000], num_buckets=8,
                 decode_batch_size=256, decode_concurrency=2)
-    # resume with the full tier list: 1h tier missing → fused recompute
+    # resume with the full tier list: the completed fine tiers are
+    # skipped (their manifests match) and ONLY the missing 1h tier is
+    # rebuilt — from the written 1m tier, without re-decoding the corpus
     stats = run_cascade(corpus, partial_out, tiers=[1000, 60_000, 3_600_000],
                         num_buckets=8, decode_batch_size=256, decode_concurrency=2)
-    assert stats["skipped"] == []
+    assert stats.get("resumed") == "fine_tiers"
+    assert stats["skipped"] == [1000, 60_000]
     run_cascade(corpus, full_out, tiers=[1000, 60_000, 3_600_000], num_buckets=8,
                 decode_batch_size=256, decode_concurrency=2)
     # same 1h points either way (sort-insensitive compare)
@@ -187,3 +190,25 @@ def test_read_chunks_reconstructs_points(cascade_run):
             pts[c].to_numpy(dtype=np.float64).view(np.uint64),
         ), c
     assert (decoded["source"].to_numpy() == pts["source"].to_numpy()).all()
+
+
+def test_resume_corpus_change_forces_recompute(ray_session, tmp_path):
+    """A changed corpus invalidates the fine-tier manifests: the rerun
+    must NOT take the mid-cascade resume path."""
+    corpus = str(tmp_path / "corpus")
+    write_tokens_corpus(corpus, 300, seed=42)
+    out = str(tmp_path / "out")
+    run_cascade(corpus, out, tiers=[1000, 60_000, 3_600_000], num_buckets=8,
+                decode_batch_size=256, decode_concurrency=2)
+    # remove the coarse manifest AND change the corpus
+    import os
+    import shutil
+
+    shutil.rmtree(tier_dir(out, 3_600_000), ignore_errors=True)
+    shutil.rmtree(corpus)
+    write_tokens_corpus(corpus, 350, seed=7)
+    stats = run_cascade(corpus, out, tiers=[1000, 60_000, 3_600_000],
+                        num_buckets=8, decode_batch_size=256,
+                        decode_concurrency=2)
+    assert "resumed" not in stats
+    assert stats["skipped"] == []
