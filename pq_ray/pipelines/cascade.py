@@ -1,39 +1,39 @@
 """The flagship pipeline: token corpus → raw→1m→1h→1d rollup cascade.
 
-Physical plan — ONE shuffle for the whole cascade:
+Physical plan — ONE shuffle for all fine tiers, everything fused:
 
-    read_parquet(corpus)                     column-pruned, parallel read
-      → map_batches(DecodeToPartials, actors)  fused tokens→samples→
-                                               per-(series, 1s-window)
-                                               partial aggregates (no
-                                               per-sample materialization)
-      → bucket = hash(series_id, window // max_tier)   ONE exchange —
-        all finer windows of a (series, coarsest-window) pair nest
-        inside it, so every retention tier is derivable inside a
-        single map_groups:
-      → groupby(bucket).map_groups: combine 1s partials, then cascade
-        1m → 1h → 1d by re-aggregating the mergeable partial struct
-        (exact — tested against direct-from-raw)
-      → attach labels (tiny static series_id→labels table, broadcast)
-      → write_parquet(points/, partition_cols=[tier_ms])  resumable
-        partitioned layout, one directory per tier
+    read_parquet(corpus)                 column-pruned, 1 block per file
+      → map_batches(decode+bucket)       ONE fused map op: tokens →
+                                         per-(series, 1s-window) narrow
+                                         partials (sort-free doc-aligned
+                                         kernel, no per-sample arrays) +
+                                         the exchange bucket key
+      → split tasks (blocks grouped, narrow pre-combine inside) — the
+        tree combine that collapses duplicate (series, window) rows
+        before anything hits the wire
+      → fused gathers: combine in the narrow domain → widen → cascade
+        1s→1m→1h by re-aggregating the mergeable partial struct (exact —
+        tested against direct-from-raw) → attach labels (broadcast
+        series_id→labels table) → write one parquet file per tier per
+        bucket (hive layout tier_ms=T/part-<bucket>.parquet)
+    + phase 2: the coarsest tier (1d) from the top fine tier's small
+      keep tables (a second, tiny exchange — avoids coarse-window skew)
+    + Gorilla chunks per (series, tier) fed from the gathers' returned
+      keep tables (no parquet read-back); gap sidecars per tier.
 
-    + one more job: Gorilla chunks per (series, tier) over the written
-      points; gap sidecars computed from distinct windows per tier.
+Why fused: every separate Ray Data op costs a per-block executor
+round-trip and every separate job seconds of fixed cost; the fused plan
+pays ONE shuffle whose key is reused by every fine tier, and the
+per-bucket work is bounded (a bucket = series x coarse-window slices).
+The tier-by-tier path (incremental retention reruns) remains available
+via ``pq_ray.stages.rollup.cascade``.
 
-Why fused: each groupby/sort job in Ray Data carries seconds of fixed
-cost at high CPU counts; a tier-by-tier cascade pays it 4-7x.  The
-fused plan pays ONE shuffle whose key is reused by every tier — the
-"pick one partitioning key" rule — and the per-bucket work is bounded
-(a bucket = one series x one coarsest window ≤ max_tier/raw_tier
-points).  The tier-by-tier path (incremental retention reruns, e.g.
-recomputing only 1h from 1m) remains available via
-``pq_ray.stages.rollup.cascade``.
-
-Checkpointing: each tier's partition dir gets a ``_MANIFEST.json``
-(corpus fingerprint, per-file row counts, wall time).  A rerun whose
-corpus fingerprint matches every manifest skips the whole job —
-byte-identical resume (tests/test_cascade_pipeline.py).
+Checkpointing: each tier's dir gets a ``_MANIFEST.json`` (corpus
+fingerprint, per-file row counts, wall time).  Fine-tier manifests
+publish right after phase 1, so a rerun skips completed work at two
+granularities: all-complete → no-op; fine-complete → rebuild only the
+coarse tier/chunks/gaps from disk without re-decoding
+(tests/test_cascade_pipeline.py, byte-identical).
 """
 
 from __future__ import annotations
