@@ -345,6 +345,31 @@ def _emit_pairs_fn(max_df: int | None):
 
 def _reduce_pairs_fn(tau: float):
     def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        na = df["na"].to_numpy()
+        nb = df["nb"].to_numpy()
+        if len(a) and (a.max() < (1 << 32)) and (b.max() < (1 << 32)):
+            # packed-key count: one argsort instead of a pandas groupby
+            key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+            order = np.argsort(key)
+            k = key[order]
+            starts = np.concatenate(
+                ([0], np.nonzero(k[1:] != k[:-1])[0] + 1)
+            )
+            c = np.diff(np.concatenate((starts, [len(k)])))
+            g_na = na[order][starts].astype(np.float64)
+            g_nb = nb[order][starts].astype(np.float64)
+            j = np.round(c / (g_na + g_nb - c), 6)
+            keep = j >= tau
+            ks = k[starts][keep]
+            return pd.DataFrame(
+                {
+                    "a": (ks >> np.uint64(32)).astype(np.int64),
+                    "b": (ks & np.uint64((1 << 32) - 1)).astype(np.int64),
+                    "j": j[keep],
+                }
+            )
         g = (
             df.groupby(["a", "b"], sort=False)
             .agg(c=("na", "size"), na=("na", "first"), nb=("nb", "first"))
