@@ -727,31 +727,33 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_simhash(sf_dir: str) -> pd.DataFrame:
+def _simhash_batch(texts) -> np.ndarray:
     """64-bit SimHash per doc over distinct word bigrams — vectorized:
     the ±1 bit contributions of every shingle in the batch accumulate via
     one reduceat along the doc axis (no per-doc or per-token loop)."""
+    n = len(texts)
+    packed = np.zeros(n, dtype=np.uint64)
+    didx, shs = _doc_shingles(texts)
+    if len(shs):
+        bits = (
+            (shs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int32)
+        contrib = 2 * bits - 1  # S x 64 in {-1, +1}
+        starts = np.concatenate(([0], np.nonzero(didx[1:] != didx[:-1])[0] + 1))
+        sums = np.add.reduceat(contrib, starts, axis=0)  # D x 64
+        hv = (sums > 0).astype(np.uint64)
+        vals = np.bitwise_or.reduce(
+            hv << np.arange(64, dtype=np.uint64)[None, :], axis=1
+        )
+        packed[didx[starts]] = vals
+    return packed
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
     ds = _read_docs(sf_dir)
 
     def sh(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        packed = np.zeros(n, dtype=np.uint64)
-        didx, shs = _doc_shingles(df["text"].to_numpy())
-        if len(shs):
-            bits = (
-                (shs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)
-            ).astype(np.int32)
-            contrib = 2 * bits - 1  # S x 64 in {-1, +1}
-            starts = np.concatenate(
-                ([0], np.nonzero(didx[1:] != didx[:-1])[0] + 1)
-            )
-            sums = np.add.reduceat(contrib, starts, axis=0)  # D x 64
-            hv = (sums > 0).astype(np.uint64)
-            vals = np.bitwise_or.reduce(
-                hv << np.arange(64, dtype=np.uint64)[None, :], axis=1
-            )
-            packed[didx[starts]] = vals
+        packed = _simhash_batch(df["text"].to_numpy())
         return pd.DataFrame(
             {"doc_id": df["doc_id"], "simhash": [f"{v:016x}" for v in packed]}
         )
@@ -762,6 +764,108 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    v = np.ascontiguousarray(x, dtype=np.uint64)
+    return np.unpackbits(v.view(np.uint8)).reshape(len(v), 64).sum(axis=1)
+
+
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = 4  # pigeonhole: hamming <= 3 over 4 bands ⇒ >=1 band equal
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate pairs by SimHash: candidates from the 4x16-bit
+    band pigeonhole (hamming <= 3 ⇒ at least one band identical, so
+    candidate recall is EXACT), verified with a vectorized popcount of
+    the full 64-bit hashes inside the bucket (both hashes co-located —
+    no driver materialization).  Rows-only (the hash definition is
+    ours); recall vs brute force is pytest-asserted."""
+    ds = _read_docs(sf_dir)
+
+    def band_rows(df: pd.DataFrame) -> pa.Table:
+        h = _simhash_batch(df["text"].to_numpy())
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        n = len(ids)
+        keys, out_ids, out_h = [], [], []
+        for b in range(_SIMHASH_BANDS):
+            band = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            keys.append(band | (np.uint64(b + 1) << np.uint64(48)))
+            out_ids.append(ids)
+            out_h.append(h)
+        key = np.concatenate(keys)
+        return pa.table(
+            {
+                "band_key": pa.array(key, type=pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "simhash": pa.array(np.concatenate(out_h), type=pa.uint64()),
+                "bucket": pa.array(_bucket_of_u64(key)),
+            }
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+                "pbucket": pa.array([], type=pa.int32()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        key = t["band_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        hs = t["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+        a_idx, b_idx, order = _all_group_pairs(key, ids)
+        if len(a_idx) == 0:
+            return empty
+        ids_s, hs_s = ids[order], hs[order]
+        ham = _popcount64(hs_s[a_idx] ^ hs_s[b_idx])
+        keep = ham <= _SIMHASH_MAX_HAMMING
+        a, b, ham = ids_s[a_idx][keep], ids_s[b_idx][keep], ham[keep]
+        h = a.astype(np.uint64) * _PHI ^ b.astype(np.uint64)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "hamming": pa.array(ham.astype(np.int64)),
+                "pbucket": pa.array((h % np.uint64(8)).astype(np.int32)),
+            }
+        )
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        hm = t["hamming"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, hm = a[order], b[order], hm[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+             "hamming": pa.array(hm[keep])}
+        )
+
+    rows = ds.map_batches(band_rows, batch_format="pandas")
+    pairs = hash_exchange(rows, "bucket", NUM_BUCKETS, bucket_pairs)
+    out = hash_exchange(pairs, "pbucket", 8, dedupe).to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "hamming": pd.Series(dtype=np.int64)}
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1020,6 +1124,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,  # rows-only (approx candidates)
     "simhash": q_simhash,  # rows-only (hash definition is ours)
+    "simhash_pairs": q_simhash_pairs,  # rows-only (banded hamming dedup)
     "lang_quality": q_lang_quality,  # rows-only (heuristic)
     "fingerprints": q_fingerprints,  # rows-only (winnowing params ours)
     "ann_topk": q_ann_topk,

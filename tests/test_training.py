@@ -222,3 +222,43 @@ def test_minhash_verify_is_distributed(ray_session, tmp_path):
     src2 = inspect.getsource(training._verify_pairs_distributed)
     # only the final (tiny) pair table is collected
     assert src2.count("to_pandas") == 1
+
+
+def test_simhash_pairs_exact_recall_vs_bruteforce(ray_session, tmp_path):
+    """Pigeonhole guarantee: every pair within hamming<=3 of the 64-bit
+    simhash appears (candidate recall is exact, verify is exact)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import (
+        _popcount64,
+        _simhash_batch,
+        q_simhash_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(vocab, size=70)))
+    for i in range(10):  # planted near-dups: tiny mutations
+        toks = docs[i].split(" ")
+        toks[rng.integers(len(toks))] = rng.choice(vocab)
+        docs.append(" ".join(toks))
+    table = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                      "text": pa.array(docs)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+
+    got = q_simhash_pairs(str(d))
+    got_pairs = set(zip(got["a"], got["b"]))
+    # brute force over all pairs
+    h = _simhash_batch(np.array(docs, dtype=object))
+    exp = set()
+    for i in range(len(docs)):
+        x = _popcount64(h[i] ^ h[i + 1:])
+        for off in np.nonzero(x <= 3)[0]:
+            exp.add((i, i + 1 + int(off)))
+    assert got_pairs == exp
+    assert len(exp) >= 3  # several planted dups landed close
