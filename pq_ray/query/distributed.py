@@ -132,37 +132,42 @@ def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
 
     filtered = ctx.ds.map_batches(filter_batch, batch_format="pyarrow")
 
-    # tick grid needs the matched stream's min/max ts (cheap aggregates)
-    try:
-        t_min = filtered.min("ts")
-        t_max = filtered.max("ts")
-    except Exception:
+    # ONE summary pass over the filtered stream: per-block (distinct
+    # labelsets, min/max ts) — the driver collects |blocks| x |series|
+    # rows + 2 scalars per block, never samples; the only other pass is
+    # the explode itself (2 executions of the filter total, down from 4)
+    cols = ["name"] + [L(c) for c in label_cols if L(c) in ctx.ds.schema().names]
+
+    def summary_batch(t: pa.Table) -> pa.Table:
+        keep = [c for c in cols if c in t.schema.names]
+        dist = t.select(keep).group_by(keep).aggregate([])
+        n = dist.num_rows
+        if t.num_rows:
+            ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+            lo, hi = int(ts.min()), int(ts.max())
+        else:
+            lo, hi = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+        return dist.append_column(
+            "_ts_min", pa.array(np.full(n, lo, dtype=np.int64))
+        ).append_column("_ts_max", pa.array(np.full(n, hi, dtype=np.int64)))
+
+    summary = filtered.map_batches(summary_batch, batch_format="pyarrow").to_pandas()
+    if summary.empty:
         return None
-    if t_min is None:
-        return None
-    t0 = ctx.start_at if ctx.start_at is not None else int(t_min)
+    t_min = int(summary["_ts_min"].min())
+    t_max = int(summary["_ts_max"].max())
+    distinct = (
+        summary.drop(columns=["_ts_min", "_ts_max"])
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    t0 = ctx.start_at if ctx.start_at is not None else t_min
     first = t0 + min(d, interval) - 1
-    last_ts = int(t_max)
+    last_ts = t_max
     k_max = (last_ts + d - 1 - first) // interval
     if k_max < 0:
         return None
     ticks = first + interval * np.arange(k_max + 1, dtype=np.int64)
-
-    # distinct labelsets (small): deduped INSIDE each batch (pyarrow
-    # group_by) so what reaches the driver is bounded by
-    # |blocks| x |series|, never |samples|
-    cols = ["name"] + [L(c) for c in label_cols if L(c) in ctx.ds.schema().names]
-
-    def distinct_batch(t: pa.Table) -> pa.Table:
-        keep = [c for c in cols if c in t.schema.names]
-        return t.select(keep).group_by(keep).aggregate([])
-
-    distinct = (
-        filtered.map_batches(distinct_batch, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
-        .reset_index(drop=True)
-    )
 
     def row_sig(row) -> bytes:
         dd = {}
