@@ -212,3 +212,25 @@ def test_resume_corpus_change_forces_recompute(ray_session, tmp_path):
                         decode_concurrency=2)
     assert "resumed" not in stats
     assert stats["skipped"] == []
+
+
+def test_narrow_equals_wide_exchange(ray_session, tmp_path):
+    """The compact 22-byte wire schema must produce byte-identical tier
+    points to the wide f64/i64 schema."""
+    import duckdb
+
+    corpus = str(tmp_path / "corpus")
+    write_tokens_corpus(corpus, 500, seed=13)
+    out_n = str(tmp_path / "narrow")
+    out_w = str(tmp_path / "wide")
+    for out, narrow in ((out_n, True), (out_w, False)):
+        run_cascade(corpus, out, tiers=[1000, 60_000, 3_600_000], num_buckets=8,
+                    narrow_exchange=narrow)
+    for tier in (1000, 60_000, 3_600_000):
+        a = duckdb.sql(
+            f"select * from read_parquet('{tier_dir(out_n, tier)}/*.parquet') order by series_id, window_ts"
+        ).df().reset_index(drop=True)
+        b = duckdb.sql(
+            f"select * from read_parquet('{tier_dir(out_w, tier)}/*.parquet') order by series_id, window_ts"
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), tier

@@ -80,3 +80,31 @@ def test_decode_retry_determinism():
     a = DecodeTokens()(t)
     b = DecodeTokens()(t)
     assert a.equals(b)
+
+
+def test_doc_aligned_kernel_equals_generic():
+    """The sort-free doc-aligned partial kernel must equal the generic
+    per-sample kernel bit-for-bit (same partial rows, any order)."""
+    import pyarrow as pa
+
+    from pq_ray.fixtures import generate_tokens_table
+    from pq_ray.stages.decode import DecodeToPartials
+
+    batch = generate_tokens_table(600, seed=11)
+
+    fast = DecodeToPartials(1000, narrow=False)
+
+    class NoFast(DecodeToPartials):
+        def _doc_aligned_partials(self, *a, **k):
+            return None
+
+    slow = NoFast(1000, narrow=False)
+    a = fast(batch).to_pandas().sort_values(["series_id", "window_ts"]).reset_index(drop=True)
+    b = slow(batch).to_pandas().sort_values(["series_id", "window_ts"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.array_equal(av.view(np.uint64), bv.view(np.uint64)), c
+        else:
+            assert np.array_equal(av, bv), c
