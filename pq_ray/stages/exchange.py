@@ -121,6 +121,9 @@ def hash_exchange(
         ds, bucket_col, num_buckets,
         blocks_per_split=blocks_per_split, pre_reduce=pre_reduce,
     )
+    if not split_refs:  # empty upstream: no blocks at all
+        out_ds = rd.from_arrow_refs([])
+        return (out_ds, []) if return_refs else out_ds
     out_refs = [
         _gather.remote(reduce_fn, *[split_refs[j][i] for j in range(len(split_refs))])
         for i in range(num_buckets)
