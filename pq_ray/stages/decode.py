@@ -125,32 +125,25 @@ class DecodeTokens:
         pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], counts)
         ts = np.repeat(t_doc, counts) + pos * STEP_MS
 
-        cols = {
-            "ts": ts,
-            "value": flat_values.astype(np.float64),
-            "name": np.full(total, "token", dtype=object),
-            "source": np.repeat(np.asarray(source.to_pylist(), dtype=object), counts),
-            "shard": np.repeat(shard, counts),
-            "series_id": np.repeat(self._lut["token"][combo], counts),
-        }
-        if self.provenance:
-            cols["doc_id"] = np.repeat(
-                np.asarray(doc_ids.to_pylist(), dtype=object), counts
-            )
-            cols["pos"] = pos.astype(np.int32)
-
+        # row index per sample: string columns repeat via Arrow take
+        # (stays Arrow-native — no to_pylist/object round-trip)
+        row_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), counts))
         out = pa.table(
             {
-                "ts": pa.array(cols["ts"], type=pa.int64()),
-                "value": pa.array(cols["value"], type=pa.float64()),
-                "name": pa.array(cols["name"], type=pa.string()),
-                "source": pa.array(cols["source"], type=pa.string()),
-                "shard": pa.array(cols["shard"], type=pa.int32()),
-                "series_id": pa.array(cols["series_id"], type=pa.uint64()),
+                "ts": pa.array(ts, type=pa.int64()),
+                "value": pa.array(flat_values.astype(np.float64), type=pa.float64()),
+                "name": pa.array(["token"]).take(
+                    pa.array(np.zeros(total, dtype=np.int64))
+                ),
+                "source": source.take(row_idx),
+                "shard": pa.array(np.repeat(shard, counts), type=pa.int32()),
+                "series_id": pa.array(
+                    np.repeat(self._lut["token"][combo], counts), type=pa.uint64()
+                ),
                 **(
                     {
-                        "doc_id": pa.array(cols["doc_id"], type=pa.string()),
-                        "pos": pa.array(cols["pos"], type=pa.int32()),
+                        "doc_id": doc_ids.take(row_idx),
+                        "pos": pa.array(pos.astype(np.int32), type=pa.int32()),
                     }
                     if self.provenance
                     else {}
