@@ -388,11 +388,26 @@ class _P:
                 raise ParseError("range vector selector: expected duration", self.i)
             range_ms = parse_duration_ms(d)
             self.expect("]", "range vector selector")
-        if name is None and not matchers:
+        # VectorSelector::new validation (reference ast.rs:396-410):
+        # an explicit metric name plus a __name__ matcher is ambiguous;
+        # without a name, at least one matcher must NOT match the empty
+        # string (else the selector would match everything)
+        if name is not None and any(m.label == "__name__" for m in matchers):
+            raise ParseError("potentially ambiguous metric name match", self.i)
+        if name is None and all(self._matches_empty(m) for m in matchers):
             raise ParseError(
                 "vector selector must contain at least one non-empty matcher", self.i
             )
         return VectorSelector(name, tuple(matchers), range_ms)
+
+    @staticmethod
+    def _matches_empty(m) -> bool:
+        if m.op == "=":
+            return m.value == ""
+        if m.op == "!=":
+            return m.value != ""
+        hit = m.compiled().search("") is not None
+        return hit if m.op == "=~" else not hit
 
     def _label_matchers(self) -> list[LabelMatcher] | None:
         self.ws()

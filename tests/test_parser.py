@@ -135,3 +135,27 @@ def test_program_validations():
 def test_parentheses():
     e = parse_expr("(1 + 2) * 3")
     assert e.op == "*" and isinstance(e.lhs, Parentheses)
+
+
+def test_selector_validation_reference_vectors():
+    """The reference's VectorSelector::new validation cases
+    (src/query/parser/vector.rs:136-192, ast.rs:396-410) verbatim."""
+    valid = [
+        'foo', 'foo[1h5m]', 'foo{}', 'foo {}', 'foo {}[5ms]',
+        'foo {}  [1m3s]', 'foo  {   }', '{__name__="foo"}',
+        '{__name__=~"foo"}', '{__name__=~"foo",__name__=~"bar"}',
+        'foo{name=~"bar"}',
+    ]
+    for q in valid:
+        parse_expr(q)  # must not raise
+    invalid = [
+        '{}', '{foo=""}', '{foo=~".*"}', '{foo!~".+"}', '{foo!="bar"}',
+        'foo{__name__="foo"}', 'foo{__name__="bar"}',
+    ]
+    for q in invalid:
+        with pytest.raises(ParseError):
+            parse_expr(q)
+    # but the mirrored non-empty forms are fine
+    parse_expr('{foo="bar"}')
+    parse_expr('{foo=~".+"}')
+    parse_expr('{foo!~".*"}')
