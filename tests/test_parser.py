@@ -159,3 +159,66 @@ def test_selector_validation_reference_vectors():
     parse_expr('{foo="bar"}')
     parse_expr('{foo=~".+"}')
     parse_expr('{foo!~".*"}')
+
+
+def test_reference_expression_vectors():
+    """Every input from the reference's parser unit tests parses
+    (src/query/parser/expr.rs:560-797, src/program.rs:435-458)."""
+    from pq_ray.query.ast import Binary, Parentheses, Unary
+    from pq_ray.query.parser import parse_program
+
+    valid_exprs = [
+        "foo{}", "-foo{}", "- foo{}", "+foo{}", "+  foo{}",
+        "foo and bar", "foo unless bar", "foo or bar",
+        "sum(foo)", "sum(foo) by(job)", "bar{} + sum(foo) by(job)",
+        "avg(foo) without(job,instanse)", "sum by(job) (foo)",
+        "avg without(job,instanse) (foo)",
+        "124 % avg without(job,instanse) (foo)",
+        "quantile(0.95, foo)", "topk(3, foo)", "bottomk(1.0, foo)",
+        "(foo)", "(1 + 2) * 3",
+        'vector(3) + count_over_time(clamp(foo{qux!~"42"}, -100, 100500))',
+        "1 >  bool 1", "1 == bool 1", "1 < bool 2 - 1 * 2",
+        "foo != bool 1", "foo != bool bar",
+        "foo * on() bar", "foo % ignoring() bar", "foo + on(abc) bar",
+        "foo != on(abc,def) bar", "foo > on(abc,def,) bar",
+        "foo - on(abc) bar / on(qux, lol) baz",
+        "foo * on(test) group_left bar",
+        "foo * on(test,blub) group_left() bar",
+        "foo + ignoring(abc) group_right (qux) bar",
+        "foo + ignoring(abc) group_right(def,qux,) bar",
+    ]
+    for q in valid_exprs:
+        parse_expr(q)
+
+    def ops(e):
+        if isinstance(e, Binary):
+            return ops(e.lhs) + ops(e.rhs) + [e.op]
+        if isinstance(e, (Unary, Parentheses)):
+            return ops(e.expr)
+        return []
+
+    precedence = [
+        ("42 + bar", ["+"]),
+        ("42.42 + bar % 9000", ["%", "+"]),
+        ("-42.42 + -bar % 9000", ["%", "+"]),
+        ("foo + bar - baz", ["+", "-"]),
+        ("foo + bar * baz", ["*", "+"]),
+        ("foo * bar + baz", ["*", "+"]),
+        ("foo * bar ^ baz", ["^", "*"]),
+        ("foo * bar ^ baz - qux / abc", ["^", "*", "/", "-"]),
+    ]
+    for q, expected in precedence:
+        assert ops(parse_expr(q)) == expected, q
+
+    valid_programs = [
+        r"//", r"/foo/", r"/foo\/bar/", r"/.*(\\d+)foo\\s(\\w+).+/",
+        "json", "json | to_json", "json| to_json", "json |to_json",
+        "json|to_json", "json | to_promapi",
+        r"/.*(\\d+)foo\\s(\\w+).+/ | to_json",
+        r'/.*(\\d+)foo\\s(\\w+).+/ | map {foo: "bar"} | to_json',
+        r'/.*(\\d+)foo\\s(\\w+).+/ | map {.0:str, .1:num as qux, .2:ts "%Y-%m-%d", foo: "bar"} | to_json',
+        r'/.*(\\d+)foo\\s(\\w+).+/ | map {.foo:str as bar, .qux:num, .ts:ts "%Y-%m-%d", abc: "42"} | to_json',
+        r'/.*(\\d+)foo\\s(\\w+).+/ | map {.foo:str as bar, .qux:num, .ts:ts "%Y-%m-%d", abc: "42"} | select {__name__=~"abc|foo"} / 9001 | to_json',
+    ]
+    for p in valid_programs:
+        parse_program(p)
