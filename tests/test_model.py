@@ -101,3 +101,31 @@ def test_parse_number():
     assert parse_number("") is None
     assert parse_number("12abc") is None
     assert parse_number(" 42") is None  # Rust parse rejects surrounding space
+
+
+def test_reference_number_duration_vectors():
+    """The reference's number/duration unit-test vectors verbatim
+    (src/utils/parse/number.rs:16-37, duration.rs:146-188)."""
+    import math
+
+    from pq_ray.query.parser import parse_expr
+
+    def numval(e):
+        if hasattr(e, "value"):
+            return e.value
+        return -e.expr.value if e.op == "-" else e.expr.value
+
+    for s, exp in [("1", 1.0), ("1.", 1.0), (".1", 0.1), ("2e-5", 2e-5),
+                   ("Inf", math.inf), ("+Inf", math.inf), ("-Inf", -math.inf)]:
+        assert numval(parse_expr(s)) == exp, s
+
+    YEAR, WEEK, DAY = 365 * 86_400_000, 7 * 86_400_000, 86_400_000
+    for s, exp in [("1ms", 1), ("10s", 10_000), ("0s500ms", 500),
+                   ("5s999ms", 5999),
+                   ("1y2w3d4h5m6s7ms",
+                    YEAR + 2 * WEEK + 3 * DAY + 4 * 3_600_000 + 5 * 60_000 + 6_000 + 7)]:
+        assert parse_duration_ms(s) == exp, s
+
+    for s in ["foo", "0", "0ms", "1ns", "0s0ms", "10m2h"]:
+        with pytest.raises(Exception):
+            parse_duration_ms(s)
