@@ -234,3 +234,29 @@ def test_narrow_equals_wide_exchange(ray_session, tmp_path):
             f"select * from read_parquet('{tier_dir(out_w, tier)}/*.parquet') order by series_id, window_ts"
         ).df().reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b), tier
+
+
+def test_non_day_aligned_tier_span(ray_session, tmp_path):
+    """A middle tier whose span does not divide EPOCH0 (90 minutes)
+    exercises the absolute-window bucket key: tier outputs must equal a
+    direct rollup from raw at the same span (no split/duplicated
+    windows)."""
+    import duckdb
+
+    corpus = str(tmp_path / "corpus")
+    write_tokens_corpus(corpus, 300, seed=21)
+    out = str(tmp_path / "out")
+    span_90m = 5_400_000
+    run_cascade(corpus, out, tiers=[1000, span_90m, 3 * span_90m], num_buckets=8)
+    pts = duckdb.sql(
+        f"select series_id, window_ts, count(*) c from read_parquet('{tier_dir(out, span_90m)}/*.parquet') group by 1,2 having count(*) > 1"
+    ).df()
+    assert len(pts) == 0  # one row per (series, window): nothing straddled
+    # re-aggregation exactness: sum of counts matches the raw tier
+    raw = duckdb.sql(
+        f"select sum(count) from read_parquet('{tier_dir(out, 1000)}/*.parquet')"
+    ).fetchone()[0]
+    mid = duckdb.sql(
+        f"select sum(count) from read_parquet('{tier_dir(out, span_90m)}/*.parquet')"
+    ).fetchone()[0]
+    assert raw == mid

@@ -75,3 +75,65 @@ def test_cascade_bucket_skew_spreading():
     sids = partials["series_id"].to_numpy(zero_copy_only=False)
     naive = pd.Series(sids % np.uint64(16)).value_counts()
     assert naive.max() / naive.mean() > counts.max() / counts.mean()
+
+
+def test_all_group_pairs_equals_bruteforce():
+    """_all_group_pairs (vectorized within-group pair emission) equals
+    per-group triu enumeration for random group structures."""
+    from itertools import combinations
+
+    from pq_ray.pipelines.training import _all_group_pairs
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(0, 200))
+        key = rng.integers(0, 12, size=n).astype(np.uint64)
+        ids = rng.permutation(n).astype(np.int64) + 100
+        a_idx, b_idx, order = _all_group_pairs(key, ids)
+        ids_s, key_s = ids[order], key[order]
+        got = set(zip(ids_s[a_idx].tolist(), ids_s[b_idx].tolist()))
+        exp = set()
+        for k in np.unique(key):
+            members = sorted(ids[key == k].tolist())
+            exp.update(combinations(members, 2))
+        assert got == exp, trial
+
+
+def test_all_group_pairs_max_df():
+    from pq_ray.pipelines.training import _all_group_pairs
+
+    key = np.array([1, 1, 1, 2, 2], dtype=np.uint64)
+    ids = np.array([10, 11, 12, 20, 21], dtype=np.int64)
+    a_idx, b_idx, order = _all_group_pairs(key, ids, max_df=2)
+    ids_s = ids[order]
+    got = set(zip(ids_s[a_idx].tolist(), ids_s[b_idx].tolist()))
+    assert got == {(20, 21)}  # the size-3 group is capped out
+
+
+def test_narrow_precombine_equals_direct_reduce(ray_session):
+    """pre-combining split groups then reducing equals reducing the raw
+    stream directly (the tree combine is exact)."""
+    import pyarrow as pa
+
+    from pq_ray.fixtures import generate_tokens_table
+    from pq_ray.pipelines.cascade import (
+        _cascade_reduce_fn,
+        _narrow_bucket_fn,
+        narrow_precombine,
+    )
+    from pq_ray.stages.decode import DecodeToPartials
+
+    batch = generate_tokens_table(400, seed=5)
+    dec = DecodeToPartials(1000, narrow=True)
+    bucket_fn = _narrow_bucket_fn(3_600_000, 4)
+    # two half-batches = two "blocks" grouped into one split task
+    t1 = bucket_fn(dec(batch.slice(0, 200)))
+    t2 = bucket_fn(dec(batch.slice(200)))
+    concat = pa.concat_tables([t1, t2])
+    reduce_fn = _cascade_reduce_fn([1000, 60_000], narrow=True)
+    direct = reduce_fn(concat).to_pandas()
+    pre = reduce_fn(narrow_precombine(concat)).to_pandas()
+    key = ["tier_ms", "series_id", "window_ts"]
+    direct = direct.sort_values(key).reset_index(drop=True)
+    pre = pre.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(direct, pre)
