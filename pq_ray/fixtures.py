@@ -123,4 +123,11 @@ def write_tokens_corpus(
         paths.append(path)
         start += n
         chunk_idx += 1
+    # remove stray part files beyond the expected set (a dir reused with
+    # a smaller n_docs would otherwise silently keep the old tail and
+    # corrupt every consumer's row counts)
+    expected = {os.path.basename(p) for p in paths}
+    for name in os.listdir(out_dir):
+        if name.endswith(".parquet") and name not in expected:
+            os.remove(os.path.join(out_dir, name))
     return paths
