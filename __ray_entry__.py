@@ -65,6 +65,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(multimodal.QUERIES)
     except ImportError:
         pass
+    try:
+        from pq_ray.pipelines import logs
+
+        out.update(logs.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -85,6 +91,12 @@ def oracle_sql() -> dict[str, str]:
         from pq_ray.pipelines import pq_queries
 
         out.update(pq_queries.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from pq_ray.pipelines import logs
+
+        out.update(logs.ORACLES)
     except ImportError:
         pass
     return out
