@@ -448,5 +448,13 @@ def evaluate_distributed(node, ctx: DistributedContext):
             node, evaluate_distributed(node.expr, ctx), ctx.extensions
         )
     if isinstance(node, FunctionCall):
+        from .engine import EXTENSION_FNS
+
+        if ctx.extensions and node.name in EXTENSION_FNS:
+            args = [
+                a if isinstance(a, (float, str)) else evaluate_distributed(a, ctx)
+                for a in node.args
+            ]
+            return eng.eval_function(node, args, None, True)
         raise QueryError(f"function {node.name!r} is not implemented")
     raise QueryError(f"cannot evaluate node {node!r}")

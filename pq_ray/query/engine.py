@@ -735,8 +735,91 @@ OVER_TIME_FNS = {
 }
 
 
-def eval_function(node: FunctionCall, args: list, node_range_ms: int | None = None) -> VectorStream:
+EXTENSION_FNS = {"clamp", "clamp_max", "clamp_min", "label_replace"}
+
+
+def _eval_ext_function(name: str, args: list) -> VectorStream:
+    """clamp / clamp_max / clamp_min / label_replace (EXTENSIONS — the
+    reference parses these then hits unimplemented!, function.rs)."""
+    inner = args[0]
+    if isinstance(inner, ScalarStream) or inner.kind != "instant":
+        raise QueryError(f"{name} expects an instant vector argument")
+    df = inner.df.copy()
+
+    def scalar(a) -> float:
+        return a.value if isinstance(a, ScalarStream) else float(a)
+
+    if name in ("clamp", "clamp_max", "clamp_min"):
+        v = df["value"].to_numpy(dtype=np.float64)
+        if name == "clamp":
+            lo, hi = scalar(args[1]), scalar(args[2])
+            v = np.clip(v, lo, hi)
+        elif name == "clamp_max":
+            v = np.minimum(v, scalar(args[1]))
+        else:
+            v = np.maximum(v, scalar(args[1]))
+        df["value"] = v
+        df["name"] = None  # PromQL: clamp* drop __name__
+        df["sig"] = compute_sig(df, inner.label_cols, name_col=False)
+        df = df.sort_values(["tick", "sig"], kind="stable")
+        df = _rank_within_tick(df)
+        cols = ["tick", "value", "name", *[L(c) for c in inner.label_cols],
+                "sig", "ord"]
+        return VectorStream("instant", inner.ticks, df[cols], inner.label_cols)
+
+    # label_replace(v, dst, replacement, src, regex): anchored full-match
+    # of src's value; on match dst := expansion ($1 group refs); empty
+    # result removes the label; __name__ is KEPT (labels-only transform)
+    import re as _re
+
+    dst, repl, src, pattern = (str(a) for a in args[1:5])
+    if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+        raise QueryError(f"label_replace: invalid destination label {dst!r}")
+    try:
+        rx = _re.compile(pattern)
+    except _re.error as e:
+        raise QueryError(f"label_replace: invalid regex: {e}") from None
+    # PromQL group refs are $1 / ${name}; Python expand wants \1 / \g<name>
+    py_repl = _re.sub(r"\$(\d+)", r"\\\1", repl)
+    py_repl = _re.sub(r"\$\{(\w+)\}", r"\\g<\1>", py_repl)
+    src_col = "name" if src == "__name__" else L(src)
+    dst_col = "name" if dst == "__name__" else L(dst)
+    src_vals = df[src_col] if src_col in df.columns else pd.Series(
+        [None] * len(df), index=df.index
+    )
+    out_vals = []
+    dst_existing = df[dst_col] if dst_col in df.columns else pd.Series(
+        [None] * len(df), index=df.index
+    )
+    for sv, dv in zip(src_vals, dst_existing):
+        s = "" if sv is None or (isinstance(sv, float) and np.isnan(sv)) else str(sv)
+        m = rx.fullmatch(s)
+        if m is None:
+            out_vals.append(dv)
+        else:
+            expanded = m.expand(py_repl)
+            out_vals.append(expanded if expanded != "" else None)
+    df[dst_col] = out_vals
+    label_cols = sorted(set(inner.label_cols) | ({dst} if dst != "__name__" else set()))
+    for c in label_cols:
+        if L(c) not in df.columns:
+            df[L(c)] = None
+    df["sig"] = compute_sig(df, label_cols, name_col=True)
+    df = df.sort_values(["tick", "sig"], kind="stable")
+    df = _rank_within_tick(df)
+    cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+    return VectorStream("instant", inner.ticks, df[cols], label_cols)
+
+
+def eval_function(
+    node: FunctionCall,
+    args: list,
+    node_range_ms: int | None = None,
+    extensions: bool = False,
+) -> VectorStream:
     name = node.name
+    if name in EXTENSION_FNS and extensions:
+        return _eval_ext_function(name, args)
     if name not in OVER_TIME_FNS:
         raise QueryError(f"function {name!r} is not implemented (coming soon...)")
     (inner,) = args
@@ -832,5 +915,7 @@ def evaluate(node, ctx: EvalContext):
         ]
         from .ast import find_smallest_range_ms
 
-        return eval_function(node, args, find_smallest_range_ms(node))
+        return eval_function(
+            node, args, find_smallest_range_ms(node), ctx.extensions
+        )
     raise QueryError(f"cannot evaluate node {node!r}")

@@ -89,6 +89,7 @@ FUNC_NAMES = [
     "clamp_max",
     "clamp_min",
     "clamp",
+    "label_replace",
     "vector",
 ]
 BINARY_OPS = ["==", ">=", "<=", "!=", "+", "-", "*", "/", "%", "^", ">", "<"]
@@ -321,6 +322,17 @@ class _P:
                 if n is None:
                     raise ParseError("expected number literal", self.i)
                 args.append(n)
+            return args
+        if name == "label_replace":
+            # (v, dst, replacement, src, regex) — four string args
+            # (reference expr.rs:448-454)
+            args = [self.expr(None)]
+            for _ in range(4):
+                self.expect(",", "function call")
+                s = self.string_literal()
+                if s is None:
+                    raise ParseError("label_replace: expected string literal", self.i)
+                args.append(s)
             return args
         raise ParseError(f"unknown function {name}", self.i)
 

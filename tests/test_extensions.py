@@ -178,3 +178,43 @@ def test_distributed_extensions(ray_session):
         assert np.allclose(
             a["value"].to_numpy(dtype=float), b["value"].to_numpy(dtype=float)
         ), q
+
+
+def test_clamp_functions():
+    rows = [(5000, "m", -5.0, "a"), (5100, "m", 50.0, "b"), (5200, "m", 500.0, "c")]
+    ctx = _ctx(rows)
+    c = evaluate(parse_expr("clamp(m, 0, 100)"), ctx)
+    assert _tick_vals(c, 5999) == [0.0, 50.0, 100.0]
+    cm = evaluate(parse_expr("clamp_max(m, 10)"), ctx)
+    assert _tick_vals(cm, 5999) == [-5.0, 10.0, 10.0]
+    cn = evaluate(parse_expr("clamp_min(m, 0)"), ctx)
+    assert _tick_vals(cn, 5999) == [0.0, 50.0, 500.0]
+    # name dropped
+    assert all(v is None or (isinstance(v, float) and np.isnan(v))
+               for v in c.df["name"])
+
+
+def test_label_replace():
+    rows = [(5000, "m", 1.0, "us-east-1"), (5100, "m", 2.0, "eu-west-2")]
+    ctx = _ctx(rows)
+    s = evaluate(
+        parse_expr('label_replace(m, "region", "$1", "l", "([a-z]+)-.*")'), ctx
+    )
+    g = s.df[s.df["tick"] == 5999].sort_values("l_l")
+    assert list(g["l_region"]) == ["eu", "us"] or list(g["l_region"]) == ["us", "eu"]
+    # __name__ kept (labels-only transform)
+    assert set(g["name"]) == {"m"}
+    # no match → dst unchanged (absent here)
+    s2 = evaluate(
+        parse_expr('label_replace(m, "region", "$1", "l", "zzz(\\d+)")'), ctx
+    )
+    g2 = s2.df[s2.df["tick"] == 5999]
+    assert g2["l_region"].isna().all() or (g2["l_region"] == None).all()  # noqa: E711
+
+
+def test_function_extensions_gated():
+    rows = [(5000, "m", 1.0, "a")]
+    for q in ("clamp(m, 0, 1)", "clamp_max(m, 1)", "clamp_min(m, 0)",
+              'label_replace(m, "d", "$1", "l", "(.*)")'):
+        with pytest.raises(QueryError):
+            evaluate(parse_expr(q), _ctx(rows, extensions=False))
