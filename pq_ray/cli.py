@@ -31,9 +31,14 @@ def main(argv: list[str] | None = None) -> int:
     # reporting, -i interactive ANSI screen output
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("-i", "--interactive", action="store_true")
+    # pq_ray extension (not in the reference CLI): evaluate the operators
+    # the reference only parses (and/or/unless, group_left/right,
+    # quantile/stddev/stdvar/count_values, clamp*, label_replace)
+    ap.add_argument("-x", "--extensions", action="store_true")
     args = ap.parse_args(argv)
 
-    opts = {"verbose": args.verbose, "interactive": args.interactive}
+    opts = {"verbose": args.verbose, "interactive": args.interactive,
+            "extensions": args.extensions}
     if args.interval:
         opts["interval_ms"] = parse_duration_ms(args.interval)
     if args.lookback:
@@ -55,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         for out in run_program(args.program, lines, **opts):
             print(out)
-    except ValueError as e:
+    except (ValueError, RuntimeError) as e:
+        # parse errors + typed engine errors (the reference's panics)
         print(f"pq_ray: {e}", file=sys.stderr)
         return 1
     return 0

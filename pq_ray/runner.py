@@ -36,6 +36,7 @@ def run_program(
     until_ms: int | None = None,
     verbose: bool = False,
     interactive: bool = False,
+    extensions: bool = False,
     error_sink=None,
 ) -> list[str]:
     """Run a pq program over lines; returns the output lines.
@@ -103,6 +104,7 @@ def run_program(
         interval=interval,
         lookback=lookback,
         start_at=since_ms,
+        extensions=extensions,
     )
     stream = evaluate(ast.query, ctx)
     if ast.formatter == "to_promapi":
