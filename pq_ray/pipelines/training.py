@@ -1474,6 +1474,52 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_embed_clusters(sf_dir: str) -> pd.DataFrame:
+    """Embedding-space duplicate clusters: connected components over the
+    cosine>=tau pair graph, labeled by the minimum vec_id — the
+    embedding analogue of q_dedup_clusters (same distributed min-label
+    propagation; pairs from the oracled exact near-dup op)."""
+    from ..stages.graph import connected_components
+
+    pairs = q_embed_neardup(sf_dir)[["a", "b"]]
+    labels = connected_components(rd.from_pandas(pairs), num_buckets=8)
+    lmap_ref = ray.put(dict(zip(labels["node"], labels["label"])))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lmap_ref)
+        ids = df["vec_id"].astype(np.int64)
+        lab = ids.map(m).fillna(ids).astype(np.int64)
+        return pd.DataFrame({"vec_id": ids, "cluster_id": lab})
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(attach, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["embed_clusters"] = q_embed_clusters
+ORACLES["embed_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                           CAST(y.embedding AS DOUBLE[])), 6)
+              >= {COSINE_TAU}
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, node) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT node AS vec_id, MIN(src) AS cluster_id
+    FROM reach GROUP BY node ORDER BY vec_id
+"""
+
+
 QUERIES["dedup_clusters"] = q_dedup_clusters
 ORACLES["dedup_clusters"] = f"""
     WITH RECURSIVE toks AS (
