@@ -80,6 +80,19 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
         return w.bytes()
     delta = int(ts[1]) - int(ts[0])
     w.write(delta & ((1 << 64) - 1), 64)
+    # fast path: perfectly regular stream (rolled-up tier windows are
+    # regular by construction) → every dod is 0 → (n-2) zero BITS, which
+    # is just zero bytes appended in bulk
+    if n > 2:
+        deltas = np.diff(ts.astype(np.int64))
+        if (deltas == deltas[0]).all():
+            total_bits = n - 2
+            w.buf.extend(b"\x00" * (total_bits // 8))
+            rem = total_bits % 8
+            if rem:
+                w.acc = 0
+                w.nbits = rem
+            return w.bytes()
     prev_delta = delta
     for i in range(2, n):
         d = int(ts[i]) - int(ts[i - 1])
