@@ -1437,7 +1437,79 @@ def q_embed_neardup_lsh(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_ann_ivf_multi(sf_dir: str) -> pd.DataFrame:
+    """Multi-query IVF ANN: sample-trained centroids broadcast once; each
+    batch assigns its vectors to inverted lists with ONE matmul, then for
+    every query whose probe set contains a vector's list the exact cosine
+    is emitted — per-batch local top-k per query, tiny global rerank.
+    Rows-only; recall vs the exact multi-query brute force is
+    pytest-asserted (>= 0.8 per query)."""
+    sample = _read_emb(sf_dir).limit(_IVF_SAMPLE).to_pandas().sort_values("vec_id")
+    S = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    C = _kmeans_lite(S, _IVF_LISTS)
+
+    qrows = _read_emb(sf_dir).sort("vec_id").limit(_ANN_NQ).to_pandas()
+    qids = qrows["vec_id"].to_numpy(dtype=np.int64)
+    Q = np.stack(qrows["embedding"].to_numpy()).astype(np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    # per-query probe lists → boolean probe mask (nq x lists); the
+    # multi-query variant probes more lists (recall varies per query —
+    # some queries' neighbor sets straddle many list boundaries)
+    n_probes = min(2 * _IVF_PROBES, len(C))
+    order = np.argsort(-(Q @ C.T), axis=1)[:, :n_probes]
+    probe_mask = np.zeros((len(qids), len(C)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, order[qi]] = True
+    bref = ray.put((qids, Q, C, probe_mask))
+
+    def assign_and_score(df: pd.DataFrame) -> pd.DataFrame:
+        qs_ids, Qm, cents, probes = ray.get(bref)
+        B = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        lists = (B @ cents.T).argmax(axis=1)
+        outs = []
+        k = min(ANN_K + 1, len(ids))
+        S = B @ Qm.T  # one matmul for every query
+        for qi in range(len(qs_ids)):
+            keep = probes[qi, lists]
+            if not keep.any():
+                continue
+            cand_ids = ids[keep]
+            sims = np.round(S[keep, qi], 6)
+            kk = min(k, len(cand_ids))
+            top = np.lexsort((cand_ids, -sims))[:kk]
+            outs.append(
+                pd.DataFrame(
+                    {"qid": qs_ids[qi], "vec_id": cand_ids[top], "sim": sims[top]}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype=np.int64),
+                 "vec_id": pd.Series(dtype=np.int64),
+                 "sim": pd.Series(dtype=np.float64)}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out[out["vec_id"] != out["qid"]]
+
+    cand = (
+        _read_emb(sf_dir).map_batches(assign_and_score, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        cand.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+        .groupby("qid", sort=True)
+        .head(ANN_K)
+    )
+    out["qid"] = out["qid"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
+
+
 QUERIES["ann_ivf"] = q_ann_ivf
+QUERIES["ann_ivf_multi"] = q_ann_ivf_multi
 QUERIES["embed_neardup_lsh"] = q_embed_neardup_lsh
 
 
