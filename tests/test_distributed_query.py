@@ -135,3 +135,43 @@ def test_distributed_label_collect_bounded(ray_session, samples_df):
     n_blocks = 6
     assert captured["n"] <= n_series * n_blocks
     assert captured["n"] < len(samples_df) / 10
+
+
+@pytest.mark.parametrize("seed", [3, 29, 101])
+def test_distributed_equals_local_random_streams(ray_session, seed):
+    """Fuzz the distributed evaluator across random sample streams
+    (different seeds → different tick grids, label cardinalities, ties
+    and missing-label mixes) against the local engine."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 3000))
+    ts = 1_700_000_000_000 + np.sort(rng.integers(0, 15_000, n)).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "ts": ts,
+            "seq": np.arange(n, dtype=np.int64),
+            "name": rng.choice(["m", "k", "j"], n),
+            "value": rng.integers(0, 1000, n).astype(np.float64),
+            "l_lab": rng.choice(["a", "b", "c", "d"], n),
+            "l_job": rng.choice(["x", "y", None], n),
+        }
+    )
+    for q in ("m", "sum(m) by (lab)", "count_over_time(m[2s])",
+              'max(k{job="x"}) by (lab)', "topk(2, j)"):
+        expr = parse_expr(q)
+        local = evaluate(
+            expr,
+            EvalContext(samples=df, label_cols=["job", "lab"], interval=1000,
+                        lookback=1000),
+        )
+        dist = evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(df).repartition(5),
+                               ["job", "lab"], 1000, 1000, num_buckets=4),
+        )
+        a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+        b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+        assert len(a) == len(b), (seed, q, len(a), len(b))
+        assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), (seed, q)
+        assert np.allclose(
+            a["value"].to_numpy(dtype=float), b["value"].to_numpy(dtype=float)
+        ), (seed, q)
