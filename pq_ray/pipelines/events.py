@@ -316,6 +316,62 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_props_k_by_event(sf_dir: str) -> pd.DataFrame:
+    """JSON property extraction over the events ``props`` column: decode
+    each row's JSON payload (the reference's per-line JSON decoder,
+    reused from the registry), aggregate avg/count of ``k`` per
+    event_type.  Per-batch partial sums → tiny driver reduce; the JSON
+    parse is inherently per-row (exactly the reference's decode loop),
+    isolated in one actor-pool stage."""
+    from ..registry import get_decoder
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    class PropsDecode:
+        def __init__(self):
+            self.decode = get_decoder("json")()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ks = np.fromiter(
+                (float(self.decode(p.encode())["k"]) for p in df["props"]),
+                dtype=np.float64,
+                count=len(df),
+            )
+            out = (
+                pd.DataFrame({"event_type": df["event_type"], "k": ks})
+                .groupby("event_type", sort=False)["k"]
+                .agg(s="sum", n="size")
+                .reset_index()
+            )
+            return out
+
+    partials = ds.map_batches(
+        PropsDecode, batch_format="pandas", batch_size=4096, concurrency=2
+    ).to_pandas()
+    g = partials.groupby("event_type", sort=True).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": g.index,
+            "avg_k": (g["s"] / g["n"]).round(6).to_numpy(),
+            "n": g["n"].astype(np.int64).to_numpy(),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["events_props_k"] = q_props_k_by_event
+ORACLES["events_props_k"] = """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 ORACLES["events_gapfill_1m"] = """
     WITH w AS (
         SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
