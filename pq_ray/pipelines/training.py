@@ -1302,9 +1302,9 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def q_embed_neardup_lsh(sf_dir: str) -> pd.DataFrame:
-    """Hyperplane-LSH near-duplicate pairs — the bucketed 100 TB path for
-    q_embed_neardup, now real Ray stages end-to-end:
+def _embed_pairs_lsh_ds(sf_dir: str):
+    """Hyperplane-LSH near-duplicate pairs as a Dataset — the bucketed
+    100 TB path for q_embed_neardup, real Ray stages end-to-end:
 
       1. map_batches: normalize each batch, compute T sign-bit codes per
          vector (batch x hyperplane matmul; hyperplanes regenerated from
@@ -1426,7 +1426,12 @@ def q_embed_neardup_lsh(sf_dir: str) -> pd.DataFrame:
 
     sketched = _read_emb(sf_dir).map_batches(sketch, batch_format="pandas")
     pairs = hash_exchange(sketched, "bucket", NUM_BUCKETS, bucket_pairs)
-    out = hash_exchange(pairs, "pbucket", 8, dedupe).to_pandas()
+    return hash_exchange(pairs, "pbucket", 8, dedupe)
+
+
+def q_embed_neardup_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH near-dup pairs materialized + sorted (see _embed_pairs_lsh_ds)."""
+    out = _embed_pairs_lsh_ds(sf_dir).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
@@ -1546,15 +1551,27 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def q_embed_clusters(sf_dir: str) -> pd.DataFrame:
+def q_embed_clusters(sf_dir: str, pair_source: str = "lsh") -> pd.DataFrame:
     """Embedding-space duplicate clusters: connected components over the
     cosine>=tau pair graph, labeled by the minimum vec_id — the
     embedding analogue of q_dedup_clusters (same distributed min-label
-    propagation; pairs from the oracled exact near-dup op)."""
+    propagation).
+
+    ``pair_source`` selects the edge generator: ``"lsh"`` (default, the
+    100 TB shape — bucketed hyperplane LSH with exact in-bucket cosine
+    verify, nothing corpus-sized broadcast or materialized) or
+    ``"exact"`` (the O(N^2) broadcast-matmul oracle path, small-side
+    only).  Cluster-label equality between the two sources at the LSH
+    recall bound is pytest-asserted (tests/test_training.py)."""
     from ..stages.graph import connected_components
 
-    pairs = q_embed_neardup(sf_dir)[["a", "b"]]
-    labels = connected_components(rd.from_pandas(pairs), num_buckets=8)
+    if pair_source == "lsh":
+        pairs_ds = _embed_pairs_lsh_ds(sf_dir)
+    elif pair_source == "exact":
+        pairs_ds = rd.from_pandas(q_embed_neardup(sf_dir)[["a", "b"]])
+    else:  # pragma: no cover
+        raise ValueError(f"unknown pair_source {pair_source!r}")
+    labels = connected_components(pairs_ds, num_buckets=8)
     lmap_ref = ray.put(dict(zip(labels["node"], labels["label"])))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:

@@ -140,6 +140,16 @@ def test_embed_neardup_lsh_recall(ray_session):
         assert recall >= 0.9, recall
 
 
+def test_embed_clusters_lsh_matches_exact_pair_source(ray_session):
+    """The default (LSH) pair source yields the same cluster labels as
+    the exact O(N^2) pair source at the recall bound — VERDICT r2 #1."""
+    from pq_ray.pipelines.training import q_embed_clusters
+
+    lsh = q_embed_clusters(SF, pair_source="lsh")
+    exact = q_embed_clusters(SF, pair_source="exact")
+    pd.testing.assert_frame_equal(lsh, exact)
+
+
 def test_dedup_clusters_planted(ray_session, tmp_path):
     """Planted A~B~C duplicate chain collapses into one cluster labeled
     by the minimum doc_id (transitivity through connected components)."""
