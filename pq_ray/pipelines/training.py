@@ -938,11 +938,46 @@ def q_lang_quality(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _phi_pow(e: np.ndarray) -> np.ndarray:
+    """_PHI ** e elementwise in uint64 (mod 2^64): exponentiation by
+    squaring, vectorized over the whole exponent array."""
+    result = np.ones(len(e), dtype=np.uint64)
+    base = _PHI
+    e = e.astype(np.uint64).copy()
+    while (e > 0).any():
+        odd = (e & np.uint64(1)) == 1
+        result[odd] *= base
+        base = base * base
+        e >>= np.uint64(1)
+    return result
+
+
+def _poly_hash_segments(vals: np.ndarray, seg_counts: np.ndarray) -> np.ndarray:
+    """Per-segment polynomial hash sum(v_i * PHI^(n-1-i)) in uint64 —
+    the vectorized replacement for a per-doc fold/md5 (equals folding
+    h = h*PHI ^ 0 + v left-to-right in the additive variant)."""
+    n = len(seg_counts)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(vals) == 0:
+        return out
+    seg_starts = np.concatenate(([0], np.cumsum(seg_counts)[:-1]))
+    pos = np.arange(len(vals), dtype=np.int64) - np.repeat(seg_starts, seg_counts)
+    exp = np.repeat(seg_counts, seg_counts) - 1 - pos
+    terms = vals.astype(np.uint64) * _phi_pow(exp)
+    nz = seg_counts > 0
+    sums = np.add.reduceat(terms, seg_starts[nz])
+    out[nz] = sums
+    return out
+
+
 def q_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pd.DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
-    k-gram hashes + per-window minimum selection.  Token hashing is one
-    cython pass per batch; the window minimum is a vectorized
-    sliding_window_view argmin per doc."""
+    k-gram hashes + per-window minimum selection, fully vectorized at
+    the BATCH level — one rolling-hash pass and one sliding_window_view
+    argmin over the flat concatenated token-hash array, with per-doc
+    segment boundaries masking out cross-doc windows (no per-doc Python
+    loop; the per-doc md5 is replaced by a vectorized polynomial hash
+    over the sorted fingerprint set)."""
     ds = _read_docs(sf_dir)
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -951,30 +986,78 @@ def q_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pd.DataFrame:
         flat = toks.explode().to_numpy(dtype=object)
         th = pd.util.hash_array(flat).astype(np.uint64)
         tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        n_fps, fp_hash = [], []
-        for st, cnt in zip(tok_starts, counts):
-            hs_tok = th[st : st + cnt]
-            ng = cnt - k + 1
-            if ng <= 0:
-                hs = np.array([], dtype=np.uint64)
-            else:
-                hs = np.zeros(ng, dtype=np.uint64)
-                for j in range(k):  # k tiny (5): k vectorized passes
-                    hs = hs * _PHI ^ hs_tok[j : j + ng]
-            if len(hs) == 0:
-                picks = np.array([], dtype=np.int64)
-            elif len(hs) <= w:
-                picks = np.array([int(np.argmin(hs))])
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(hs, w)
-                picks = np.unique(win.argmin(axis=1) + np.arange(len(win)))
-            fps = np.sort(hs[picks])
-            n_fps.append(len(fps))
-            fp_hash.append(hashlib.md5(fps.tobytes()).hexdigest()[:16])
+        total = int(counts.sum())
+        ndocs = len(df)
+        ng = np.maximum(counts - k + 1, 0)  # grams per doc
+
+        # rolling k-gram hashes over the FLAT array (k vectorized
+        # passes); doc d's grams are the slice [tok_starts[d], +ng[d])
+        # — windows crossing doc boundaries are computed then discarded
+        n_flat_g = total - k + 1
+        if n_flat_g <= 0:
+            hs_all = np.zeros(0, dtype=np.uint64)
+        else:
+            hs_all = np.zeros(n_flat_g, dtype=np.uint64)
+            for j in range(k):  # k tiny (5): k vectorized passes
+                hs_all = hs_all * _PHI ^ th[j : j + n_flat_g]
+
+        pick_docs: list[np.ndarray] = []
+        pick_abs: list[np.ndarray] = []
+
+        # docs with 0 < ng <= w: single pick = segment argmin
+        small = (ng > 0) & (ng <= w)
+        if small.any():
+            s_docs = np.repeat(np.nonzero(small)[0], ng[small])
+            within = (
+                np.arange(int(ng[small].sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(ng[small]) - ng[small], ng[small])
+            )
+            s_abs = np.repeat(tok_starts[small], ng[small]) + within
+            vals = hs_all[s_abs]
+            order = np.lexsort((within, vals, s_docs))
+            sd, sa = s_docs[order], s_abs[order]
+            first = np.concatenate(([0], np.nonzero(sd[1:] != sd[:-1])[0] + 1))
+            pick_docs.append(sd[first])
+            pick_abs.append(sa[first])
+
+        # docs with ng > w: windowed argmin over the flat window array,
+        # keeping only windows fully inside one doc
+        big = ng > w
+        if big.any() and n_flat_g >= w:
+            win_am = (
+                np.lib.stride_tricks.sliding_window_view(hs_all, w).argmin(axis=1)
+                + np.arange(n_flat_g - w + 1, dtype=np.int64)
+            )
+            nwin = ng[big] - w + 1
+            b_docs = np.repeat(np.nonzero(big)[0], nwin)
+            within = (
+                np.arange(int(nwin.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(nwin) - nwin, nwin)
+            )
+            w_abs = np.repeat(tok_starts[big], nwin) + within
+            p_abs = win_am[w_abs]
+            order = np.lexsort((p_abs, b_docs))
+            bd, bp = b_docs[order], p_abs[order]
+            keep = np.ones(len(bd), dtype=bool)
+            keep[1:] = (bd[1:] != bd[:-1]) | (bp[1:] != bp[:-1])
+            pick_docs.append(bd[keep])
+            pick_abs.append(bp[keep])
+
+        if pick_docs:
+            docs_arr = np.concatenate(pick_docs)
+            abs_arr = np.concatenate(pick_abs)
+            fps = hs_all[abs_arr]
+            order = np.lexsort((fps, docs_arr))  # per-doc ascending fps
+            docs_arr, fps = docs_arr[order], fps[order]
+            n_fps = np.bincount(docs_arr, minlength=ndocs).astype(np.int64)
+        else:
+            fps = np.zeros(0, dtype=np.uint64)
+            n_fps = np.zeros(ndocs, dtype=np.int64)
+        h = _poly_hash_segments(fps, n_fps)
         return pd.DataFrame(
             {"doc_id": df["doc_id"],
-             "n_fingerprints": np.array(n_fps, dtype=np.int64),
-             "fp_hash": fp_hash}
+             "n_fingerprints": n_fps,
+             "fp_hash": np.char.mod("%016x", h)}
         )
 
     return (

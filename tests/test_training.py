@@ -140,6 +140,60 @@ def test_embed_neardup_lsh_recall(ray_session):
         assert recall >= 0.9, recall
 
 
+def test_fingerprints_match_naive_reference(ray_session, tmp_path):
+    """The batch-vectorized winnowing kernel equals a per-doc naive
+    implementation (k-gram rolling hash + window argmin + poly hash),
+    including edge cases: doc shorter than k, ng <= w, duplicate
+    fingerprints inside one doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import _PHI, q_fingerprints
+
+    k, w = 5, 4
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab → repeated grams
+    texts = ["a b c", "a b c d e", "a b c d e f g h",
+             " ".join(rng.choice(vocab, size=3))]
+    texts += [" ".join(rng.choice(vocab, size=int(n)))
+              for n in rng.integers(1, 120, size=40)]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts),
+                  "source": pa.array(["t"] * len(texts))}),
+        d / "documents.parquet",
+    )
+    got = q_fingerprints(str(d), k=k, w=w)
+
+    MASK = (1 << 64) - 1
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        th = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+        ng = len(toks) - k + 1
+        if ng <= 0:
+            hs = np.array([], dtype=np.uint64)
+        else:
+            hs = np.zeros(ng, dtype=np.uint64)
+            for j in range(k):
+                hs = hs * _PHI ^ th[j : j + ng]
+        if len(hs) == 0:
+            picks = np.array([], dtype=np.int64)
+        elif len(hs) <= w:
+            picks = np.array([int(np.argmin(hs))])
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(hs, w)
+            picks = np.unique(win.argmin(axis=1) + np.arange(len(win)))
+        fps = np.sort(hs[picks])
+        h = 0
+        for v in fps:  # poly hash: sum(v_i * PHI^(n-1-i)) mod 2^64
+            h = (h * int(_PHI) + int(v)) & MASK
+        row = got[got["doc_id"] == i].iloc[0]
+        assert row["n_fingerprints"] == len(fps), i
+        assert row["fp_hash"] == format(h, "016x"), i
+
+
 def test_embed_clusters_lsh_matches_exact_pair_source(ray_session):
     """The default (LSH) pair source yields the same cluster labels as
     the exact O(N^2) pair source at the recall bound — VERDICT r2 #1."""
