@@ -1,25 +1,36 @@
 """Distributed connected components over an edge Dataset.
 
-Min-label propagation expressed as hash exchanges (the same raw-task
-shuffle the cascade uses — Ray Data's sort-groupby pays a multi-second
-fixed cost per job, and CC needs several tiny jobs per round):
+Min-label propagation with STATIC bucket state in the object store
+(round 3 — the round-2 exchange loop re-shipped the full adjacency
+every round, wire cost 2|edges| x rounds, VERDICT r2 finding #3; a
+stateful-actor variant fixed the wire cost but paid ~1.6s of actor
+startup per call, the measured anti-scaling from the round-2 notes):
 
-  round r (2 exchanges):
-    1. message exchange, keyed hash(node): each bucket holds the label
-       rows for its nodes AND the adjacency rows whose src hashes there,
-       so ``lab[src]`` resolves locally (vectorized searchsorted) and the
-       bucket emits ``(dst, lab[src])`` messages plus the pass-through
-       label rows;
-    2. min exchange, keyed hash(node): per-node minimum over messages
-       and current labels → next round's labels.
+  setup (3 tiny task waves, adjacency serialized ONCE):
+    1. edges -> symmetric adjacency rows bucketed by hash(src), split
+       via the same raw-task split the cascade exchange uses;
+    2. one setup task per bucket derives its node array (distinct
+       srcs) and, per destination bucket, the static message topology:
+       which positions of its label array to read (``src_pos``) and
+       which node ids they target (``dst_ids``);
+    3. one topo task per bucket resolves every peer's inbound
+       ``dst_ids`` to positions in its own node array (searchsorted) —
+       after this, node ids never travel again.
 
-  convergence: total label sum is strictly decreasing until fixpoint
-  (labels only ever shrink toward the component minimum), so the loop
-  stops when the cheap distributed ``sum`` aggregate stops changing.
-  Rounds needed = graph diameter (tiny for near-dup clusters).
+  round r (ONE task per bucket, labels ONLY on the wire):
+    ``_cc_round(topo_j, lab_j, *all_labs)`` -> (new_lab_j, changed_j):
+    scatter-min every peer's gathered labels into a copy of its own via
+    the precomputed index maps (``np.minimum.at``).  The static topo
+    and label objects pass BY REFERENCE — plasma holds them once per
+    node; tasks read them zero-copy.  The driver fetches only the
+    8 boolean change flags per round.
+
+  convergence: labels only ever shrink toward the component minimum,
+  so the loop stops when no bucket reports a change (exact, local).
+  Rounds = graph diameter (tiny for near-dup clusters).
 
 Partitioning assumption (documented per the build rules): one bucket
-holds the labels + adjacency rows of its node-hash slice — bounded by
+holds the adjacency rows + labels of its node-hash slice — bounded by
 |edges|/num_buckets, NOT by the corpus size.  Callers attach component
 labels back to the full corpus with a broadcast map (the label table is
 bounded by the number of edge endpoints, i.e. the duplicate docs only).
@@ -30,9 +41,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray.data as rd
+import ray
 
-from .exchange import hash_exchange
+from .exchange import split_stream
 
 _PHI = np.uint64(0x9E3779B97F4A7C15)
 
@@ -42,13 +53,54 @@ def _bucket_i64(v: np.ndarray, num_buckets: int) -> np.ndarray:
     return ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
 
 
-def _empty_labels() -> pa.Table:
-    return pa.table(
-        {
-            "node": pa.array([], type=pa.int64()),
-            "lab": pa.array([], type=pa.int64()),
-        }
+@ray.remote
+def _cc_setup(num_buckets: int, *parts: pa.Table):
+    """One bucket's static state: node array + per-destination message
+    topology (label positions to read, node ids they target).
+
+    Returns ``num_buckets + 1`` objects: nodes, then one
+    ``(src_pos, dst_ids)`` pair per destination bucket."""
+    empty = np.zeros(0, dtype=np.int64)
+    tabs = [p for p in parts if p.num_rows]
+    if not tabs:
+        return (empty, *[(empty, empty)] * num_buckets)
+    t = pa.concat_tables(tabs)
+    src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+    dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+    nodes = np.unique(src)
+    db = _bucket_i64(dst, num_buckets)
+    order = np.argsort(db, kind="stable")
+    src, dst, db = src[order], dst[order], db[order]
+    bounds = np.searchsorted(db, np.arange(num_buckets + 1))
+    src_pos = np.searchsorted(nodes, src)
+    return (
+        nodes,
+        *[
+            (src_pos[bounds[j] : bounds[j + 1]], dst[bounds[j] : bounds[j + 1]])
+            for j in range(num_buckets)
+        ],
     )
+
+
+@ray.remote
+def _cc_topo(nodes: np.ndarray, *peer_entries):
+    """Resolve every peer's inbound target node ids to positions in this
+    bucket's node array — after this, only labels travel per round."""
+    return [
+        (src_pos, np.searchsorted(nodes, dst_ids))
+        for (src_pos, dst_ids) in peer_entries
+    ]
+
+
+@ray.remote(num_returns=2)
+def _cc_round(topo, own_lab: np.ndarray, *peer_labs: np.ndarray):
+    """One propagation round for one bucket: min over own labels and
+    every inbound message, via the static index maps."""
+    new = own_lab.copy()
+    for (src_pos, dst_pos), plab in zip(topo, peer_labs):
+        if len(src_pos):
+            np.minimum.at(new, dst_pos, plab[src_pos])
+    return new, bool((new < own_lab).any())
 
 
 def connected_components(
@@ -78,102 +130,40 @@ def connected_components(
             }
         )
 
-    # adjacency is reused every round — materialize once (bounded by
-    # 2x|edges|, the near-dup pair list, not the corpus)
-    adj = edges_ds.map_batches(to_adj, batch_format="pyarrow").materialize()
-    if adj.count() == 0:
-        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
-                             "label": pd.Series(dtype=np.int64)})
-
-    def init_labels(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _empty_labels()
-        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
-        nodes = np.unique(src)
-        return pa.table({"node": pa.array(nodes), "lab": pa.array(nodes)})
-
-    def min_reduce(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _empty_labels()
-        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
-        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((lab, node))
-        n, l = node[order], lab[order]
-        starts = np.concatenate(([0], np.nonzero(n[1:] != n[:-1])[0] + 1))
-        return pa.table({"node": pa.array(n[starts]), "lab": pa.array(l[starts])})
-
-    # initial labels: distinct nodes per bucket (adjacency is already
-    # bucketed by src, so dedupe is local — no extra shuffle)
-    labels = hash_exchange(adj, "bucket", num_buckets, init_labels).materialize()
-
-    def msg_reduce(t: pa.Table) -> pa.Table:
-        """One bucket = label rows for its nodes + adjacency rows whose
-        src is here.  Emits (dst, lab[src]) messages + label rows."""
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "node": pa.array([], type=pa.int64()),
-                    "lab": pa.array([], type=pa.int64()),
-                    "bucket": pa.array([], type=pa.int32()),
-                }
-            )
-        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
-        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
-        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-        is_lab = dst == -1
-        lnode, llab = node[is_lab], lab[is_lab]
-        order = np.argsort(lnode, kind="stable")
-        lnode, llab = lnode[order], llab[order]
-        src, sdst = node[~is_lab], dst[~is_lab]
-        idx = np.searchsorted(lnode, src)
-        out_node = np.concatenate((sdst, lnode))
-        out_lab = np.concatenate((llab[idx], llab))
-        return pa.table(
-            {
-                "node": pa.array(out_node),
-                "lab": pa.array(out_lab),
-                "bucket": pa.array(_bucket_i64(out_node, num_buckets)),
-            }
-        )
-
-    def lab_rows(t: pa.Table) -> pa.Table:
-        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
-        lab = t["lab"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "node": pa.array(node),
-                "lab": pa.array(lab),
-                "dst": pa.array(np.full(len(node), -1, dtype=np.int64)),
-                "bucket": pa.array(_bucket_i64(node, num_buckets)),
-            }
-        )
-
-    def adj_rows(t: pa.Table) -> pa.Table:
-        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
-        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "node": pa.array(src),
-                "lab": pa.array(np.zeros(len(src), dtype=np.int64)),
-                "dst": pa.array(dst),
-                "bucket": pa.array(t["bucket"].combine_chunks().to_numpy(
-                    zero_copy_only=False)),
-            }
-        )
-
-    checksum = labels.sum("lab")
-    for _ in range(max_rounds):
-        mixed = labels.map_batches(lab_rows, batch_format="pyarrow").union(
-            adj.map_batches(adj_rows, batch_format="pyarrow")
-        )
-        msgs = hash_exchange(mixed, "bucket", num_buckets, msg_reduce)
-        labels = hash_exchange(msgs, "bucket", num_buckets, min_reduce).materialize()
-        new_sum = labels.sum("lab")
-        if new_sum == checksum:
-            break
-        checksum = new_sum
-
-    out = labels.to_pandas()
-    return out.rename(columns={"lab": "label"}).sort_values("node").reset_index(
-        drop=True
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype=np.int64), "label": pd.Series(dtype=np.int64)}
     )
+    adj = edges_ds.map_batches(to_adj, batch_format="pyarrow")
+    split_refs = split_stream(adj, "bucket", num_buckets)
+    if not split_refs:
+        return empty
+
+    setups = [
+        _cc_setup.options(num_returns=num_buckets + 1).remote(
+            num_buckets, *[sr[i] for sr in split_refs]
+        )
+        for i in range(num_buckets)
+    ]
+    node_refs = [s[0] for s in setups]
+    topo_refs = [
+        _cc_topo.remote(node_refs[j], *[setups[i][1 + j] for i in range(num_buckets)])
+        for j in range(num_buckets)
+    ]
+    # initial labels ARE the node ids — reuse the refs, no extra objects
+    lab_refs = list(node_refs)
+    for _ in range(max_rounds):
+        outs = [
+            _cc_round.remote(topo_refs[j], lab_refs[j], *lab_refs)
+            for j in range(num_buckets)
+        ]
+        lab_refs = [o[0] for o in outs]
+        if not any(ray.get([o[1] for o in outs])):
+            break
+    nodes = ray.get(node_refs)
+    labs = ray.get(lab_refs)
+    node_all = np.concatenate(nodes) if nodes else np.zeros(0, dtype=np.int64)
+    lab_all = np.concatenate(labs) if labs else np.zeros(0, dtype=np.int64)
+    if len(node_all) == 0:
+        return empty
+    out = pd.DataFrame({"node": node_all, "label": lab_all})
+    return out.sort_values("node").reset_index(drop=True)

@@ -240,6 +240,19 @@ def test_connected_components_long_chain(ray_session):
     assert lbl[100] == lbl[101] == 100
 
 
+def test_connected_components_12_hop_chain(ray_session):
+    """>8-hop component: the actor round loop must iterate well past the
+    typical near-dup diameter and still converge to the chain minimum."""
+    from pq_ray.stages.graph import connected_components
+
+    n = 13  # path 0-1-...-12 → diameter 12
+    edges = pd.DataFrame({"a": list(range(n - 1)), "b": list(range(1, n))})
+    out = connected_components(rd.from_pandas(edges), num_buckets=4)
+    lbl = dict(zip(out["node"], out["label"]))
+    assert len(lbl) == n
+    assert all(lbl[i] == 0 for i in range(n))
+
+
 def test_connected_components_empty(ray_session):
     from pq_ray.stages.graph import connected_components
 
