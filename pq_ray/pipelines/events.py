@@ -316,40 +316,78 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def q_props_k_by_event(sf_dir: str) -> pd.DataFrame:
-    """JSON property extraction over the events ``props`` column: decode
-    each row's JSON payload (the reference's per-line JSON decoder,
-    reused from the registry), aggregate avg/count of ``k`` per
-    event_type.  Per-batch partial sums → tiny driver reduce; the JSON
-    parse is inherently per-row (exactly the reference's decode loop),
-    isolated in one actor-pool stage."""
-    from ..registry import get_decoder
+def q_props_k_by_event(sf_dir: str, use_registry_decoder: bool = False) -> pd.DataFrame:
+    """JSON property extraction over the events ``props`` column,
+    aggregating avg/count of ``k`` per event_type.
 
+    Default path: Arrow-native field extraction — ``pc.extract_regex``
+    pulls the numeric ``k`` value out of every row in one vectorized C
+    pass and ``pa.Table.group_by`` computes the per-batch partials,
+    zero-copy pyarrow throughout.  ``use_registry_decoder=True`` runs
+    the reference-parity path instead: the registry's per-line JSON
+    decoder (the reference's decode loop, src/parse/decoding/json.rs)
+    in an actor-pool stage — kept for nested/stringify semantics the
+    regex fast path doesn't cover; a pytest asserts both paths agree."""
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
 
-    class PropsDecode:
-        def __init__(self):
-            self.decode = get_decoder("json")()
+    if use_registry_decoder:
+        from ..registry import get_decoder
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ks = np.fromiter(
-                (float(self.decode(p.encode())["k"]) for p in df["props"]),
-                dtype=np.float64,
-                count=len(df),
-            )
-            out = (
-                pd.DataFrame({"event_type": df["event_type"], "k": ks})
-                .groupby("event_type", sort=False)["k"]
-                .agg(s="sum", n="size")
-                .reset_index()
-            )
-            return out
+        class PropsDecode:
+            def __init__(self):
+                self.decode = get_decoder("json")()
 
-    partials = ds.map_batches(
-        PropsDecode, batch_format="pandas", batch_size=4096, concurrency=2
-    ).to_pandas()
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                ks = np.fromiter(
+                    (float(self.decode(p.encode())["k"]) for p in df["props"]),
+                    dtype=np.float64,
+                    count=len(df),
+                )
+                out = (
+                    pd.DataFrame({"event_type": df["event_type"], "k": ks})
+                    .groupby("event_type", sort=False)["k"]
+                    .agg(s="sum", n="size")
+                    .reset_index()
+                )
+                return out
+
+        partial_ds = ds.map_batches(
+            PropsDecode, batch_format="pandas", batch_size=4096, concurrency=2
+        )
+    else:
+
+        def extract_k(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "event_type": pa.array([], type=pa.string()),
+                        "s": pa.array([], type=pa.float64()),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            m = pc.extract_regex(
+                t["props"].combine_chunks(),
+                pattern=r'"k"\s*:\s*(?P<k>-?[0-9][0-9.eE+-]*)',
+            )
+            k = pc.cast(pc.struct_field(m, "k"), pa.float64())
+            g = (
+                pa.table({"event_type": t["event_type"], "k": k})
+                .group_by("event_type")
+                .aggregate([("k", "sum"), ("k", "count")])
+            )
+            return pa.table(
+                {
+                    "event_type": g["event_type"],
+                    "s": g["k_sum"],
+                    "n": pc.cast(g["k_count"], pa.int64()),
+                }
+            )
+
+        partial_ds = ds.map_batches(extract_k, batch_format="pyarrow")
+
+    partials = partial_ds.to_pandas()
     g = partials.groupby("event_type", sort=True).agg(
         s=("s", "sum"), n=("n", "sum")
     )

@@ -1,0 +1,45 @@
+"""Events-pipeline queries: oracle parity at sf0.001 for the ops whose
+kernels round 3 touched (JSON props extraction, gap-fill), plus
+fast-path vs reference-parity-path equality for the props decoder."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"create view events as select * from read_parquet('{SF}/events.parquet')")
+    return c
+
+
+def _compare(got, exp):
+    gs = got.sort_values(list(got.columns)).reset_index(drop=True)[sorted(got.columns)]
+    es = exp.sort_values(list(exp.columns)).reset_index(drop=True)[sorted(exp.columns)]
+    assert len(gs) == len(es), (len(gs), len(es))
+    for c in gs.columns:
+        a, b = gs[c].to_numpy(), es[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b), c
+        else:
+            assert (a == b).all(), c
+
+
+@pytest.mark.parametrize("name", ["events_props_k", "events_gapfill_1m"])
+def test_oracle_parity(ray_session, con, name):
+    from pq_ray.pipelines.events import ORACLES, QUERIES
+
+    _compare(QUERIES[name](SF), con.sql(ORACLES[name]).df())
+
+
+def test_props_k_fast_path_matches_registry_decoder(ray_session):
+    """The Arrow-native extract_regex fast path equals the reference's
+    per-line JSON decoder path row for row."""
+    from pq_ray.pipelines.events import q_props_k_by_event
+
+    fast = q_props_k_by_event(SF)
+    parity = q_props_k_by_event(SF, use_registry_decoder=True)
+    _compare(fast, parity)
