@@ -259,10 +259,10 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
 
     The densification runs INSIDE the shuffle: points bucket by
     hash(series_id) so each series' windows co-locate, and the spine
-    merge happens per bucket — the driver only collects the final dense
-    table, never loops series."""
+    merge is ONE vectorized scatter per bucket (per-series segment
+    boundaries + position arithmetic — no per-series Python loop); the
+    driver only collects the final dense table."""
     from ..stages.exchange import hash_exchange
-    from ..stages.gapfill import window_spine
 
     pts, label_df = rollup_events_numeric(sf_dir, MINUTE_MS)
 
@@ -272,7 +272,6 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
         return t.append_column("bucket", pa.array(b.astype(np.int32)))
 
     def fill(t: pa.Table) -> pa.Table:
-        cols = ["series_id", "window_ts", "n", "sum_value", "is_gap"]
         if t.num_rows == 0:
             return pa.table(
                 {
@@ -283,27 +282,44 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
                     "is_gap": pa.array([], type=pa.bool_()),
                 }
             )
-        df = t.to_pandas()
-        outs = []
-        for sid, g in df.groupby("series_id", sort=False):
-            g = g.sort_values("window_ts")
-            spine = window_spine(
-                int(g["window_ts"].min()), int(g["window_ts"].max()), MINUTE_MS
-            )
-            dense = pd.DataFrame({"window_ts": spine})
-            dense = dense.merge(
-                g[["window_ts", "sum", "count"]], on="window_ts", how="left",
-                sort=False,
-            )
-            dense["series_id"] = sid
-            outs.append(dense)
-        out = pd.concat(outs, ignore_index=True)
-        out["n"] = out["count"].fillna(0).astype(np.int64)
-        out["is_gap"] = out["count"].isna()
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sid = sid.astype(np.uint64)
+        wts = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        wts = wts.astype(np.int64)
+        sm = t["sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = t["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        cnt = cnt.astype(np.int64)
+        order = np.lexsort((wts, sid))
+        sid, wts, sm, cnt = sid[order], wts[order], sm[order], cnt[order]
+        starts = np.concatenate(([0], np.nonzero(sid[1:] != sid[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [len(sid)]))
+        lo, hi = wts[starts], wts[ends - 1]
+        nw = (hi - lo) // MINUTE_MS + 1  # dense windows per series
+        seg_start = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        total = int(nw.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_start, nw)
+        dense_sid = np.repeat(sid[starts], nw)
+        dense_ts = np.repeat(lo, nw) + within * MINUTE_MS
+        # scatter observed windows into their dense spine positions —
+        # window_ts are grid floors, so position = (ts - lo) / step
+        series_idx = np.repeat(np.arange(len(starts)), ends - starts)
+        pos = seg_start[series_idx] + (wts - lo[series_idx]) // MINUTE_MS
+        n = np.zeros(total, dtype=np.int64)
+        n[pos] = cnt
         # COALESCE on both sides: NaN vs SQL NULL would hash differently
-        out["sum_value"] = out["sum"].round(6).fillna(0.0)
-        out["series_id"] = out["series_id"].astype(np.uint64)
-        return pa.Table.from_pandas(out[cols], preserve_index=False)
+        sv = np.zeros(total, dtype=np.float64)
+        sv[pos] = np.round(sm, 6)
+        gap = np.ones(total, dtype=bool)
+        gap[pos] = False
+        return pa.table(
+            {
+                "series_id": pa.array(dense_sid, type=pa.uint64()),
+                "window_ts": pa.array(dense_ts),
+                "n": pa.array(n),
+                "sum_value": pa.array(sv),
+                "is_gap": pa.array(gap),
+            }
+        )
 
     dense = hash_exchange(
         pts.map_batches(add_b, batch_format="pyarrow"), "bucket", 8, fill

@@ -191,13 +191,11 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
         cols = ["tick", "event_type", "n"]
         if t.num_rows == 0:
             return t.select(cols)
-        out = (
-            t.to_pandas()
-            .groupby(["tick", "event_type"], sort=False)["n"]
-            .sum()
-            .reset_index()
+        # pyarrow hash-aggregate: C kernel, no pandas round-trip
+        g = t.select(cols).group_by(["tick", "event_type"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"tick": g["tick"], "event_type": g["event_type"], "n": g["n_sum"]}
         )
-        return pa.Table.from_pandas(out[cols], preserve_index=False)
 
     from ..stages.exchange import hash_exchange
 

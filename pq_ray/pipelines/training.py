@@ -72,9 +72,10 @@ def _hash64(s: str) -> int:
 
 
 def _bucket_of_str(values, num=NUM_BUCKETS) -> np.ndarray:
-    return np.fromiter(
-        ((_hash64(v) % num) for v in values), dtype=np.int32, count=len(values)
-    )
+    # bucket choice only needs same-string → same-bucket; one cython
+    # siphash pass replaces the former per-value Python md5 fold
+    h = pd.util.hash_array(np.asarray(values, dtype=object))
+    return (h % np.uint64(num)).astype(np.int32)
 
 
 def _bucket_of_u64(h: np.ndarray, num: int = NUM_BUCKETS) -> np.ndarray:
