@@ -13,40 +13,72 @@ with leading/trailing-zero windows.  Rolled-up window starts are
 perfectly regular (dod = 0 after the first point), so a tier's
 timestamp stream compresses to ~1 bit/point.
 
-Pure Python/numpy bit packing — runs inside per-series ``map_groups``
-(the per-group state the reference keeps in its evaluator objects lives
-here inside the group function, never across batches).  Round-trip
-exactness (bit-for-bit on both ts and f64 values, incl. NaN/inf) is
+Encode is fully vectorized numpy (round 3): both streams compile to
+arrays of variable-width bit FIELDS (value, width) which one shared
+packer scatters into a uint64 word buffer with two ``bitwise_or.at``
+passes (each field spans at most two 64-bit words) — no per-point
+Python.  Decode remains the sequential bit reader (variable-length
+parsing is inherently serial; queries decode per-chunk inside
+map_batches where chunks are small).  Round-trip exactness
+(bit-for-bit on both ts and f64 values, incl. NaN/inf) is
 property-tested in tests/test_gorilla.py.
 """
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
+# 256-entry leading/trailing-zero tables for 8-bit lanes
+_LZ8 = np.array([8 - int(i).bit_length() for i in range(256)], dtype=np.int64)
+_TZ8 = np.array(
+    [8 if i == 0 else (i & -i).bit_length() - 1 for i in range(256)], dtype=np.int64
+)
 
-class _BitWriter:
-    __slots__ = ("buf", "acc", "nbits")
 
-    def __init__(self):
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
+def _pack_fields(vals: np.ndarray, bits: np.ndarray) -> bytes:
+    """Pack MSB-first variable-width fields into a byte stream.
 
-    def write(self, value: int, bits: int):
-        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
-        self.nbits += bits
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
+    ``vals[i]`` holds the field value in its low ``bits[i]`` bits
+    (already masked); zero-width fields are skipped.  Each field spans
+    at most two 64-bit words, so two ``bitwise_or.at`` scatters build
+    the whole stream."""
+    keep = bits > 0
+    v = vals[keep].astype(np.uint64)
+    b = bits[keep].astype(np.int64)
+    if len(v) == 0:
+        return b""
+    end = np.cumsum(b)
+    off = end - b
+    total_bits = int(end[-1])
+    nwords = total_bits // 64 + 2  # +1 pad word for the spill scatter
+    words = np.zeros(nwords, dtype=np.uint64)
+    # zero-VALUED fields advance the offset but contribute no set bits
+    # — drop them before the scatter (the regular-timestamp tier is
+    # almost entirely 1-bit zero fields)
+    nzf = v != 0
+    v, b, off = v[nzf], b[nzf], off[nzf]
+    if len(v):
+        W = off >> 6
+        sb = (off & 63) + b
+        left = sb <= 64  # field fits its first word
+        sh = np.where(left, 64 - sb, sb - 64).astype(np.uint64)
+        _or_scatter(words, W, np.where(left, v << sh, v >> sh))
+        spill = ~left
+        if spill.any():
+            _or_scatter(
+                words,
+                W[spill] + 1,
+                v[spill] << (np.uint64(128) - sb[spill].astype(np.uint64)),
+            )
+    return words.byteswap().tobytes()[: (total_bits + 7) // 8]
 
-    def bytes(self) -> bytes:
-        if self.nbits:
-            return bytes(self.buf) + bytes([(self.acc << (8 - self.nbits)) & 0xFF])
-        return bytes(self.buf)
+
+def _or_scatter(words: np.ndarray, idx: np.ndarray, contrib: np.ndarray) -> None:
+    """words[idx] |= contrib for NON-DECREASING idx: OR-combine runs of
+    equal indices with one reduceat, then scatter to the now-unique
+    targets (ufunc.at is ~10x slower than this)."""
+    starts = np.concatenate(([0], np.nonzero(idx[1:] != idx[:-1])[0] + 1))
+    words[idx[starts]] |= np.bitwise_or.reduceat(contrib, starts)
 
 
 class _BitReader:
@@ -73,46 +105,47 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
     bits, then per-point dod buckets: '0' (dod=0), '10'+7b, '110'+9b,
     '1110'+12b, '1111'+64b (two's complement in-bucket offsets).
     """
-    w = _BitWriter()
+    ts = np.asarray(ts, dtype=np.int64)
     n = len(ts)
-    w.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    head_v = [np.uint64(ts[0].astype(np.uint64))]
+    head_b = [64]
     if n == 1:
-        return w.bytes()
-    delta = int(ts[1]) - int(ts[0])
-    w.write(delta & ((1 << 64) - 1), 64)
+        return _pack_fields(np.array(head_v), np.array(head_b, dtype=np.int64))
+    deltas = np.diff(ts)
+    head_v.append(deltas[0].astype(np.uint64))
+    head_b.append(64)
     # fast path: perfectly regular stream (rolled-up tier windows are
-    # regular by construction) → every dod is 0 → (n-2) zero BITS, which
-    # is just zero bytes appended in bulk
-    if n > 2:
-        deltas = np.diff(ts.astype(np.int64))
-        if (deltas == deltas[0]).all():
-            total_bits = n - 2
-            w.buf.extend(b"\x00" * (total_bits // 8))
-            rem = total_bits % 8
-            if rem:
-                w.acc = 0
-                w.nbits = rem
-            return w.bytes()
-    prev_delta = delta
-    for i in range(2, n):
-        d = int(ts[i]) - int(ts[i - 1])
-        dod = d - prev_delta
-        prev_delta = d
-        if dod == 0:
-            w.write(0, 1)
-        elif -63 <= dod <= 64:
-            w.write(0b10, 2)
-            w.write(dod + 63, 7)
-        elif -255 <= dod <= 256:
-            w.write(0b110, 3)
-            w.write(dod + 255, 9)
-        elif -2047 <= dod <= 2048:
-            w.write(0b1110, 4)
-            w.write(dod + 2047, 12)
-        else:
-            w.write(0b1111, 4)
-            w.write(dod & ((1 << 64) - 1), 64)
-    return w.bytes()
+    # regular by construction) → every dod is 0 → (n-2) zero BITS
+    # appended as bulk zero bytes after the two 64-bit headers
+    if n > 2 and (deltas == deltas[0]).all():
+        head = _pack_fields(
+            np.array(head_v), np.array(head_b, dtype=np.int64)
+        )
+        return head + b"\x00" * ((n - 2 + 7) // 8)
+    dod = deltas[1:] - deltas[:-1]  # len n-2
+    zero = dod == 0
+    b7 = ~zero & (dod >= -63) & (dod <= 64)
+    b9 = ~(zero | b7) & (dod >= -255) & (dod <= 256)
+    b12 = ~(zero | b7 | b9) & (dod >= -2047) & (dod <= 2048)
+    b64 = ~(zero | b7 | b9 | b12)
+    # bucket control + in-bucket offset merge into ONE field (<= 16
+    # bits); the 64-bit bucket keeps its payload as a second field
+    f1 = np.select(
+        [zero, b7, b9, b12],
+        [
+            np.zeros(len(dod), dtype=np.int64),
+            (0b10 << 7) | (dod + 63),
+            (0b110 << 9) | (dod + 255),
+            (0b1110 << 12) | (dod + 2047),
+        ],
+        default=0b1111,
+    ).astype(np.uint64)
+    w1 = np.select([zero, b7, b9, b12], [1, 9, 12, 16], default=4)
+    f2 = dod.astype(np.uint64)
+    w2 = np.where(b64, 64, 0)
+    vals = np.concatenate((head_v, np.column_stack((f1, f2)).ravel()))
+    bits = np.concatenate((head_b, np.column_stack((w1, w2)).ravel()))
+    return _pack_fields(vals, bits)
 
 
 def decode_timestamps(data: bytes, n: int) -> np.ndarray:
@@ -153,35 +186,51 @@ def encode_values(vals: np.ndarray) -> bytes:
     '0' → same bits as previous; '1' '0' → meaningful bits fit the
     previous leading/length window; '1' '1' + 5b leading + 6b length +
     bits → new window.
-    """
-    bits = np.frombuffer(np.asarray(vals, dtype=np.float64).tobytes(), dtype=np.uint64)
-    w = _BitWriter()
-    w.write(int(bits[0]), 64)
-    prev = int(bits[0])
-    lead, length = 0, 0  # current window (length==0 → none)
-    for i in range(1, len(bits)):
-        cur = int(bits[i])
-        xor = prev ^ cur
-        prev = cur
-        if xor == 0:
-            w.write(0, 1)
-            continue
-        w.write(1, 1)
-        lz = 64 - xor.bit_length()
-        tz = (xor & -xor).bit_length() - 1
-        if lz > 31:
-            lz = 31
-        if length and lz >= lead and tz >= 64 - lead - length:
-            w.write(0, 1)
-            w.write(xor >> (64 - lead - length), length)
-        else:
-            lead = lz
-            length = 64 - lz - tz
-            w.write(1, 1)
-            w.write(lead, 5)
-            w.write(length & 0x3F, 6)  # 64 encodes as 0
-            w.write(xor >> tz, length)
-    return w.bytes()
+
+    Vectorized: xors, leading/trailing-zero counts (8-bit lane lookup
+    tables) and window-reuse flags compile to per-point bit fields for
+    ``_pack_fields``.  Reuse policy: a window is reused when the current
+    xor's NATURAL window equals the previous nonzero xor's (the paper
+    also reuses on strict containment; equal-window reuse is the common
+    case for repeated deltas, stays decode-compatible, and removes the
+    sequential window-state chain)."""
+    u = np.frombuffer(np.asarray(vals, dtype=np.float64).tobytes(), dtype=np.uint64)
+    n = len(u)
+    xor = u[1:] ^ u[:-1]
+    nz = xor != 0
+    xnz = xor[nz]
+    # leading/trailing zeros via 8-bit lanes (byte 0 = LSB on x86)
+    xb = xnz.view(np.uint8).reshape(-1, 8)
+    m = xb != 0
+    first_msb = m[:, ::-1].argmax(axis=1)  # from the MSB side
+    rows = np.arange(len(xnz))
+    lz = first_msb * 8 + _LZ8[xb[rows, 7 - first_msb]]
+    first_lsb = m.argmax(axis=1)
+    tz = first_lsb * 8 + _TZ8[xb[rows, first_lsb]]
+    lzc = np.minimum(lz, 31)
+    length = 64 - lzc - tz
+    reuse = np.zeros(len(xnz), dtype=bool)
+    reuse[1:] = (lzc[1:] == lzc[:-1]) & (length[1:] == length[:-1])
+    payload = xnz >> tz.astype(np.uint64)
+    # control/header field + payload field per point
+    hdr_nz = np.where(
+        reuse,
+        np.uint64(0b10),
+        np.uint64(0b11 << 11) | lzc.astype(np.uint64) << np.uint64(6)
+        | (length.astype(np.uint64) & np.uint64(0x3F)),
+    )
+    hb_nz = np.where(reuse, 2, 13)
+    f1 = np.zeros(n - 1, dtype=np.uint64)  # zero xor → control '0'
+    w1 = np.ones(n - 1, dtype=np.int64)
+    f1[nz] = hdr_nz
+    w1[nz] = hb_nz
+    f2 = np.zeros(n - 1, dtype=np.uint64)
+    w2 = np.zeros(n - 1, dtype=np.int64)
+    f2[nz] = payload
+    w2[nz] = length
+    vals_f = np.concatenate(([u[0]], np.column_stack((f1, f2)).ravel()))
+    bits_f = np.concatenate(([64], np.column_stack((w1, w2)).ravel()))
+    return _pack_fields(vals_f, bits_f)
 
 
 def decode_values(data: bytes, n: int) -> np.ndarray:
