@@ -15,16 +15,21 @@ sorted order, so ``seq = file_idx << 40 | line_no`` reproduces that
 order exactly (ties and out-of-order timestamps behave like the
 reference fed the same concatenation).
 
-Two passes over the logs (both embarrassingly parallel, no driver
-materialization of lines):
-  1. schema pass: per-file distinct label keys + whether any record
-     mapped (tiny per-file summaries to the driver);
-  2. sample pass: per-file decode+map → Arrow samples blocks with the
-     unioned label-column schema.
+Ingestion (round 3 — single pass, split-friendly): files cut into
+byte-range SPLITS (``split_bytes``, default 64 MiB) with the standard
+line-boundary contract — a split owns every line that STARTS inside
+its range; the reader skips a leading partial line and extends past
+the range end to finish its last owned line, reading only its bounded
+range (never the whole file).  ONE parse pass per split emits the
+local samples block AND a tiny metadata summary (label keys, line /
+sample counts) together; the driver prefix-sums the counts per file
+and a cheap fixup task rewrites each block's ``seq`` / ``__line__``
+offsets and projects it onto the unioned label schema — no re-parse,
+nothing corpus-sized on the driver.
 
 ``--until`` termination: the reference stops READING the stream at the
 first record past the bound (src/query/mapper.rs:50-54).  A parallel
-reader has no single stream to stop; each FILE stops at its first
+reader has no single stream to stop; each SPLIT stops at its first
 exceeding record — identical behavior when the concatenated stream is
 globally ts-ordered (the usual log case), a documented approximation
 otherwise.  Q11 parity: undecodable/unmappable lines drop silently
@@ -38,6 +43,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..query.ast import JsonDecoder, Program, RegexDecoder
@@ -67,33 +73,143 @@ def _make_decoder(ast: Program):
     return get_decoder("json")()
 
 
-def _file_records(path: str, ast: Program, since_ms, until_ms):
-    """Decode+map one file's lines → (records, n_dropped).  Stops at the
-    first record past --until (per-file termination, see module doc)."""
+_DEFAULT_SPLIT_BYTES = 64 * 1024 * 1024
+_READ_CHUNK = 1 << 20
+
+
+def _file_splits(files: list[str], split_bytes: int):
+    """(file_idx, path, start, end) byte ranges, >=1 per file."""
+    out = []
+    for i, p in enumerate(files):
+        size = os.path.getsize(p)
+        nsp = max(1, (size + split_bytes - 1) // split_bytes)
+        for s in range(nsp):
+            out.append((i, p, s * split_bytes, min((s + 1) * split_bytes, size)))
+    return out
+
+
+def _read_split_lines(path: str, start: int, end: int) -> list[bytes]:
+    """Lines owned by [start, end): a split owns a line iff the line
+    STARTS inside the range.  Reads only its bounded range (+ the tail
+    of its last line in chunks) — never the whole file."""
+    with open(path, "rb") as f:
+        if start > 0:
+            f.seek(start - 1)
+            buf = f.read(end - start + 1)
+            if buf[:1] != b"\n":
+                # the line straddling `start` belongs to the previous split
+                nl = buf.find(b"\n")
+                if nl < 0:
+                    return []
+                buf = buf[nl + 1 :]
+            else:
+                buf = buf[1:]
+        else:
+            f.seek(0)
+            buf = f.read(end - start)
+        # finish the last owned line (it may straddle `end`)
+        if buf and not buf.endswith(b"\n"):
+            while True:
+                chunk = f.read(_READ_CHUNK)
+                if not chunk:
+                    break
+                nl = chunk.find(b"\n")
+                if nl >= 0:
+                    buf += chunk[: nl + 1]
+                    break
+                buf += chunk
+    return buf.splitlines()
+
+
+@ray.remote(num_returns=2)
+def _parse_split(
+    path: str, start: int, end: int, ast: Program, since_ms, until_ms
+):
+    """ONE pass over a split: decode+map its owned lines → local samples
+    block (line numbers / seq are split-LOCAL, fixed up later) + tiny
+    metadata (label keys, line/sample counts)."""
+    lines = _read_split_lines(path, start, end)
     decode = _make_decoder(ast)
     records = []
     dropped = 0
-    with open(path, "rb") as f:
-        for line_no, raw in enumerate(f.read().splitlines(), start=1):
-            try:
-                entry = decode(raw)
-            except DecodeError:
-                dropped += 1
-                continue
-            if ast.mapper is None:
-                continue
-            try:
-                rec = map_entry(ast.mapper, line_no, entry)
-            except MapError:
-                dropped += 1
-                continue
-            ts = rec.ts
-            if since_ms is not None and (ts if ts is not None else 2**62) < since_ms:
-                continue
-            if until_ms is not None and (ts if ts is not None else -(2**62)) > until_ms:
-                break
-            records.append(rec)
-    return records, dropped
+    for local_no, raw in enumerate(lines, start=1):
+        try:
+            entry = decode(raw)
+        except DecodeError:
+            dropped += 1
+            continue
+        if ast.mapper is None:
+            continue
+        try:
+            rec = map_entry(ast.mapper, local_no, entry)
+        except MapError:
+            dropped += 1
+            continue
+        ts = rec.ts
+        if since_ms is not None and (ts if ts is not None else 2**62) < since_ms:
+            continue
+        if until_ms is not None and (ts if ts is not None else -(2**62)) > until_ms:
+            break
+        records.append(rec)
+
+    keys: set[str] = set()
+    ts_l, seq_l, name_l, val_l, line_l, lab_l = [], [], [], [], [], []
+    seq = 0
+    for r in records:
+        keys.update(r.labels)
+        if r.ts is None:
+            continue
+        vals = dict(r.values)
+        vals["__line__"] = float(r.line_no)
+        for name, value in vals.items():
+            ts_l.append(r.ts)
+            seq_l.append(seq)
+            name_l.append(name)
+            val_l.append(value)
+            lab_l.append(r.labels)
+            seq += 1
+    cols = {
+        "ts": pa.array(np.array(ts_l, dtype=np.int64)),
+        "seq": pa.array(np.array(seq_l, dtype=np.int64)),
+        "name": pa.array(name_l, type=pa.string()),
+        "value": pa.array(np.array(val_l, dtype=np.float64)),
+    }
+    for c in sorted(keys):
+        cols[f"l_{c}"] = pa.array([lab.get(c) for lab in lab_l], type=pa.string())
+    meta = {
+        "n_lines": len(lines),
+        "n_samples": seq,
+        "label_keys": sorted(keys),
+        "dropped": dropped,
+    }
+    return pa.table(cols), meta
+
+
+@ray.remote
+def _fixup_split(
+    t: pa.Table, file_idx: int, line_off: int, seq_off: int, label_cols: list[str]
+) -> pa.Table:
+    """Rewrite a split block's local offsets to file-global ones and
+    project it onto the unioned label schema (metadata-cheap, no
+    re-parse): seq = file_idx<<40 | (seq_off + local), ``__line__``
+    sample values shift by the split's first line number."""
+    seq = t["seq"].combine_chunks().to_numpy(zero_copy_only=False)
+    seq = (np.int64(file_idx) << np.int64(40)) | (seq + np.int64(seq_off))
+    val = t["value"].combine_chunks().to_numpy(zero_copy_only=False).copy()
+    if line_off:
+        name = t["name"].combine_chunks().to_numpy(zero_copy_only=False)
+        val[name == "__line__"] += float(line_off)
+    cols = {
+        "ts": t["ts"],
+        "seq": pa.array(seq),
+        "name": t["name"],
+        "value": pa.array(val),
+    }
+    null_col = pa.array([None] * t.num_rows, type=pa.string())
+    for c in label_cols:
+        lc = f"l_{c}"
+        cols[lc] = t[lc] if lc in t.schema.names else null_col
+    return pa.table(cols)
 
 
 def run_log_query(
@@ -107,6 +223,7 @@ def run_log_query(
     num_buckets: int = 16,
     extensions: bool = False,
     formatter: bool = True,
+    split_bytes: int = _DEFAULT_SPLIT_BYTES,
 ):
     """Run a pq program over log files with Ray; returns the formatted
     output lines (query programs) or the samples DataFrame when
@@ -124,64 +241,33 @@ def run_log_query(
     if not files:
         raise ValueError(f"no input files in {paths!r}")
 
-    files_ds = rd.from_items(
-        [{"path": p, "file_idx": i} for i, p in enumerate(files)]
-    )
+    # ONE parse pass over byte-range splits: each task returns its local
+    # samples block (stays in the object store) + a tiny metadata summary
+    splits = _file_splits(files, split_bytes)
+    parsed = [
+        _parse_split.remote(p, start, end, ast, since_ms, until_ms)
+        for (_fi, p, start, end) in splits
+    ]
+    metas = ray.get([m for (_t, m) in parsed])
+    label_cols = sorted({k for m in metas for k in m["label_keys"]})
 
-    # pass 1: per-file label-key summaries (tiny) → unioned label schema
-    def schema_pass(batch: pd.DataFrame) -> pd.DataFrame:
-        keys: set[str] = set()
-        for p in batch["path"]:
-            records, _ = _file_records(p, ast, since_ms, until_ms)
-            for r in records:
-                keys.update(r.labels)
-        return pd.DataFrame({"label_key": sorted(keys) or [""]})
+    # per-file prefix sums of line/sample counts (splits are emitted in
+    # file order) → each block's offsets; fixup tasks rewrite seq /
+    # __line__ and project onto the unioned label schema — no re-parse
+    line_seen: dict[int, int] = {}
+    seq_seen: dict[int, int] = {}
+    fixed = []
+    for (fi, _p, _s, _e), (t_ref, _m), meta in zip(splits, parsed, metas):
+        lo = line_seen.get(fi, 0)
+        so = seq_seen.get(fi, 0)
+        line_seen[fi] = lo + meta["n_lines"]
+        seq_seen[fi] = so + meta["n_samples"]
+        fixed.append(_fixup_split.remote(t_ref, fi, lo, so, label_cols))
 
-    keys = (
-        files_ds.map_batches(schema_pass, batch_size=1, batch_format="pandas")
-        .to_pandas()["label_key"]
-        .tolist()
-    )
-    label_cols = sorted({k for k in keys if k})
-
-    # pass 2: per-file samples blocks in the unioned schema
-    def sample_pass(batch: pd.DataFrame) -> pa.Table:
-        out = []
-        for p, fidx in zip(batch["path"], batch["file_idx"]):
-            records, _ = _file_records(p, ast, since_ms, until_ms)
-            ts_l, seq_l, name_l, val_l, lab_l = [], [], [], [], []
-            seq = 0
-            for r in records:
-                if r.ts is None:
-                    continue
-                vals = dict(r.values)
-                vals["__line__"] = float(r.line_no)
-                for name, value in vals.items():
-                    ts_l.append(r.ts)
-                    seq_l.append((int(fidx) << 40) | seq)
-                    name_l.append(name)
-                    val_l.append(value)
-                    lab_l.append(r.labels)
-                    seq += 1
-            cols = {
-                "ts": pa.array(np.array(ts_l, dtype=np.int64)),
-                "seq": pa.array(np.array(seq_l, dtype=np.int64)),
-                "name": pa.array(name_l, type=pa.string()),
-                "value": pa.array(np.array(val_l, dtype=np.float64)),
-            }
-            for c in label_cols:
-                cols[f"l_{c}"] = pa.array(
-                    [lab.get(c) for lab in lab_l], type=pa.string()
-                )
-            out.append(pa.table(cols))
-        return pa.concat_tables(out)
-
-    # materialize once: the evaluator consumes the samples Dataset more
-    # than once (summary pass + window explode) — without this every
-    # consumption would re-parse the log files
-    samples = files_ds.map_batches(
-        sample_pass, batch_size=1, batch_format="pandas"
-    ).materialize()
+    # from_arrow_refs blocks are already materialized — the evaluator's
+    # multiple consumptions (summary pass + window explode) re-read the
+    # same objects, never re-parse the log files
+    samples = rd.from_arrow_refs(fixed)
 
     interval = interval_ms or find_smallest_range_ms(ast.query) or DEFAULT_INTERVAL_MS
     lookback = lookback_ms or interval

@@ -66,6 +66,39 @@ def test_log_query_since_until(ray_session, tmp_path):
     assert dist == local
 
 
+def test_log_query_single_big_file_multi_split(ray_session, tmp_path):
+    """One file forced through many byte-range splits (tiny split_bytes)
+    must equal the local runner byte for byte — lines straddling split
+    boundaries are owned by exactly one split, line numbers and arrival
+    order survive the offset fixup."""
+    rng = np.random.default_rng(13)
+    t = 1_600_000_000
+    lines = []
+    for _ in range(500):
+        host = rng.choice(["web1", "web2", "db1", "cache9"])
+        rps = int(rng.integers(1, 500))
+        lines.append(f"{t} {host} {rps}")
+        t += int(rng.integers(0, 3))
+    lines.insert(100, "unparseable junk @@@@")  # Q11 drop mid-file
+    p = tmp_path / "big.log"
+    p.write_text("\n".join(lines) + "\n")
+
+    local = run_program(PROGRAM, lines)
+    for split_bytes in (256, 1024, 10**9):
+        dist = run_log_query(
+            str(p), PROGRAM, num_buckets=4, split_bytes=split_bytes
+        )
+        assert dist == local, split_bytes
+    # __line__ parity: the line-number pseudo-metric must reflect
+    # file-global numbering across splits
+    prog_line = (
+        r"/(\d+) (\w+) (\d+)/ | map {.0:ts, .1 as host, .2:num as rps} "
+        r"| select max(__line__) | to_json"
+    )
+    assert run_log_query(str(p), prog_line, num_buckets=4, split_bytes=512) == \
+        run_program(prog_line, lines)
+
+
 def test_log_query_requires_query_stage(ray_session, tmp_path):
     paths, _ = _write_logs(tmp_path)
     with pytest.raises(ValueError):
