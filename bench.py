@@ -216,10 +216,24 @@ def scaling() -> None:
             runs[n].append(run(n))
         if time.perf_counter() - t_start > 420:
             break  # stay within the driver's budget
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
     r_lo = min(runs[lo], key=lambda r: r["value"])
     r_hi = min(runs[hi], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
+    secs_lo = [r["value"] for r in runs[lo]]
+    secs_hi = [r["value"] for r in runs[hi]]
+    med_lo, med_hi = median(secs_lo), median(secs_hi)
     eff = (t_lo / t_hi) / (hi / lo)
+    # paired-draw efficiencies: each interleaved rep pairs its own legs
+    # (the VM's bursty noise hits both legs of a rep similarly, so the
+    # pair distribution bounds how much min-of-N pairing flatters)
+    pair_effs = [
+        round((sl / sh) / (hi / lo), 3) for sl, sh in zip(secs_lo, secs_hi)
+    ]
     print(
         json.dumps(
             {
@@ -228,6 +242,9 @@ def scaling() -> None:
                 "samples_per_sec_lo": r_lo["samples_per_sec"],
                 "samples_per_sec_hi": r_hi["samples_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_median": round((med_lo / med_hi) / (hi / lo), 3),
+                "pair_efficiencies": pair_effs,
+                "median_secs": {str(lo): med_lo, str(hi): med_hi},
                 "raw_samples": r_lo["raw_samples"],
                 "cores": {"lo": lo, "hi": hi},
                 "reps_per_leg": {str(lo): len(runs[lo]), str(hi): len(runs[hi])},

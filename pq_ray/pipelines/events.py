@@ -257,22 +257,19 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
     with n=0 and NULL sum (the oracle builds the same spine with
     generate_series + LEFT JOIN).
 
-    The densification runs INSIDE the shuffle: points bucket by
-    hash(series_id) so each series' windows co-locate, and the spine
-    merge is ONE vectorized scatter per bucket (per-series segment
-    boundaries + position arithmetic — no per-series Python loop); the
-    driver only collects the final dense table."""
-    from ..stages.exchange import hash_exchange
+    The densification is FUSED into the rollup's own exchange (one
+    shuffle total): points bucket by hash(series_id) — co-locating each
+    series' windows — and the reduce runs combine + a single vectorized
+    spine scatter (per-series segment boundaries + grid-position
+    arithmetic, no per-series Python loop); the driver only collects
+    the final dense table."""
+    from ..stages.rollup import rollup_numeric
 
-    pts, label_df = rollup_events_numeric(sf_dir, MINUTE_MS)
-
-    def add_b(t: pa.Table) -> pa.Table:
-        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = ((sid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)) % np.uint64(8)
-        return t.append_column("bucket", pa.array(b.astype(np.int32)))
-
-    def fill(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
+    def fill(out: dict) -> pa.Table:
+        # combined columns arrive sorted by (series_id, window_ts)
+        sid = out["series_id"]
+        wts = out["window_ts"]
+        if len(sid) == 0:
             return pa.table(
                 {
                     "series_id": pa.array([], type=pa.uint64()),
@@ -282,15 +279,7 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
                     "is_gap": pa.array([], type=pa.bool_()),
                 }
             )
-        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        sid = sid.astype(np.uint64)
-        wts = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
-        wts = wts.astype(np.int64)
-        sm = t["sum"].combine_chunks().to_numpy(zero_copy_only=False)
-        cnt = t["count"].combine_chunks().to_numpy(zero_copy_only=False)
-        cnt = cnt.astype(np.int64)
-        order = np.lexsort((wts, sid))
-        sid, wts, sm, cnt = sid[order], wts[order], sm[order], cnt[order]
+        sm, cnt = out["sum"], out["count"].astype(np.int64)
         starts = np.concatenate(([0], np.nonzero(sid[1:] != sid[:-1])[0] + 1))
         ends = np.concatenate((starts[1:], [len(sid)]))
         lo, hi = wts[starts], wts[ends - 1]
@@ -321,9 +310,11 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    dense = hash_exchange(
-        pts.map_batches(add_b, batch_format="pyarrow"), "bucket", 8, fill
+    samples = read_events(sf_dir).map_batches(_to_samples, batch_format="pyarrow")
+    dense = rollup_numeric(
+        samples, MINUTE_MS, num_buckets=8, key="series", post_reduce=fill
     ).to_pandas()
+    label_df = _event_type_map(sf_dir)
     out = dense.merge(label_df, on="series_id", sort=False)
     return (
         out[["window_ts", "event_type", "n", "sum_value", "is_gap"]]

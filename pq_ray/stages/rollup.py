@@ -296,7 +296,15 @@ def finalize(df: pd.DataFrame, interval_ms: int) -> pd.DataFrame:
     return out
 
 
-def rollup_numeric(samples_ds, interval_ms: int, *, offset_ms: int = 0, num_buckets: int = 16):
+def rollup_numeric(
+    samples_ds,
+    interval_ms: int,
+    *,
+    offset_ms: int = 0,
+    num_buckets: int = 16,
+    key: str = "series_window",
+    post_reduce=None,
+):
     """Arrow-native rollup: samples Dataset (ts, value, series_id [+ any
     other columns, ignored]) → numeric points Dataset, via batch partial
     aggregation and the parallel hash exchange.
@@ -306,6 +314,13 @@ def rollup_numeric(samples_ds, interval_ms: int, *, offset_ms: int = 0, num_buck
     >2x — see pipelines/cascade.py) and is what the events/pq-grid
     queries use.  Labels are re-attached by the caller from a small
     series_id → label map (broadcast-small-side, never shuffled).
+
+    ``key``: ``"series_window"`` (default) spreads a hot series' windows
+    across buckets (skew splitting); ``"series"`` co-locates ALL of a
+    series' windows in one bucket so a ``post_reduce`` can run whole-
+    series logic (e.g. gap-fill) inside the SAME exchange.
+    ``post_reduce``: optional callable (dict of combined numpy columns,
+    sorted by (series_id, window_ts)) → pa.Table, fused into the reduce.
     """
     import pyarrow as pa
 
@@ -317,9 +332,12 @@ def rollup_numeric(samples_ds, interval_ms: int, *, offset_ms: int = 0, num_buck
         val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
         window = window_floor(ts, interval_ms, offset_ms)
         out = np_partial_agg(sid.astype(np.uint64), window, ts, val.astype(np.float64))
-        h = out["series_id"] ^ (
-            out["window_ts"].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        )
+        if key == "series_window":
+            h = out["series_id"] ^ (
+                out["window_ts"].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            )
+        else:
+            h = out["series_id"] * np.uint64(0x9E3779B97F4A7C15)
         bucket = ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
         cols = {k: pa.array(v) for k, v in out.items()}
         cols["series_id"] = pa.array(out["series_id"], type=pa.uint64())
@@ -331,13 +349,25 @@ def rollup_numeric(samples_ds, interval_ms: int, *, offset_ms: int = 0, num_buck
     def reduce_fn(t: pa.Table) -> pa.Table:
         import pyarrow as pa2
 
-        if t.num_rows == 0:
-            return pa2.table({c: t[c].slice(0, 0) for c in numeric_cols})
-        cols = {
-            c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
-            for c in numeric_cols
-        }
-        out = np_combine_partials(cols)
+        int_cols = {"window_ts", "count", "first_ts", "last_ts"}
+        if t.num_rows:
+            cols = {
+                c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+                for c in numeric_cols
+            }
+            out = np_combine_partials(cols)
+        else:
+            out = {
+                c: np.zeros(
+                    0,
+                    dtype=np.uint64
+                    if c == "series_id"
+                    else np.int64 if c in int_cols else np.float64,
+                )
+                for c in numeric_cols
+            }
+        if post_reduce is not None:
+            return post_reduce(out)
         tbl = {c: pa2.array(out[c]) for c in numeric_cols}
         tbl["series_id"] = pa2.array(out["series_id"], type=pa2.uint64())
         return pa2.table(tbl)
