@@ -1,0 +1,119 @@
+"""Out-of-band correctness draw at a LARGER scale factor than the
+driver's sf0.01 gate (VERDICT r2 #10): run every oracled query against
+its DuckDB oracle at ``--sf-dir`` (default sf0.1) with the driver's
+compare semantics (row count, schema, order-insensitive value check
+with columns sorted by name) and write a CORRECTNESS-style JSON.
+
+Usage:  python jobs/correctness_draw.py [--sf-dir /root/testdata/sf0.1]
+                                        [--out CORRECTNESS_sf0.1.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import ray
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def compare(got, exp) -> dict:
+    res = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": int(len(got)), "oracle_rows": int(len(exp)), "err": None}
+    res["rows_match"] = len(got) == len(exp)
+    gs = got[sorted(got.columns)]
+    es = exp[sorted(exp.columns)]
+    res["schema_match"] = list(gs.columns) == list(es.columns)
+    if not (res["rows_match"] and res["schema_match"]):
+        res["hash_match"] = False
+        return res
+    gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
+    es = es.sort_values(list(es.columns)).reset_index(drop=True)
+    ok = True
+    for c in gs.columns:
+        a, b = gs[c].to_numpy(), es[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ok &= bool(np.allclose(a.astype(np.float64), b.astype(np.float64),
+                                   equal_nan=True))
+        else:
+            ok &= bool((a.astype(str) == b.astype(str)).all())
+        if not ok:
+            break
+    res["hash_match"] = ok
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    sf = args.sf_dir
+    out_path = args.out or f"CORRECTNESS_{sf.rstrip('/').split('/')[-1]}.json"
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+
+
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"create view {t} as select * from read_parquet('{p}')")
+
+    results = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            got = fn(sf)
+            if hasattr(got, "to_pandas"):
+                got = got.to_pandas()
+            if name not in oracles:
+                results[name] = {
+                    "rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": int(len(got)), "oracle_rows": None,
+                    "err": "no_oracle",
+                }
+            else:
+                exp = con.sql(oracles[name]).df()
+                results[name] = compare(got, exp)
+            results[name]["sec"] = round(time.time() - t0, 1)
+        except Exception as ex:  # record, keep drawing
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"{type(ex).__name__}: {ex}"}
+        status = results[name].get("err") or (
+            "ok" if results[name]["hash_match"] else "MISMATCH"
+        )
+        print(f"{name}: {status} ({results[name].get('sec', '?')}s)", flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf, "results": results}, f, indent=1)
+    n_ok = sum(1 for r in results.values() if r["hash_match"])
+    n_no = sum(1 for r in results.values() if r.get("err") == "no_oracle")
+    print(f"written {out_path}: {n_ok} hash-green, {n_no} rows-only, "
+          f"{len(results) - n_ok - n_no} failing")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     # the reference only parses (and/or/unless, group_left/right,
     # quantile/stddev/stdvar/count_values, clamp*, label_replace)
     ap.add_argument("-x", "--extensions", action="store_true")
+    # pq_ray extension: run the DISTRIBUTED engine over a log directory
+    # / file list instead of stdin (pipelines.logs — byte-range splits,
+    # Ray-parallel decode, distributed tick-grid evaluation)
+    ap.add_argument(
+        "-f", "--files", default=None, metavar="PATH",
+        help="log file or directory: use the Ray-distributed engine instead of stdin",
+    )
     args = ap.parse_args(argv)
 
     opts = {"verbose": args.verbose, "interactive": args.interactive,
@@ -56,10 +63,36 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         opts["until_ms"] = ts
 
-    lines = sys.stdin.buffer.read().splitlines()
     try:
-        for out in run_program(args.program, lines, **opts):
-            print(out)
+        if args.files:
+            # the CLI is a script entry point, so it owns the Ray session
+            import ray
+
+            from .pipelines.logs import run_log_query
+
+            started = False
+            if not ray.is_initialized():
+                ray.init(
+                    address="local", include_dashboard=False,
+                    logging_level="ERROR",
+                )
+                started = True
+            dist_opts = {
+                k: v
+                for k, v in opts.items()
+                if k in ("interval_ms", "lookback_ms", "since_ms",
+                         "until_ms", "extensions")
+            }
+            try:
+                for out in run_log_query(args.files, args.program, **dist_opts):
+                    print(out)
+            finally:
+                if started:  # leave an embedding caller's session alone
+                    ray.shutdown()
+        else:
+            lines = sys.stdin.buffer.read().splitlines()
+            for out in run_program(args.program, lines, **opts):
+                print(out)
     except (ValueError, RuntimeError) as e:
         # parse errors + typed engine errors (the reference's panics)
         print(f"pq_ray: {e}", file=sys.stderr)

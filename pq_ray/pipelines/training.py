@@ -1316,11 +1316,15 @@ _IVF_PROBES = 4
 _IVF_SAMPLE = 4096  # centroid-training sample size (broadcast)
 # Hyperplane LSH: T tables of B bits. The bench threshold (cosine 0.45,
 # theta ~63 deg, per-bit agreement ~0.65) is a deliberately WEAK
-# similarity, so recall needs many short tables (16 x 4: ~96% per-pair);
-# at production near-dup thresholds (>=0.9) a couple of longer tables
-# suffice and the candidate volume collapses.
-_LSH_TABLES = 16
-_LSH_BITS = 4
+# similarity, so recall needs many short tables: 32 x 3 puts the
+# per-pair miss probability at (1 - 0.65^3)^32 ~ 3e-5 — effectively
+# recall 1.0 at the tested scales, which the cluster queries need
+# (a missed CUT edge splits a component and breaks the CC oracle;
+# 16 x 4 measured ~97% recall = ~4 missed pairs at sf0.1).  At
+# production near-dup thresholds (>=0.9) a couple of longer tables
+# suffice and both the table count and candidate volume collapse.
+_LSH_TABLES = 32
+_LSH_BITS = 3
 _LSH_SEED = 29
 
 
