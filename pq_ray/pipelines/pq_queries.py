@@ -165,27 +165,53 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
     first = t0 + min(d, interval) - 1
 
     def explode(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        ts = df["ts"].to_numpy()
+        empty = pa.table(
+            {
+                "tick": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "bucket": pa.array([], type=pa.int32()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ts = batch["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = batch["event_type"].combine_chunks()
+        if isinstance(et, pa.ChunkedArray):
+            et = et.chunk(0) if et.num_chunks == 1 else pa.concat_arrays(et.chunks)
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncode = len(enc.dictionary)
         k_lo = np.maximum(np.ceil((ts - first) / interval).astype(np.int64), 0)
         k_hi = (ts + d - 1 - first) // interval
         reps = np.maximum(k_hi - k_lo + 1, 0).astype(np.int64)
-        ex = df.loc[df.index.repeat(reps)].reset_index(drop=True)
-        within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        # partial count per (tick, event_type) WITHOUT materializing the
+        # exploded rows: one bincount over the dense (window, code)
+        # domain of the batch — no pandas repeat/groupby
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
         )
-        ex["tick"] = first + (np.repeat(k_lo, reps) + within) * interval
-        # partial count per (tick, event_type) right here in the batch,
-        # bucket key computed in the same pass — Arrow out, onto the wire
-        out = (
-            ex.groupby(["tick", "event_type"], sort=False)
-            .size()
-            .rename("n")
-            .reset_index()
+        kk = np.repeat(k_lo, reps) + within
+        cc = np.repeat(codes, reps)
+        kmin = int(kk.min())
+        key = (kk - kmin) * ncode + cc
+        counts = np.bincount(key, minlength=(int(kk.max()) - kmin + 1) * ncode)
+        nz = np.nonzero(counts)[0]
+        tick = first + (nz // ncode + kmin) * interval
+        h = tick.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                "tick": pa.array(tick),
+                "event_type": enc.dictionary.take(pa.array(nz % ncode)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+                "bucket": pa.array(
+                    ((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32)
+                ),
+            }
         )
-        h = out["tick"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        out["bucket"] = ((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32)
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     def reduce_counts(t: pa.Table) -> pa.Table:
         cols = ["tick", "event_type", "n"]
