@@ -15,9 +15,11 @@ sorted order, so ``seq = file_idx << 40 | line_no`` reproduces that
 order exactly (ties and out-of-order timestamps behave like the
 reference fed the same concatenation).
 
-Ingestion (round 3 — single pass, split-friendly): files cut into
-byte-range SPLITS (``split_bytes``, default 64 MiB) with the standard
-line-boundary contract — a split owns every line that STARTS inside
+Ingestion (round 3 — single pass, split-friendly): the reference
+streams stdin line-by-line in one pass (src/input/reader.rs:25-38);
+the distributed counterpart keeps the one-pass property per unit of
+parallelism — files cut into byte-range SPLITS (``split_bytes``,
+default 64 MiB) with the standard line-boundary contract — a split owns every line that STARTS inside
 its range; the reader skips a leading partial line and extends past
 the range end to finish its last owned line, reading only its bounded
 range (never the whole file).  ONE parse pass per split emits the

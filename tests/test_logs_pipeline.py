@@ -99,6 +99,29 @@ def test_log_query_single_big_file_multi_split(ray_session, tmp_path):
         run_program(prog_line, lines)
 
 
+def test_read_split_lines_ownership(tmp_path):
+    """Unit-level line-ownership contract: every line is owned by
+    exactly one split for ANY split size, including boundaries landing
+    exactly on newlines, mid-line, and a file without trailing newline."""
+    from pq_ray.pipelines.logs import _read_split_lines
+
+    for content in (
+        b"aaa\nbbbb\ncc\ndddddd\ne\n",
+        b"aaa\nbbbb\ncc\ndddddd\ne",          # no trailing newline
+        b"single line no newline",
+        b"\n\nx\n\n",                          # empty lines
+    ):
+        p = tmp_path / "f.log"
+        p.write_bytes(content)
+        expected = content.splitlines()
+        size = len(content)
+        for split in range(1, size + 2):
+            got = []
+            for s in range(0, size, split):
+                got.extend(_read_split_lines(str(p), s, min(s + split, size)))
+            assert got == expected, (content, split)
+
+
 def test_log_query_requires_query_stage(ray_session, tmp_path):
     paths, _ = _write_logs(tmp_path)
     with pytest.raises(ValueError):
