@@ -60,16 +60,25 @@ def run_headline() -> dict:
     }
 
 
+QUERY_REPS = int(os.environ.get("GRAFT_BENCH_QUERY_REPS", "2"))
+
+
+def _time_query(fn) -> float:
+    """min-of-N per query (same rationale as the headline's min-of-2:
+    the VM's bursty wall-time inflation, see BASELINE.md)."""
+    best = float("inf")
+    for _ in range(QUERY_REPS):
+        t0 = time.perf_counter()
+        df = fn(SF_DIR)
+        best = min(best, time.perf_counter() - t0)
+        assert len(df) > 0
+    return round(best, 3)
+
+
 def run_queries() -> dict:
     from pq_ray.pipelines import events
 
-    out = {}
-    for name, fn in events.QUERIES.items():
-        t0 = time.perf_counter()
-        df = fn(SF_DIR)
-        out[name] = round(time.perf_counter() - t0, 3)
-        assert len(df) > 0
-    return out
+    return {name: _time_query(fn) for name, fn in events.QUERIES.items()}
 
 
 # Training-data operators timed at $GRAFT_SF_DIR (5000 docs / 2000 vecs
@@ -96,13 +105,10 @@ _TRAINING_BENCH = [
 def run_training_queries() -> dict:
     from pq_ray.pipelines import training
 
-    out = {}
-    for name in _TRAINING_BENCH:
-        t0 = time.perf_counter()
-        df = training.QUERIES[name](SF_DIR)
-        out[f"tr_{name}"] = round(time.perf_counter() - t0, 3)
-        assert len(df) > 0
-    return out
+    return {
+        f"tr_{name}": _time_query(training.QUERIES[name])
+        for name in _TRAINING_BENCH
+    }
 
 
 def main() -> None:
