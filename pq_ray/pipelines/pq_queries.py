@@ -239,34 +239,59 @@ def q_pq_stddev_by_event_1h(sf_dir: str) -> pd.DataFrame:
     t0 = _t0(samples)
     pts = _instant_rollup(samples, t0, HOUR)
 
-    def sd(g: pd.Series) -> float:
-        v = g.to_numpy(dtype=np.float64)
-        return float(np.sqrt(max((v * v).mean() - v.mean() ** 2, 0.0)))
-
-    out = (
-        pts.groupby(["tick", "event_type"], sort=True)["last_v"]
-        .apply(sd)
-        .round(6)
-        .reset_index()
-        .rename(columns={"last_v": "stddev_value"})
+    # vectorized population stddev: sqrt(E[v^2] - E[v]^2) from grouped
+    # sum/sumsq/count — no per-group Python lambda
+    v = pts["last_v"].to_numpy(dtype=np.float64)
+    g = (
+        pd.DataFrame(
+            {"tick": pts["tick"], "event_type": pts["event_type"],
+             "s": v, "ss": v * v, "n": 1}
+        )
+        .groupby(["tick", "event_type"], sort=True)
+        .sum()
     )
+    mean = g["s"] / g["n"]
+    out = pd.DataFrame(
+        {
+            "stddev_value": np.sqrt(
+                np.maximum(g["ss"] / g["n"] - mean * mean, 0.0)
+            ).round(6)
+        },
+        index=g.index,
+    ).reset_index()
     return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
 
 
 def q_pq_quantile09_by_event_1h(sf_dir: str) -> pd.DataFrame:
     """pq EXTENSION: ``quantile(0.9, value) by (event_type)`` @ 1h —
     PromQL linear interpolation (equals SQL quantile_cont)."""
-    from ..query.engine import _promql_quantile
-
     samples = _samples(sf_dir)
     t0 = _t0(samples)
     pts = _instant_rollup(samples, t0, HOUR)
-    out = (
-        pts.groupby(["tick", "event_type"], sort=True)["last_v"]
-        .apply(lambda g: _promql_quantile(0.9, g.to_numpy(dtype=np.float64)))
-        .round(6)
-        .reset_index()
-        .rename(columns={"last_v": "q90_value"})
+    # vectorized PromQL quantile (linear interpolation on sorted values,
+    # matching engine._promql_quantile): sort by (group, value), then
+    # per-segment rank arithmetic — no per-group Python lambda
+    phi = 0.9
+    et_codes, et_uniques = pd.factorize(pts["event_type"], sort=False)
+    tick = pts["tick"].to_numpy(dtype=np.int64)
+    v = pts["last_v"].to_numpy(dtype=np.float64)
+    order = np.lexsort((v, et_codes, tick))
+    t_s, c_s, v_s = tick[order], et_codes[order], v[order]
+    starts = np.concatenate(
+        ([0], np.nonzero((t_s[1:] != t_s[:-1]) | (c_s[1:] != c_s[:-1]))[0] + 1)
+    )
+    counts = np.diff(np.concatenate((starts, [len(v_s)])))
+    rank = phi * (counts - 1)
+    lo = np.floor(rank).astype(np.int64)
+    hi = np.minimum(lo + 1, counts - 1)
+    frac = rank - lo
+    q = v_s[starts + lo] * (1 - frac) + v_s[starts + hi] * frac
+    out = pd.DataFrame(
+        {
+            "tick": t_s[starts],
+            "event_type": et_uniques[c_s[starts]],
+            "q90_value": np.round(q, 6),
+        }
     )
     return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
 
