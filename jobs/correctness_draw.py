@@ -87,6 +87,7 @@ def main() -> None:
             got = fn(sf)
             if hasattr(got, "to_pandas"):
                 got = got.to_pandas()
+            t_pipe = time.time() - t0
             if name not in oracles:
                 results[name] = {
                     "rows_match": None, "schema_match": None, "hash_match": None,
@@ -96,7 +97,8 @@ def main() -> None:
             else:
                 exp = con.sql(oracles[name]).df()
                 results[name] = compare(got, exp)
-            results[name]["sec"] = round(time.time() - t0, 1)
+                results[name]["oracle_sec"] = round(time.time() - t0 - t_pipe, 1)
+            results[name]["sec"] = round(t_pipe, 1)
         except Exception as ex:  # record, keep drawing
             results[name] = {"rows_match": False, "schema_match": False,
                              "hash_match": False, "spark_rows": None,
