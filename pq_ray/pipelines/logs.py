@@ -48,7 +48,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..query.ast import JsonDecoder, Program, RegexDecoder
+from ..query.ast import JsonDecoder, NamedDecoder, Program, RegexDecoder
 from ..query.engine import DEFAULT_INTERVAL_MS
 from ..query.parser import parse_program
 from ..query.records import MapError, map_entry
@@ -71,6 +71,8 @@ def _make_decoder(ast: Program):
 
     if isinstance(ast.decoder, RegexDecoder):
         return get_decoder("regex")(ast.decoder.regex)
+    if isinstance(ast.decoder, NamedDecoder):
+        return get_decoder(ast.decoder.name)(*ast.decoder.args)
     assert isinstance(ast.decoder, JsonDecoder)
     return get_decoder("json")()
 
@@ -348,7 +350,59 @@ def q_logs_sum_by_event_1s(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["tick", "event_type"]).reset_index(drop=True)
 
 
-QUERIES = {"logs_sum_by_event_1s": q_logs_sum_by_event_1s}
+def _render_event_logs_logfmt(sf_dir: str, log_dir: str, shards: int = 4) -> None:
+    """Render the events table as sharded logfmt log files
+    (``ts=<epoch_ms> event=<type> v=<value>``), same ordering contract
+    as ``_render_event_logs``."""
+    import duckdb
+
+    os.makedirs(log_dir, exist_ok=True)
+    rows = duckdb.sql(
+        f"""select epoch_ms(ts) as ts_ms, event_type, value, event_id
+            from read_parquet('{sf_dir}/events.parquet')
+            order by ts_ms, event_id"""
+    ).fetchall()
+    n = len(rows)
+    per = (n + shards - 1) // shards
+    for s in range(shards):
+        part = rows[s * per : (s + 1) * per]
+        path = os.path.join(log_dir, f"events-{s:02d}.log")
+        with open(path + ".tmp", "w") as f:
+            for ts_ms, et, v, _eid in part:
+                f.write(f"ts={ts_ms} event={et} v={v!r}\n")
+        os.replace(path + ".tmp", path)
+
+
+_LOGFMT_PROGRAM = (
+    "logfmt | map {.ts:ts, .event as event_type, .v:num as v} "
+    "| select sum(v) by (event_type) | to_json"
+)
+
+
+def q_logs_logfmt_sum_1s(sf_dir: str) -> pd.DataFrame:
+    """Same tick-grid query as ``logs_sum_by_event_1s`` but over LOGFMT
+    log files through the registry's ``logfmt`` decoder
+    (sources/structured.py) — proves the named-decoder surface rides
+    the distributed split/parse/fixup path unchanged.  Oracle: identical
+    instant-vector SQL (the rendered stream is the same events data)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    log_dir = f"/tmp/pq_ray_logfmt_{tag}"
+    _render_event_logs_logfmt(sf_dir, log_dir)
+    stream = run_log_query(log_dir, _LOGFMT_PROGRAM, formatter=False)
+    df = stream.df[["tick", "l_event_type", "value"]].rename(
+        columns={"l_event_type": "event_type", "value": "sum_v"}
+    )
+    df = df.copy()
+    df["sum_v"] = df["sum_v"].round(6)
+    return df.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
+QUERIES = {
+    "logs_sum_by_event_1s": q_logs_sum_by_event_1s,
+    "logs_logfmt_sum_1s": q_logs_logfmt_sum_1s,
+}
 
 ORACLES = {
     "logs_sum_by_event_1s": """
@@ -370,3 +424,5 @@ ORACLES = {
         FROM instant GROUP BY tick, event_type ORDER BY tick, event_type
     """,
 }
+
+ORACLES["logs_logfmt_sum_1s"] = ORACLES["logs_sum_by_event_1s"]

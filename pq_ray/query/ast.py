@@ -179,6 +179,16 @@ class JsonDecoder:
 
 
 @dataclass(frozen=True)
+class NamedDecoder:
+    """A registry decoder invoked by name (the reference's planned
+    plugin surface, src/program.rs:31-44): ``csv(";") | map {...}``.
+    ``args`` are the string-literal constructor arguments."""
+
+    name: str
+    args: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class MapperField:
     # loc: int (positional) or str (named); Const fields use loc=name
     loc: int | str
@@ -198,7 +208,7 @@ class MapperField:
 
 @dataclass(frozen=True)
 class Program:
-    decoder: RegexDecoder | JsonDecoder
+    decoder: RegexDecoder | JsonDecoder | NamedDecoder
     mapper: tuple[MapperField, ...] | None = None
     query: Expr | None = None
     formatter: str | None = None  # 'to_json' | 'to_promapi' | None

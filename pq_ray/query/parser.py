@@ -38,6 +38,7 @@ from .ast import (
     JsonDecoder,
     LabelMatcher,
     MapperField,
+    NamedDecoder,
     NumberLiteral,
     Parentheses,
     Program,
@@ -486,6 +487,41 @@ def _find_unescaped(s: str, needle: str) -> int:
     return -1
 
 
+_DECODER_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*(?::[A-Za-z0-9_]+)?")
+
+
+def _try_named_decoder(p: _P) -> NamedDecoder | None:
+    """Registry decoder by name with optional string-literal args:
+    ``csv``, ``csv(";")``, ``nginx:combined`` — the reference's planned
+    plugin names (src/program.rs:31-44).  Unknown names leave the
+    parser untouched so the caller raises the reference's exact
+    unknown-parser error."""
+    save = p.i
+    name = p.regex(_DECODER_NAME)
+    if name is None:
+        return None
+    from ..registry import decoder_names
+
+    if name not in decoder_names():
+        p.i = save
+        return None
+    args: list[str] = []
+    if p.eat("("):
+        while True:
+            p.ws()
+            s = p.string_literal()
+            if s is None:
+                if not args and p.eat(")"):
+                    break
+                raise ParseError(f"{name}: expected string literal argument", p.i)
+            args.append(s)
+            if p.eat(","):
+                continue
+            p.expect(")", name)
+            break
+    return NamedDecoder(name, tuple(args))
+
+
 def parse_program(text: str) -> Program:
     p = _P(text.strip())
 
@@ -501,11 +537,13 @@ def parse_program(text: str) -> Program:
     elif p.eat("json", ci=True):
         decoder = JsonDecoder()
     else:
-        raise ParseError(
-            "a valid pq program must start from a known parser "
-            "(supported parsers: regex /.../, json)",
-            p.i,
-        )
+        decoder = _try_named_decoder(p)
+        if decoder is None:
+            raise ParseError(
+                "a valid pq program must start from a known parser "
+                "(supported parsers: regex /.../, json)",
+                p.i,
+            )
 
     mapper = None
     query = None

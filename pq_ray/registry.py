@@ -80,6 +80,24 @@ def _register_builtins() -> None:
     register_decoder("regex", RegexLineDecoder)
     register_decoder("json", JsonLineDecoder)
 
+    # the reference's planned decoder plugins (src/program.rs:31-44),
+    # implemented in sources/structured.py
+    from .sources.structured import (
+        CombinedLogDecoder,
+        CsvDecoder,
+        InfluxDbDecoder,
+        LogfmtDecoder,
+        PrometheusDecoder,
+    )
+
+    register_decoder("csv", CsvDecoder)
+    register_decoder("logfmt", LogfmtDecoder)
+    register_decoder("prometheus", PrometheusDecoder)
+    register_decoder("influxdb", InfluxDbDecoder)
+    register_decoder("nginx", CombinedLogDecoder)
+    register_decoder("nginx:combined", CombinedLogDecoder)
+    register_decoder("apache", CombinedLogDecoder)
+
     from .format.human import format_stream_human
     from .format.promapi import format_stream
 

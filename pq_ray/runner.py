@@ -19,7 +19,13 @@ import json as _json
 
 from .format.promapi import format_stream
 from .model import rust_f64_str
-from .query.ast import JsonDecoder, Program, RegexDecoder, find_smallest_range_ms
+from .query.ast import (
+    JsonDecoder,
+    NamedDecoder,
+    Program,
+    RegexDecoder,
+    find_smallest_range_ms,
+)
 from .query.engine import DEFAULT_INTERVAL_MS, EvalContext, evaluate
 from .query.parser import parse_program
 from .query.records import MapError, Record, map_entry, records_to_samples
@@ -62,6 +68,8 @@ def run_program(
 
     if isinstance(ast.decoder, RegexDecoder):
         decode = get_decoder("regex")(ast.decoder.regex)
+    elif isinstance(ast.decoder, NamedDecoder):
+        decode = get_decoder(ast.decoder.name)(*ast.decoder.args)
     else:
         assert isinstance(ast.decoder, JsonDecoder)
         decode = get_decoder("json")()
