@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..sources.readers import small_input_blocks
 from ..stages.rollup import window_floor
 
 MINUTE_MS = 60_000
@@ -26,9 +27,11 @@ HOUR_MS = 3_600_000
 
 
 def read_events(sf_dir: str):
+    path = f"{sf_dir}/events.parquet"
     return rd.read_parquet(
-        f"{sf_dir}/events.parquet",
+        path,
         columns=["ts", "event_type", "value"],
+        override_num_blocks=small_input_blocks(path),
     )
 
 
@@ -336,7 +339,8 @@ def q_props_k_by_event(sf_dir: str, use_registry_decoder: bool = False) -> pd.Da
     in an actor-pool stage — kept for nested/stringify semantics the
     regex fast path doesn't cover; a pytest asserts both paths agree."""
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"],
+        override_num_blocks=small_input_blocks(f"{sf_dir}/events.parquet"),
     )
 
     if use_registry_decoder:

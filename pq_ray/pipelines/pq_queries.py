@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..model import stable_hash64
+from ..sources.readers import small_input_blocks
 from ..stages.rollup import CombinePartials, PartialAggBatch, _add_bucket
 
 MINUTE = 60_000
@@ -38,7 +39,9 @@ LABELS = ["event_type", "user_mod"]
 
 def _samples(sf_dir: str):
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id", "value"]
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id", "value"],
+        override_num_blocks=small_input_blocks(f"{sf_dir}/events.parquet"),
     )
 
     def to_samples(batch: pa.Table) -> pa.Table:

@@ -40,6 +40,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..sources.readers import small_input_blocks
 from ..stages.exchange import hash_exchange
 
 JACCARD_TAU = 0.3
@@ -60,7 +61,11 @@ _PHI2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _read_docs(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    path = f"{sf_dir}/documents.parquet"
+    return rd.read_parquet(
+        path, columns=["doc_id", "text"],
+        override_num_blocks=small_input_blocks(path),
+    )
 
 
 def _md5_hex(s: str) -> str:
@@ -205,7 +210,7 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 
 class BpeTokenCounter:
-    """Actor-pool text-analysis stage: the regex compiles once per actor
+    """Stateful text-analysis stage: the regex compiles once per worker
     (__init__), the per-batch work is one vectorized str.count pass."""
 
     def __init__(self):
@@ -220,11 +225,22 @@ class BpeTokenCounter:
         )
 
 
+_BPE_COUNTER: BpeTokenCounter | None = None
+
+
+def _bpe_count(df: pd.DataFrame) -> pd.DataFrame:
+    # per-worker cached task state (see _minhash_bands): compile once
+    # per worker process, no fresh actor pool per query
+    global _BPE_COUNTER
+    if _BPE_COUNTER is None:
+        _BPE_COUNTER = BpeTokenCounter()
+    return _BPE_COUNTER(df)
+
+
 def q_token_bpe(sf_dir: str) -> pd.DataFrame:
     return (
         _read_docs(sf_dir)
-        .map_batches(BpeTokenCounter, batch_format="pandas", batch_size=2048,
-                     concurrency=2)
+        .map_batches(_bpe_count, batch_format="pandas", batch_size=2048)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -471,9 +487,9 @@ _MH_BANDS = 32  # 32 bands x 4 rows: catches J>=0.3 with high recall
 
 
 class MinHasher:
-    """Actor-pool stage: batch → LSH band rows, fully vectorized.
+    """Stateful stage: batch → LSH band rows, fully vectorized.
 
-    Permutation parameters are built once per actor (__init__); per batch
+    Permutation parameters are built once per worker (__init__); per batch
     the shingle hashes of ALL docs are minhashed in one (perm-chunked)
     broadcast multiply + segment-min (np.minimum.reduceat along axis=1),
     and band keys are an arithmetic mix of the band's signature rows —
@@ -520,6 +536,21 @@ class MinHasher:
                 "n_doc": np.tile(counts, _MH_BANDS),
             }
         )
+
+
+_MINHASHER: MinHasher | None = None
+
+
+def _minhash_bands(df: pd.DataFrame) -> pd.DataFrame:
+    """Task-pool MinHasher with per-worker cached state: the permutation
+    table builds once per worker PROCESS (module global) and tasks run on
+    the session's already-warm workers — a fresh 2-actor pool cost ~2s
+    of startup per query at sf0.1 (the round-1 decode lesson,
+    BASELINE.md 'task-pool decode with per-worker cache')."""
+    global _MINHASHER
+    if _MINHASHER is None:
+        _MINHASHER = MinHasher()
+    return _MINHASHER(df)
 
 
 def _lsh_candidates(df: pd.DataFrame) -> pd.DataFrame:
@@ -696,14 +727,14 @@ def _verify_pairs_distributed(cand_ds, docs_ds, tau: float) -> pd.DataFrame:
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH candidate pairs verified with exact Jaccard >= tau.
 
-    Every stage is a Ray stage: band rows (actor-pool MinHasher) →
+    Every stage is a Ray stage: band rows (per-worker-cached MinHasher) →
     band-key bucket shuffle → candidate pairs → two-exchange distributed
     verify (shingle sets attached per side, never collected).  Output
     shape matches q_jaccard_pairs; recall is pytest-checked against it.
     """
     ds = _read_docs(sf_dir)
     band_rows = ds.map_batches(
-        MinHasher, batch_format="pandas", batch_size=1024, concurrency=2
+        _minhash_bands, batch_format="pandas", batch_size=1024
     )
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -882,9 +913,9 @@ _LANG_MARKERS = {
 
 
 class LangQuality:
-    """Actor-pool text-analysis stage: marker sets are actor state; the
-    scoring is vectorized pandas/numpy (explode + grouped reductions),
-    no per-row Python."""
+    """Stateful text-analysis stage: marker sets are per-worker state;
+    the scoring is vectorized pandas/numpy (explode + grouped
+    reductions), no per-row Python."""
 
     def __init__(self):
         self.markers = _LANG_MARKERS
@@ -924,10 +955,20 @@ class LangQuality:
         )
 
 
+_LANG_QUALITY: LangQuality | None = None
+
+
+def _lang_quality(df: pd.DataFrame) -> pd.DataFrame:
+    global _LANG_QUALITY
+    if _LANG_QUALITY is None:
+        _LANG_QUALITY = LangQuality()
+    return _LANG_QUALITY(df)
+
+
 def q_lang_quality(sf_dir: str) -> pd.DataFrame:
     return (
         _read_docs(sf_dir)
-        .map_batches(LangQuality, batch_format="pandas", batch_size=1024, concurrency=2)
+        .map_batches(_lang_quality, batch_format="pandas", batch_size=1024)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -1075,7 +1116,11 @@ def q_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pd.DataFrame:
 
 
 def _read_emb(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    path = f"{sf_dir}/embeddings.parquet"
+    return rd.read_parquet(
+        path, columns=["vec_id", "embedding"],
+        override_num_blocks=small_input_blocks(path),
+    )
 
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
@@ -1085,12 +1130,7 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     broadcast query matrix (ray.put once), local top-k per batch, tiny
     global reduce."""
     emb = _read_emb(sf_dir)
-    qrow = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .sort("vec_id")
-        .limit(1)
-        .to_pandas()
-    )
+    qrow = _read_emb(sf_dir).sort("vec_id").limit(1).to_pandas()
     qid = int(qrow["vec_id"].iloc[0])
     qv = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
     qv /= np.linalg.norm(qv)
