@@ -32,20 +32,26 @@ def _ctx(rows, label_cols=("l",), interval=1000, lookback=None):
 
 
 def test_register_csv_decoder_runs_through_registry():
-    from pq_ray.registry import get_decoder, register_decoder
+    from pq_ray.registry import _DECODERS, get_decoder, register_decoder
 
-    @register_decoder("csv")
-    class CsvDecoder:
+    # register under a scratch name so the real built-in `csv` decoder
+    # (pq_ray/sources/structured.py) is left untouched for later tests
+    @register_decoder("csv_scratch")
+    class CsvScratchDecoder:
         def __call__(self, raw: bytes) -> list:
             return raw.decode("utf-8").rstrip("\n").split(",")
 
-    dec = get_decoder("csv")()
-    assert dec(b"a,b,c\n") == ["a", "b", "c"]
-    # built-ins are pre-registered
-    assert get_decoder("json") is not None
-    assert get_decoder("regex") is not None
-    with pytest.raises(KeyError):
-        get_decoder("nope")
+    try:
+        dec = get_decoder("csv_scratch")()
+        assert dec(b"a,b,c\n") == ["a", "b", "c"]
+        # built-ins are pre-registered
+        assert get_decoder("json") is not None
+        assert get_decoder("regex") is not None
+        assert get_decoder("csv") is not None
+        with pytest.raises(KeyError):
+            get_decoder("nope")
+    finally:
+        _DECODERS.pop("csv_scratch", None)
 
 
 def test_register_custom_formatter_used_by_runner():
