@@ -570,6 +570,10 @@ def parse_program(text: str) -> Program:
         if formatter is None and p.eat("to_promapi", ci=True):
             formatter = "to_promapi"
             continue
+        # the reference's planned PromQL formatter (src/program.rs:97-98)
+        if formatter is None and p.eat("to_promql", ci=True):
+            formatter = "to_promql"
+            continue
         raise ParseError("unexpected program stage", p.i)
 
     p.ws()

@@ -85,23 +85,33 @@ def _register_builtins() -> None:
     from .sources.structured import (
         CombinedLogDecoder,
         CsvDecoder,
+        EnvoyLogDecoder,
         InfluxDbDecoder,
         LogfmtDecoder,
         PrometheusDecoder,
+        RedisLogDecoder,
+        ScanfDecoder,
     )
 
     register_decoder("csv", CsvDecoder)
     register_decoder("logfmt", LogfmtDecoder)
+    register_decoder("scanf", ScanfDecoder)
     register_decoder("prometheus", PrometheusDecoder)
     register_decoder("influxdb", InfluxDbDecoder)
     register_decoder("nginx", CombinedLogDecoder)
     register_decoder("nginx:combined", CombinedLogDecoder)
     register_decoder("apache", CombinedLogDecoder)
+    register_decoder("envoy", EnvoyLogDecoder)
+    register_decoder("redis", RedisLogDecoder)
 
     from .format.human import format_stream_human
     from .format.promapi import format_stream
+    from .format.promql import format_stream_promql
 
     register_formatter("to_promapi", lambda stream, verbose=False: format_stream(stream))
+    register_formatter(
+        "to_promql", lambda stream, verbose=False: format_stream_promql(stream)
+    )
     register_formatter(
         "human",
         lambda stream, verbose=False, interactive=False: format_stream_human(

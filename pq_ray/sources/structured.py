@@ -1,10 +1,11 @@
-"""Structured line decoders: CSV, logfmt, Prometheus, InfluxDB, nginx.
+"""Structured line decoders: CSV, logfmt, scanf, Prometheus, InfluxDB,
+nginx/apache, Envoy, Redis.
 
 The reference enumerates these as planned-but-absent decoder plugins
-(src/program.rs:31-44: ``// TODO: CSV { header, separator }, logfmt,
-Prometheus, InfluxDB, Nginx, Nginx:combined, Apache, …``).  This module
-implements the well-specified ones against the same decoder contract as
-the built-ins (sources/lines.py): a compile-once callable
+(src/program.rs:31-45: ``// TODO: CSV { header, separator }, logfmt,
+scanf, Prometheus, InfluxDB, Nginx, Nginx:combined, Apache, Envoy,
+Redis``).  This module implements them against the same decoder
+contract as the built-ins (sources/lines.py): a compile-once callable
 ``bytes -> list[str] | dict[str, str]`` raising ``DecodeError`` for
 undecodable lines (Q11: dropped silently, reported when verbose).
 
@@ -311,3 +312,146 @@ class CombinedLogDecoder:
                 continue  # common-format line without referer/UA
             out[key] = val.decode("utf-8", errors="replace")
         return out
+
+
+# ---------------------------------------------------------------------------
+# scanf — pattern-directed positional decoder (reference src/program.rs:37)
+# ---------------------------------------------------------------------------
+
+_SCANF_CONV = {
+    "d": r"[-+]?\d+",
+    "u": r"\d+",
+    "x": r"(?:0[xX])?[0-9a-fA-F]+",
+    "f": r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?|[-+]?(?:[Ii]nf(?:inity)?|[Nn]a[Nn])",
+    "e": None,  # alias of f, filled below
+    "g": None,
+    "s": r"\S+",
+    "c": r".",
+}
+_SCANF_CONV["e"] = _SCANF_CONV["g"] = _SCANF_CONV["f"]
+
+
+class ScanfDecoder:
+    """``scanf``-style positional decoder → Tuple entry.
+
+    ``scanf("%s %d %f")`` compiles the pattern once into an anchored
+    regex: ``%d``/``%u`` integers, ``%x`` hex, ``%f``/``%e``/``%g``
+    floats, ``%s`` a non-whitespace token, ``%c`` any single char,
+    ``%%`` a literal percent; pattern whitespace matches any whitespace
+    run.  Each conversion becomes one positional field (all values stay
+    strings — the mapper owns typing, like every other decoder).
+    Non-matching lines raise DecodeError (Q11: dropped).
+    """
+
+    def __init__(self, pattern: str):
+        parts, nconv, i, n = [], 0, 0, len(pattern)
+        while i < n:
+            c = pattern[i]
+            if c == "%":
+                if i + 1 >= n:
+                    raise ValueError("scanf: dangling % at end of pattern")
+                conv = pattern[i + 1]
+                if conv == "%":
+                    parts.append(re.escape("%"))
+                elif conv in _SCANF_CONV:
+                    parts.append(f"({_SCANF_CONV[conv]})")
+                    nconv += 1
+                else:
+                    raise ValueError(f"scanf: unsupported conversion %{conv}")
+                i += 2
+            elif c.isspace():
+                parts.append(r"\s+")
+                while i < n and pattern[i].isspace():
+                    i += 1
+            else:
+                parts.append(re.escape(c))
+                i += 1
+        if nconv == 0:
+            raise ValueError("scanf: pattern has no conversions")
+        self._re = re.compile("".join(parts))
+
+    def __call__(self, line: bytes) -> list[str]:
+        try:
+            text = line.decode("utf-8").rstrip("\r\n")
+        except UnicodeDecodeError as e:
+            raise DecodeError(f"scanf: invalid UTF-8: {e}") from e
+        m = self._re.match(text)
+        if m is None:
+            raise DecodeError("scanf: line does not match pattern")
+        return list(m.groups())
+
+
+# ---------------------------------------------------------------------------
+# Envoy access log (default format) — reference src/program.rs:43
+# ---------------------------------------------------------------------------
+
+_ENVOY = re.compile(
+    rb"^\[([^\]]+)\] "
+    rb'"(\S+) (\S+) ([^"]+)" '
+    rb"(\d{3}|0) (\S+) (\d+) (\d+) (\d+) (\d+|-)"
+    rb'(?: "([^"]*)" "([^"]*)" "([^"]*)" "([^"]*)" "([^"]*)")?'
+)
+_ENVOY_KEYS = (
+    "start_time", "method", "path", "protocol", "response_code",
+    "response_flags", "bytes_received", "bytes_sent", "duration",
+    "upstream_service_time", "x_forwarded_for", "user_agent",
+    "request_id", "authority", "upstream_host",
+)
+
+
+class EnvoyLogDecoder:
+    """Envoy's default HTTP access-log format → Dict entry.
+
+    ``[2016-04-15T20:17:00.310Z] "POST /api/v1/locations HTTP/2" 204 -
+    154 0 226 100 "10.0.35.28" "nsq2http" "cc21d9b0-…" "locations"
+    "tcp://10.0.2.1:80"`` — the five trailing quoted header fields are
+    optional as a block (shortened formats parse too).  ``start_time``
+    is RFC3339 and parses under the engine's timestamp guess.
+    """
+
+    def __call__(self, line: bytes) -> dict[str, str]:
+        m = _ENVOY.match(line)
+        if m is None:
+            raise DecodeError("envoy: line does not match access log format")
+        out = {}
+        for key, val in zip(_ENVOY_KEYS, m.groups()):
+            if val is None:
+                continue
+            out[key] = val.decode("utf-8", errors="replace")
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Redis server log — reference src/program.rs:44
+# ---------------------------------------------------------------------------
+
+_REDIS = re.compile(
+    rb"^(\d+):([XCSMA]) (\d{1,2} \w{3} \d{4} \d{2}:\d{2}:\d{2}\.\d{3}) ([-.*#]) (.*)$"
+)
+_REDIS_LEVELS = {".": "debug", "-": "verbose", "*": "notice", "#": "warning"}
+_REDIS_ROLES = {
+    "X": "sentinel", "C": "child", "S": "replica", "M": "master", "A": "client",
+}
+
+
+class RedisLogDecoder:
+    """Redis server log line → Dict entry.
+
+    ``1:M 01 Jan 2021 00:00:00.123 * Background saving started`` decodes
+    to pid / role / time_local / level / message, with the role and
+    level sigils expanded to words (``M``→master, ``*``→notice, …) so
+    they are usable as pq labels directly.
+    """
+
+    def __call__(self, line: bytes) -> dict[str, str]:
+        m = _REDIS.match(line)
+        if m is None:
+            raise DecodeError("redis: line does not match server log format")
+        pid, role, ts, level, msg = m.groups()
+        return {
+            "pid": pid.decode(),
+            "role": _REDIS_ROLES[role.decode()],
+            "time_local": ts.decode(),
+            "level": _REDIS_LEVELS[level.decode()],
+            "message": msg.decode("utf-8", errors="replace"),
+        }

@@ -128,8 +128,8 @@ def test_program_validations():
         parse_program('json | map {.a as x, .b as x}')
     with pytest.raises(ParseError):  # mixed positional and named
         parse_program('json | map {.0, .foo}')
-    with pytest.raises(ParseError):  # unknown decoder (csv/logfmt/... are
-        parse_program('redis | map {.0}')  # now registered extensions)
+    with pytest.raises(ParseError):  # unknown decoder (csv/logfmt/redis/...
+        parse_program('kafka | map {.0}')  # are now registered extensions)
 
 
 def test_parentheses():

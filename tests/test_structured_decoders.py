@@ -187,7 +187,7 @@ def test_parser_named_decoder_with_args():
 
 def test_parser_unknown_decoder_keeps_reference_error():
     with pytest.raises(ParseError, match="must start from a known parser"):
-        parse_program("redis | map {.0:ts}")
+        parse_program("kafka | map {.0:ts}")
 
 
 def test_parser_named_decoder_bad_args():
@@ -237,3 +237,181 @@ def test_runner_nginx_program_timestamp_guess():
     )
     # 2000-10-10 13:55:36 -0700 = 20:55:36 UTC
     assert out == ['{"timestamp":971211336000,"labels":{},"values":{"status":200.0}}']
+
+
+# ---------------------------------------------------------------------------
+# scanf
+# ---------------------------------------------------------------------------
+
+
+def test_scanf_conversions():
+    from pq_ray.sources.structured import ScanfDecoder
+
+    d = ScanfDecoder("%s %d %f")
+    assert d(b"login 1609459200 1.5") == ["login", "1609459200", "1.5"]
+    # %x hex, %c single char, %% literal percent, literal text
+    d2 = ScanfDecoder("id=%x grade=%c load=%f%%")
+    assert d2(b"id=0xff grade=A load=97.5%") == ["0xff", "A", "97.5"]
+
+
+def test_scanf_whitespace_runs_and_mismatch():
+    from pq_ray.sources.structured import ScanfDecoder
+
+    d = ScanfDecoder("%s   %d")
+    assert d(b"a \t  42") == ["a", "42"]
+    with pytest.raises(DecodeError):
+        d(b"a notanumber")
+
+
+def test_scanf_bad_patterns():
+    from pq_ray.sources.structured import ScanfDecoder
+
+    with pytest.raises(ValueError):
+        ScanfDecoder("no conversions here")
+    with pytest.raises(ValueError):
+        ScanfDecoder("%q")
+    with pytest.raises(ValueError):
+        ScanfDecoder("dangling %")
+
+
+def test_runner_scanf_program():
+    lines = [b"1609459200 login 1.5", b"garbage", b"1609459201 click 2.5"]
+    out = run_program(
+        'scanf("%d %s %f") | map {.0:ts, .1 as event, .2:num as v} | to_json', lines
+    )
+    assert out == [
+        '{"timestamp":1609459200000,"labels":{"event":"login"},"values":{"v":1.5}}',
+        '{"timestamp":1609459201000,"labels":{"event":"click"},"values":{"v":2.5}}',
+    ]
+
+
+# ---------------------------------------------------------------------------
+# envoy
+# ---------------------------------------------------------------------------
+
+_ENVOY_LINE = (
+    b'[2016-04-15T20:17:00.310Z] "POST /api/v1/locations HTTP/2" 204 - 154 0 226 100 '
+    b'"10.0.35.28" "nsq2http" "cc21d9b0-cf5c-432b-8c7e-98aeb7988cd2" "locations" '
+    b'"tcp://10.0.2.1:80"'
+)
+
+
+def test_envoy_default_format():
+    from pq_ray.sources.structured import EnvoyLogDecoder
+
+    got = EnvoyLogDecoder()(_ENVOY_LINE)
+    assert got["start_time"] == "2016-04-15T20:17:00.310Z"
+    assert got["method"] == "POST"
+    assert got["path"] == "/api/v1/locations"
+    assert got["protocol"] == "HTTP/2"
+    assert got["response_code"] == "204"
+    assert got["response_flags"] == "-"
+    assert got["bytes_received"] == "154"
+    assert got["bytes_sent"] == "0"
+    assert got["duration"] == "226"
+    assert got["upstream_service_time"] == "100"
+    assert got["user_agent"] == "nsq2http"
+    assert got["upstream_host"] == "tcp://10.0.2.1:80"
+
+
+def test_envoy_short_form_and_mismatch():
+    from pq_ray.sources.structured import EnvoyLogDecoder
+
+    d = EnvoyLogDecoder()
+    got = d(b'[2016-04-15T20:17:00.310Z] "GET / HTTP/1.1" 200 - 0 12 5 -')
+    assert got["response_code"] == "200" and "user_agent" not in got
+    with pytest.raises(DecodeError):
+        d(b"not an envoy line")
+
+
+def test_runner_envoy_program_timestamp_guess():
+    out = run_program(
+        "envoy | map {.start_time:ts, .response_code:num as code} | to_json",
+        [_ENVOY_LINE],
+    )
+    assert out == ['{"timestamp":1460751420310,"labels":{},"values":{"code":204.0}}']
+
+
+# ---------------------------------------------------------------------------
+# redis
+# ---------------------------------------------------------------------------
+
+
+def test_redis_log_line():
+    from pq_ray.sources.structured import RedisLogDecoder
+
+    got = RedisLogDecoder()(b"1:M 01 Jan 2021 00:00:00.123 * Background saving started")
+    assert got == {
+        "pid": "1",
+        "role": "master",
+        "time_local": "01 Jan 2021 00:00:00.123",
+        "level": "notice",
+        "message": "Background saving started",
+    }
+
+
+def test_redis_levels_roles_and_mismatch():
+    from pq_ray.sources.structured import RedisLogDecoder
+
+    d = RedisLogDecoder()
+    assert d(b"7:S 5 Feb 2022 10:11:12.000 # oops")["level"] == "warning"
+    assert d(b"7:C 5 Feb 2022 10:11:12.000 . dbg")["role"] == "child"
+    with pytest.raises(DecodeError):
+        d(b"not a redis line")
+
+
+def test_runner_redis_program_explicit_ts_format():
+    lines = [
+        b"1:M 01 Jan 2021 00:00:00.123 * Background saving started",
+        b"1:M 01 Jan 2021 00:00:01.500 # Out of memory",
+    ]
+    out = run_program(
+        'redis | map {.time_local:ts "%d %b %Y %H:%M:%S.%f", .level, .pid:num} | to_json',
+        lines,
+    )
+    assert out == [
+        '{"timestamp":1609459200123,"labels":{"level":"notice"},"values":{"pid":1.0}}',
+        '{"timestamp":1609459201500,"labels":{"level":"warning"},"values":{"pid":1.0}}',
+    ]
+
+
+# ---------------------------------------------------------------------------
+# to_promql formatter (the reference's planned PromQL formatter)
+# ---------------------------------------------------------------------------
+
+
+def test_promql_formatter_named_series_round_trips_through_prometheus_decoder():
+    lines = [f"ts={1609459200 + i} event=e{i % 2} v={i}".encode() for i in range(4)]
+    out = run_program(
+        "logfmt | map {.ts:ts, .event, .v:num} | select v | to_promql", lines
+    )
+    # exposition lines: v{event="e0"} 0 1609459200999 ...
+    assert out[0] == 'v{event="e0"} 0 1609459200999'
+    assert all(line.startswith("v{") for line in out)
+    # round-trip: our own prometheus decoder re-decodes the output
+    from pq_ray.sources.structured import PrometheusDecoder
+
+    back = PrometheusDecoder()(out[0].encode())
+    assert back == {
+        "__name__": "v",
+        "event": "e0",
+        "value": "0",
+        "timestamp": "1609459200999",
+    }
+
+
+def test_promql_formatter_aggregated_and_scalar():
+    lines = [f"ts={1609459200 + i} event=e{i % 2} v={i}".encode() for i in range(4)]
+    out = run_program(
+        "logfmt | map {.ts:ts, .event, .v:num} | select sum(v) | to_promql", lines
+    )
+    # aggregation drops __name__ → bare label block (documented choice)
+    assert out[0] == "{} 0 1609459200999"
+    assert run_program(
+        "logfmt | map {.ts:ts, .v:num} | select 41 + 1 | to_promql", lines
+    ) == ["42"]
+
+
+def test_parser_accepts_to_promql_formatter():
+    ast = parse_program("json | map {.ts:ts, .v:num} | select v | to_promql")
+    assert ast.formatter == "to_promql"
