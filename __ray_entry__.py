@@ -48,6 +48,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(events.QUERIES)
     try:
+        from pq_ray.pipelines import tsops
+
+        out.update(tsops.QUERIES)
+    except ImportError:
+        pass
+    try:
         from pq_ray.pipelines import training
 
         out.update(training.QUERIES)
@@ -81,6 +87,12 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(events.ORACLES)
+    try:
+        from pq_ray.pipelines import tsops
+
+        out.update(tsops.ORACLES)
+    except ImportError:
+        pass
     try:
         from pq_ray.pipelines import training
 

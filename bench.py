@@ -76,9 +76,11 @@ def _time_query(fn) -> float:
 
 
 def run_queries() -> dict:
-    from pq_ray.pipelines import events
+    from pq_ray.pipelines import events, tsops
 
-    return {name: _time_query(fn) for name, fn in events.QUERIES.items()}
+    out = {name: _time_query(fn) for name, fn in events.QUERIES.items()}
+    out.update({name: _time_query(fn) for name, fn in tsops.QUERIES.items()})
+    return out
 
 
 # Training-data operators timed at $GRAFT_SF_DIR (5000 docs / 2000 vecs

@@ -58,6 +58,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query-name prefixes to draw")
     args = ap.parse_args()
     sf = args.sf_dir
     out_path = args.out or f"CORRECTNESS_{sf.rstrip('/').split('/')[-1]}.json"
@@ -72,6 +74,9 @@ def main() -> None:
     import __ray_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if args.only:
+        prefixes = tuple(args.only.split(","))
+        qs = {k: v for k, v in qs.items() if k.startswith(prefixes)}
     con = duckdb.connect()
 
 

@@ -1,0 +1,562 @@
+"""Extended time-series operators over the events table.
+
+Operators a 100 TB rollup engine needs beyond the reference's surface
+(the reference has no distinct/sketch/interpolation/join-by-time ops at
+all — its only join is the per-tick vector match, src/query/value.rs:69):
+
+- ``events_distinct_1h``  exact windowed COUNT(DISTINCT): per-batch
+  dedup → hash exchange → per-bucket dedup+count.  The wire carries
+  per-batch-distinct triples only (the classic two-phase distinct).
+- ``events_hll_1h``       HyperLogLog windowed distinct: sparse
+  (group, register, rho) partials, register-max merge.  Register count
+  caps the wire volume per group no matter how many events — the sketch
+  is the scale path, the exact operator is its oracle.
+- ``events_interp_1m``    dense 1m spine where missing windows take the
+  LINEAR INTERPOLATION between neighboring observed windows (vs the
+  staleness-marker gap-fill of ``events_gapfill_1m``); fused into the
+  rollup exchange like gapfill, spine + interpolation fully vectorized.
+- ``events_asof_purchase_view``  as-of join: each purchase event joined
+  to the user's latest not-later view event.  Partitioning assumption
+  (documented per the build rules): all rows of one user land in one
+  bucket (hash-by-user exchange); within a bucket the join is one
+  vectorized ``pd.merge_asof``.  DuckDB's native ASOF JOIN is the
+  oracle.
+
+All four ride the same Arrow split/gather exchange as the cascade
+(stages/exchange.py) and keep blocks pyarrow end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.readers import small_input_blocks
+from ..stages.exchange import hash_exchange
+from ..stages.rollup import window_floor
+from .events import MINUTE_MS, _event_type_map, _to_samples, read_events
+
+HOUR_MS = 3_600_000
+_PHI = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _round_half_away(x: np.ndarray, digits: int = 6) -> np.ndarray:
+    """DuckDB-compatible ROUND for doubles: std::round(x * 10^d) / 10^d,
+    half-away-from-zero.  np.round's half-to-even disagrees on exact
+    decimal ties, which linear interpolation between low-precision
+    inputs produces SYSTEMATICALLY (~0.05% of slots on the events
+    table) — sums/avgs elsewhere tie with probability ~0, so only the
+    interpolation path needs this."""
+    p = 10.0 ** digits
+    y = x * p
+    return np.sign(y) * np.floor(np.abs(y) + 0.5) / p
+
+
+def _read_events_users(sf_dir: str, columns):
+    path = f"{sf_dir}/events.parquet"
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=small_input_blocks(path)
+    )
+
+
+def _series_ids(event_type: pa.ChunkedArray) -> np.ndarray:
+    """Stable content-hash series ids for a string column (same rule as
+    events._to_samples: per-batch dictionary codes + a tiny hash LUT)."""
+    from ..model import stable_hash64
+
+    et = event_type.combine_chunks()
+    if isinstance(et, pa.ChunkedArray):
+        et = et.chunk(0) if et.num_chunks == 1 else pa.concat_arrays(et.chunks)
+    codes = et.dictionary_encode()
+    lut = np.array(
+        [stable_hash64(v) for v in codes.dictionary.to_pylist()], dtype=np.uint64
+    )
+    return lut[codes.indices.to_numpy(zero_copy_only=False)]
+
+
+def _group_key(sid: np.ndarray, window: np.ndarray) -> np.ndarray:
+    return sid ^ (window.astype(np.uint64) * _PHI)
+
+
+def _dedup_triples(gkey, sid, window, user):
+    """Keep one row per (gkey, user) — vectorized sort + neighbor mask."""
+    order = np.lexsort((user, gkey))
+    gs, us = gkey[order], user[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (gs[1:] != gs[:-1]) | (us[1:] != us[:-1])
+    idx = order[keep]
+    return sid[idx], window[idx], user[idx], gkey[order[keep]]
+
+
+# ---------------------------------------------------------------------------
+# exact windowed distinct
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
+    """COUNT(DISTINCT user_id) per (1h window, event_type).
+
+    Two-phase distributed distinct: map side dedups (window, series,
+    user) per batch BEFORE the exchange (wire rows ≤ per-batch distinct
+    triples — at scale the dedup factor is the per-batch repeat rate),
+    reduce side dedups across batches and counts per group.
+    """
+    num_buckets = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms)
+        sid = _series_ids(t["event_type"])
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, window)
+        sid_d, win_d, usr_d, gk_d = _dedup_triples(gkey, sid, window, user)
+        bucket = ((gk_d >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "series_id": pa.array(sid_d, type=pa.uint64()),
+                "window_ts": pa.array(win_d),
+                "user_id": pa.array(usr_d),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64()),
+                }
+            )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        usr = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        sid_d, win_d, _, gk_d = _dedup_triples(gkey, sid, win, usr)
+        # gk_d arrives sorted (dedup sorts by gkey) → segment counts
+        starts = np.ones(len(gk_d), dtype=bool)
+        starts[1:] = gk_d[1:] != gk_d[:-1]
+        first = np.nonzero(starts)[0]
+        counts = np.diff(np.append(first, len(gk_d)))
+        return pa.table(
+            {
+                "series_id": pa.array(sid_d[first], type=pa.uint64()),
+                "window_ts": pa.array(win_d[first]),
+                "n_users": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "user_id"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "n_users"]]
+        .sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog windowed distinct (the sketch / scale path)
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 4096 registers → ~1.6% standard error
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — the standard public-domain avalanche."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hll_rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per hash: register = top P bits, rho = 1 +
+    leading zeros of the remaining 64-P bits (w == 0 → 64-P+1).
+    Vectorized clz via exact float64 log2 (w < 2^52 is exactly
+    representable)."""
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int32)
+    w = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    nz = w != 0
+    bitlen = np.zeros(len(h), dtype=np.int64)
+    wf = w[nz].astype(np.float64)
+    bitlen[nz] = np.floor(np.log2(wf)).astype(np.int64) + 1
+    rho = (64 - HLL_P) - bitlen + 1
+    return reg, rho.astype(np.int32)
+
+
+def _hll_max_per(gkey, sid, window, reg, rho):
+    """Keep max rho per (gkey, register) — sort with rho DESC then keep
+    the first row of each (gkey, register) run."""
+    order = np.lexsort((-rho, reg, gkey))
+    gs, rs = gkey[order], reg[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1])
+    idx = order[keep]
+    return sid[idx], window[idx], reg[idx], rho[idx], gkey[idx]
+
+
+def q_hll_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per (1h window,
+    event_type).
+
+    Partials are SPARSE (group, register, max-rho) triples — per batch
+    at most min(batch-distinct, 4096) rows per group, and 4096 is the
+    hard per-group cap however many events arrive (that saturation is
+    what makes the sketch 100 TB-safe where the exact operator's wire
+    volume keeps growing).  Merge = register max; the estimator (with
+    the standard small-range linear-counting correction) runs on the
+    combined registers inside the reduce.
+    """
+    num_buckets = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "reg": pa.array([], type=pa.int32()),
+                    "rho": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms)
+        sid = _series_ids(t["event_type"])
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _splitmix64(user.astype(np.uint64))
+        reg, rho = _hll_rho(h)
+        gkey = _group_key(sid, window)
+        sid_m, win_m, reg_m, rho_m, gk_m = _hll_max_per(gkey, sid, window, reg, rho)
+        bucket = ((gk_m >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "series_id": pa.array(sid_m, type=pa.uint64()),
+                "window_ts": pa.array(win_m),
+                "reg": pa.array(reg_m),
+                "rho": pa.array(rho_m),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "n_users_est": pa.array([], type=pa.int64()),
+                }
+            )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        reg = t["reg"].combine_chunks().to_numpy(zero_copy_only=False)
+        rho = t["rho"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        sid_m, win_m, _, rho_m, gk_m = _hll_max_per(gkey, sid, win, reg, rho)
+        starts = np.ones(len(gk_m), dtype=bool)
+        starts[1:] = gk_m[1:] != gk_m[:-1]
+        first = np.nonzero(starts)[0]
+        seg_end = np.append(first[1:], len(gk_m))
+        n_present = seg_end - first
+        # Σ 2^-rho over PRESENT registers per group; absent registers
+        # contribute 2^0 = 1 each
+        inv = np.ldexp(1.0, -rho_m.astype(np.int64))
+        seg_sum = np.add.reduceat(inv, first)
+        denom = seg_sum + (HLL_M - n_present)
+        est = _HLL_ALPHA * HLL_M * HLL_M / denom
+        zeros = HLL_M - n_present
+        small = (est <= 2.5 * HLL_M) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lin = HLL_M * np.log(HLL_M / np.maximum(zeros, 1).astype(np.float64))
+        est = np.where(small, lin, est)
+        return pa.table(
+            {
+                "series_id": pa.array(sid_m[first], type=pa.uint64()),
+                "window_ts": pa.array(win_m[first]),
+                "n_users_est": pa.array(np.rint(est).astype(np.int64)),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "user_id"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "n_users_est"]]
+        .sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+
+def q_interp_1m(sf_dir: str) -> pd.DataFrame:
+    """Dense per-event_type 1m spine where missing windows take the
+    linear interpolation of the neighboring observed windows'
+    per-window averages — the 'connect the dots' fill next to
+    ``events_gapfill_1m``'s staleness markers.
+
+    Same single-exchange plan as gapfill: rollup partials bucket by
+    hash(series_id) (co-locating each series' windows) and the reduce
+    runs combine + spine + interpolation in one vectorized pass
+    (prev/next observed indices via two ``searchsorted`` calls — no
+    per-series loop).
+    """
+    from ..stages.rollup import rollup_numeric
+
+    def fill(out: dict) -> pa.Table:
+        sid = out["series_id"]
+        wts = out["window_ts"]
+        if len(sid) == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "value_interp": pa.array([], type=pa.float64()),
+                    "is_interp": pa.array([], type=pa.bool_()),
+                }
+            )
+        # interpolate on the UNROUNDED window averages and round only
+        # the final output: rounding first makes exact-decimal ties at
+        # the 6th digit likely (interpolation at rational fractions of
+        # two 6-decimal values), and numpy half-to-even vs SQL
+        # half-away-from-zero would then disagree by 1e-6
+        avg = out["sum"] / out["count"]
+        # dense spine (same arithmetic as events.q_gapfill_1m)
+        starts = np.concatenate(([0], np.nonzero(sid[1:] != sid[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [len(sid)]))
+        lo, hi = wts[starts], wts[ends - 1]
+        nw = (hi - lo) // MINUTE_MS + 1
+        seg_start = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        total = int(nw.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_start, nw)
+        dense_sid = np.repeat(sid[starts], nw)
+        dense_ts = np.repeat(lo, nw) + within * MINUTE_MS
+        series_idx = np.repeat(np.arange(len(starts)), ends - starts)
+        pos = seg_start[series_idx] + (wts - lo[series_idx]) // MINUTE_MS
+        # prev/next observed index per dense slot.  Every series segment
+        # begins and ends at an observed window (lo/hi are observed), so
+        # both neighbors always exist within the slot's own series.
+        slots = np.arange(total, dtype=np.int64)
+        nxt = np.searchsorted(pos, slots, side="left")
+        prv = np.searchsorted(pos, slots, side="right") - 1
+        ts_prev, ts_next = dense_ts[pos[prv]], dense_ts[pos[nxt]]
+        v_prev, v_next = avg[prv], avg[nxt]
+        observed = ts_prev == ts_next  # prv == nxt exactly at observed slots
+        with np.errstate(invalid="ignore", divide="ignore"):
+            interp = v_prev + (v_next - v_prev) * (dense_ts - ts_prev) / (
+                ts_next - ts_prev
+            )
+        value = _round_half_away(np.where(observed, v_prev, interp), 6)
+        return pa.table(
+            {
+                "series_id": pa.array(dense_sid, type=pa.uint64()),
+                "window_ts": pa.array(dense_ts),
+                "value_interp": pa.array(value),
+                "is_interp": pa.array(~observed),
+            }
+        )
+
+    samples = read_events(sf_dir).map_batches(_to_samples, batch_format="pyarrow")
+    dense = rollup_numeric(
+        samples, MINUTE_MS, num_buckets=8, key="series", post_reduce=fill
+    ).to_pandas()
+    out = dense.merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "value_interp", "is_interp"]]
+        .sort_values(["event_type", "window_ts"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def q_asof_purchase_view(sf_dir: str) -> pd.DataFrame:
+    """Each purchase event joined to the same user's latest view event
+    with view.ts <= purchase.ts (left join: purchases with no prior view
+    keep sentinel -1/0.0, COALESCE'd identically in the oracle).
+
+    Plan: one hash-by-user exchange co-locates each user's events; the
+    per-bucket reduce sorts by ts and runs ONE ``pd.merge_asof``
+    (vectorized backward search, by=user_id).  Nothing is broadcast and
+    neither side is materialized globally — at 100 TB the only moved
+    volume is the two pruned event streams.
+    """
+    num_buckets = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        # prune to the two joined event types before the wire
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["purchase", "view"]))
+        t = t.filter(keep)
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (
+            (user.astype(np.uint64) * _PHI) >> np.uint64(17)
+        ) % np.uint64(num_buckets)
+        ts = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": ts,
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "bucket": pa.array(bucket.astype(np.int32)),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            {
+                "event_id": pa.int64(),
+                "ts": pa.int64(),
+                "user_id": pa.int64(),
+                "value": pa.float64(),
+                "prior_ts": pa.int64(),
+                "prior_value": pa.float64(),
+            }
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        df = t.to_pandas()
+        left = df[df["event_type"] == "purchase"].sort_values("ts", kind="stable")
+        right = (
+            df[df["event_type"] == "view"]
+            .sort_values("ts", kind="stable")
+            .rename(columns={"ts": "prior_ts", "value": "prior_value"})
+        )
+        j = pd.merge_asof(
+            left[["event_id", "ts", "user_id", "value"]],
+            right[["prior_ts", "user_id", "prior_value"]],
+            left_on="ts",
+            right_on="prior_ts",
+            by="user_id",
+            direction="backward",
+        )
+        j["prior_ts"] = j["prior_ts"].fillna(-1).astype(np.int64)
+        j["prior_value"] = j["prior_value"].fillna(0.0)
+        return pa.Table.from_pandas(j, schema=schema, preserve_index=False)
+
+    ds = _read_events_users(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# driver registration
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "events_distinct_1h": q_distinct_1h,
+    "events_hll_1h": q_hll_1h,  # no SQL oracle: approximate by design
+    "events_interp_1m": q_interp_1m,
+    "events_asof_purchase_view": q_asof_purchase_view,
+}
+
+ORACLES = {
+    "events_distinct_1h": """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "events_interp_1m": """
+        WITH w AS (
+            SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
+                   SUM(value) / COUNT(*) AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(window_ts) AS lo, MAX(window_ts) AS hi
+            FROM w GROUP BY event_type
+        ),
+        spine AS (
+            SELECT b.event_type,
+                   unnest(generate_series(b.lo, b.hi, 60000)) AS window_ts
+            FROM bounds b
+        ),
+        j AS (
+            SELECT s.window_ts, s.event_type, w.avg_value
+            FROM spine s LEFT JOIN w USING (event_type, window_ts)
+        ),
+        f AS (
+            SELECT window_ts, event_type, avg_value,
+                   last_value(CASE WHEN avg_value IS NOT NULL THEN window_ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY window_ts
+                             ROWS UNBOUNDED PRECEDING) AS prev_ts,
+                   last_value(avg_value IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY window_ts
+                             ROWS UNBOUNDED PRECEDING) AS prev_v,
+                   first_value(CASE WHEN avg_value IS NOT NULL THEN window_ts END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY window_ts
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_ts,
+                   first_value(avg_value IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY window_ts
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_v
+            FROM j
+        )
+        SELECT window_ts, event_type,
+               ROUND(CASE WHEN prev_ts = next_ts THEN prev_v
+                          ELSE prev_v + (next_v - prev_v)
+                               * (window_ts - prev_ts) / (next_ts - prev_ts)
+                     END, 6) AS value_interp,
+               avg_value IS NULL AS is_interp
+        FROM f
+        ORDER BY event_type, window_ts
+    """,
+    "events_asof_purchase_view": """
+        WITH l AS (
+            SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, value, ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT user_id, ts AS rts, value AS prior_value
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT l.event_id, l.ts_ms AS ts, l.user_id, l.value,
+               COALESCE(epoch_ms(r.rts), -1) AS prior_ts,
+               COALESCE(r.prior_value, 0.0) AS prior_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+        ORDER BY l.event_id
+    """,
+}

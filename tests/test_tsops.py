@@ -1,0 +1,247 @@
+"""Extended time-series operators (pipelines/tsops.py): windowed exact
+distinct, HyperLogLog sketch, linear-interpolation gap-fill, as-of join
+— oracle parity at sf0.001 plus unit tests for the HLL kernels and the
+vectorized interpolation."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pq_ray.pipelines.tsops import (
+    HLL_P,
+    _hll_rho,
+    _splitmix64,
+    q_asof_purchase_view,
+    q_distinct_1h,
+    q_hll_1h,
+    q_interp_1m,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql(
+        f"create view events as select * from read_parquet('{SF}/events.parquet')"
+    )
+    return con.sql(sql).df()
+
+
+# ---------------------------------------------------------------------------
+# exact distinct
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_1h_matches_duckdb(ray_session):
+    got = q_distinct_1h(SF)
+    exp = _oracle(
+        """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts, event_type,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL kernels + end-to-end error bound
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rho_against_naive_bit_twiddling():
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+    h[:3] = [0, 1, np.uint64(1) << np.uint64(63)]
+    reg, rho = _hll_rho(h)
+    for i in range(len(h)):
+        hv = int(h[i])
+        assert reg[i] == hv >> (64 - HLL_P)
+        w = hv & ((1 << (64 - HLL_P)) - 1)
+        if w == 0:
+            expect = (64 - HLL_P) + 1
+        else:
+            expect = (64 - HLL_P) - w.bit_length() + 1
+        assert rho[i] == expect, hex(hv)
+
+
+def test_splitmix64_is_a_permutation_sample():
+    x = np.arange(10_000, dtype=np.uint64)
+    hx = _splitmix64(x)
+    assert len(np.unique(hx)) == len(x)  # injective on the sample
+    # avalanche sanity: top bits spread uniformly across registers
+    regs = (hx >> np.uint64(64 - HLL_P)).astype(np.int64)
+    counts = np.bincount(regs, minlength=1 << HLL_P)
+    assert counts.max() <= 12  # ~2.4 expected per register
+
+
+def test_hll_estimate_within_error_bound(ray_session):
+    got = q_hll_1h(SF)
+    exact = q_distinct_1h(SF)
+    j = got.merge(exact, on=["window_ts", "event_type"])
+    assert len(j) == len(exact)
+    # m=4096 → ~1.6% standard error; small counts ride the exact
+    # linear-counting regime, so the bound is tight at this scale
+    rel = np.abs(j["n_users_est"] - j["n_users"]) / np.maximum(j["n_users"], 1)
+    assert rel.max() <= 0.05, j[rel > 0.05]
+
+
+def test_hll_register_merge_is_idempotent_and_commutative():
+    # merging a sketch with itself must not change the estimate —
+    # register-max is idempotent (the property multi-batch merges rely on)
+    from pq_ray.pipelines.tsops import _hll_max_per
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    user = rng.integers(0, 800, size=n, dtype=np.int64)
+    h = _splitmix64(user.astype(np.uint64))
+    reg, rho = _hll_rho(h)
+    sid = np.zeros(n, dtype=np.uint64)
+    win = np.zeros(n, dtype=np.int64)
+    gk = np.zeros(n, dtype=np.uint64)
+    once = _hll_max_per(gk, sid, win, reg, rho)
+    twice = _hll_max_per(
+        np.concatenate([gk, gk]),
+        np.concatenate([sid, sid]),
+        np.concatenate([win, win]),
+        np.concatenate([reg, reg]),
+        np.concatenate([rho, rho]),
+    )
+    np.testing.assert_array_equal(once[2], twice[2])  # registers
+    np.testing.assert_array_equal(once[3], twice[3])  # rhos
+
+
+# ---------------------------------------------------------------------------
+# linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def test_interp_1m_matches_duckdb_window_functions(ray_session):
+    got = q_interp_1m(SF)
+    exp = _oracle(
+        """
+        WITH w AS (
+            SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
+                   SUM(value) / COUNT(*) AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(window_ts) AS lo, MAX(window_ts) AS hi
+            FROM w GROUP BY event_type
+        ),
+        spine AS (
+            SELECT b.event_type,
+                   unnest(generate_series(b.lo, b.hi, 60000)) AS window_ts
+            FROM bounds b
+        ),
+        j AS (
+            SELECT s.window_ts, s.event_type, w.avg_value
+            FROM spine s LEFT JOIN w USING (event_type, window_ts)
+        ),
+        f AS (
+            SELECT window_ts, event_type, avg_value,
+                   last_value(CASE WHEN avg_value IS NOT NULL THEN window_ts END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY window_ts
+                             ROWS UNBOUNDED PRECEDING) AS prev_ts,
+                   last_value(avg_value IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY window_ts
+                             ROWS UNBOUNDED PRECEDING) AS prev_v,
+                   first_value(CASE WHEN avg_value IS NOT NULL THEN window_ts END
+                               IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY window_ts
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_ts,
+                   first_value(avg_value IGNORE NULLS)
+                       OVER (PARTITION BY event_type ORDER BY window_ts
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_v
+            FROM j
+        )
+        SELECT window_ts, event_type,
+               ROUND(CASE WHEN prev_ts = next_ts THEN prev_v
+                          ELSE prev_v + (next_v - prev_v)
+                               * (window_ts - prev_ts) / (next_ts - prev_ts)
+                     END, 6) AS value_interp,
+               avg_value IS NULL AS is_interp
+        FROM f ORDER BY event_type, window_ts
+        """
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["window_ts"].to_numpy(), exp["window_ts"].to_numpy())
+    np.testing.assert_array_equal(got["event_type"].to_numpy(), exp["event_type"].to_numpy())
+    np.testing.assert_array_equal(got["is_interp"].to_numpy(), exp["is_interp"].to_numpy())
+    np.testing.assert_allclose(
+        got["value_interp"].to_numpy(), exp["value_interp"].to_numpy(), atol=1e-9
+    )
+    # sanity: some slots really were interpolated and observed slots kept
+    # their window average
+    assert got["is_interp"].any() and (~got["is_interp"]).any()
+
+
+def test_interp_observed_slots_equal_window_avg(ray_session):
+    got = q_interp_1m(SF)
+    obs = got[~got["is_interp"]]
+    exp = _oracle(
+        """
+        SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
+               ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, window_ts
+        """
+    )
+    j = obs.merge(exp, on=["window_ts", "event_type"])
+    assert len(j) == len(exp)
+    np.testing.assert_allclose(
+        j["value_interp"].to_numpy(), j["avg_value"].to_numpy(), atol=1e-9
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_purchase_view_matches_duckdb_asof_join(ray_session):
+    got = q_asof_purchase_view(SF)
+    exp = _oracle(
+        """
+        WITH l AS (
+            SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, value, ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT user_id, ts AS rts, value AS prior_value
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT l.event_id, l.ts_ms AS ts, l.user_id, l.value,
+               COALESCE(epoch_ms(r.rts), -1) AS prior_ts,
+               COALESCE(r.prior_value, 0.0) AS prior_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.rts
+        ORDER BY l.event_id
+        """
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # left-join semantics: a purchase before any view keeps the sentinel
+    assert (got["prior_ts"] <= got["ts"]).loc[got["prior_ts"] >= 0].all()
+
+
+def test_asof_prior_is_really_the_latest_not_later_view(ray_session):
+    got = q_asof_purchase_view(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["ts_ms"] = ev["ts"].astype("int64") // 1000
+    views = ev[ev["event_type"] == "view"]
+    rng = np.random.default_rng(3)
+    for _, row in got.iloc[rng.choice(len(got), size=min(25, len(got)), replace=False)].iterrows():
+        mine = views[(views["user_id"] == row["user_id"]) & (views["ts_ms"] <= row["ts"])]
+        if len(mine) == 0:
+            assert row["prior_ts"] == -1 and row["prior_value"] == 0.0
+        else:
+            best = mine.loc[mine["ts_ms"].idxmax()]
+            assert row["prior_ts"] == best["ts_ms"]
+            assert row["prior_value"] == pytest.approx(best["value"])
