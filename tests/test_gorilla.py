@@ -96,3 +96,28 @@ def test_chunk_series_groups():
     assert list(chunks["n"]) == [2, 3]
     dec = decode_chunk(chunks.iloc[1].to_dict())
     assert list(dec["sum"]) == [3.0, 4.0, 5.0]
+
+
+def test_decode_fast_path_not_fooled_by_late_irregularity():
+    # the zero-tail proof must reject a stream whose ONLY nonzero dod
+    # is the final point (a '10'-bucket field at the very end)
+    import numpy as np
+
+    from pq_ray.state.gorilla import decode_timestamps, encode_timestamps
+
+    ts = (np.arange(1000, dtype=np.int64) * 60000).copy()
+    ts[-1] += 7  # one late irregular delta
+    got = decode_timestamps(encode_timestamps(ts), len(ts))
+    np.testing.assert_array_equal(got, ts)
+
+
+def test_decode_constant_value_fast_path_and_late_change():
+    import numpy as np
+
+    from pq_ray.state.gorilla import decode_values, encode_values
+
+    v = np.full(500, -7.25)
+    np.testing.assert_array_equal(decode_values(encode_values(v), len(v)), v)
+    v2 = v.copy()
+    v2[-1] = 3.0  # last xor nonzero → must take the general path
+    np.testing.assert_array_equal(decode_values(encode_values(v2), len(v2)), v2)
