@@ -560,3 +560,476 @@ ORACLES = {
         ORDER BY l.event_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# windowed heavy hitters: exact top-k + Misra-Gries sketch
+# ---------------------------------------------------------------------------
+
+
+def q_topusers_1h(sf_dir: str, k: int = 3, interval_ms: int = HOUR_MS) -> pd.DataFrame:
+    """Exact top-k users by event count per (1h window, event_type),
+    ties broken by user_id ascending (deterministic, matching the
+    oracle's ``ORDER BY n DESC, user_id``).
+
+    Plan: per-batch (group, user) partial counts (one lexsort +
+    segment-sum — the combiner), hash exchange on the group key,
+    per-bucket combine + one argsort per bucket for the top-k cut.
+    The wire carries partial counts, not events.
+    """
+    num_buckets = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms)
+        sid = _series_ids(t["event_type"])
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, window)
+        order = np.lexsort((user, gkey))
+        gs, us = gkey[order], user[order]
+        starts = np.ones(len(order), dtype=bool)
+        starts[1:] = (gs[1:] != gs[:-1]) | (us[1:] != us[:-1])
+        first = np.nonzero(starts)[0]
+        counts = np.diff(np.append(first, len(gs)))
+        idx = order[first]
+        bucket = ((gs[first] >> np.uint64(17)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "series_id": pa.array(sid[idx], type=pa.uint64()),
+                "window_ts": pa.array(window[idx]),
+                "user_id": pa.array(user[idx]),
+                "n": pa.array(counts.astype(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "series_id": pa.array([], type=pa.uint64()),
+                "window_ts": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        usr = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        order = np.lexsort((usr, gkey))
+        gs, us, ns = gkey[order], usr[order], n[order]
+        starts = np.ones(len(order), dtype=bool)
+        starts[1:] = (gs[1:] != gs[:-1]) | (us[1:] != us[:-1])
+        first = np.nonzero(starts)[0]
+        seg = np.append(first, len(gs))
+        tot = np.add.reduceat(ns, first)
+        gsu, usu = gs[first], us[first]
+        idx0 = order[first]
+        # per-group top-k: one argsort over (group, -count, user)
+        o2 = np.lexsort((usu, -tot, gsu))
+        g2 = gsu[o2]
+        gstart = np.ones(len(g2), dtype=bool)
+        gstart[1:] = g2[1:] != g2[:-1]
+        rank = np.arange(len(g2)) - np.maximum.accumulate(
+            np.where(gstart, np.arange(len(g2)), 0)
+        )
+        keep = o2[rank < k]
+        return pa.table(
+            {
+                "series_id": pa.array(sid[idx0[keep]], type=pa.uint64()),
+                "window_ts": pa.array(win[idx0[keep]]),
+                "user_id": pa.array(usu[keep]),
+                "n": pa.array(tot[keep].astype(np.int64)),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "user_id"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "user_id", "n"]]
+        .sort_values(
+            ["window_ts", "event_type", "n", "user_id"],
+            ascending=[True, True, False, True],
+        )
+        .reset_index(drop=True)
+    )
+
+
+def q_topusers_mg(
+    sf_dir: str, k: int = 3, counters: int = 64, interval_ms: int = HOUR_MS
+) -> pd.DataFrame:
+    """Misra-Gries (Space-Saving flavored) top-k: each partial keeps at
+    most ``counters`` (user, count) pairs per group, merged by summing
+    and re-trimming.  Estimate error is bounded by N/counters per
+    group (the classic MG bound), so with counters >> k the returned
+    top-k matches the exact operator on skewed data — the pytest pins
+    that on the testdata.  This is the bounded-state structure a
+    100 TB job uses to DETECT hot keys for skew salting before any
+    exact pass.
+    """
+    num_buckets = 8
+
+    def trim(gkey, sid, win, usr, cnt):
+        """Per (group): keep top-``counters`` users by (count, user_id)
+        and subtract nothing (Space-Saving overestimate is avoided by
+        keeping raw counts; truncation alone gives the MG undercount
+        bound since dropped counters are <= the (c+1)-th largest)."""
+        order = np.lexsort((usr, -cnt, gkey))
+        g2 = gkey[order]
+        gstart = np.ones(len(g2), dtype=bool)
+        gstart[1:] = g2[1:] != g2[:-1]
+        rank = np.arange(len(g2)) - np.maximum.accumulate(
+            np.where(gstart, np.arange(len(g2)), 0)
+        )
+        keep = order[rank < counters]
+        return sid[keep], win[keep], usr[keep], cnt[keep], gkey[keep]
+
+    def combine_counts(gkey, sid, win, usr, cnt):
+        order = np.lexsort((usr, gkey))
+        gs, us, cs = gkey[order], usr[order], cnt[order]
+        starts = np.ones(len(order), dtype=bool)
+        starts[1:] = (gs[1:] != gs[:-1]) | (us[1:] != us[:-1])
+        first = np.nonzero(starts)[0]
+        tot = np.add.reduceat(cs, first)
+        idx = order[first]
+        return sid[idx], win[idx], us[first], tot, gs[first]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms)
+        sid = _series_ids(t["event_type"])
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, window)
+        s, w, u, c, g = combine_counts(
+            gkey, sid, window, user, np.ones(len(user), dtype=np.int64)
+        )
+        s, w, u, c, g = trim(g, s, w, u, c)
+        bucket = ((g >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "series_id": pa.array(s, type=pa.uint64()),
+                "window_ts": pa.array(w),
+                "user_id": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "series_id": pa.array([], type=pa.uint64()),
+                "window_ts": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "n_est": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        usr = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        s, w, u, c, g = combine_counts(gkey, sid, win, usr, n)
+        s, w, u, c, g = trim(g, s, w, u, c)
+        # final top-k cut (same rank trick, k instead of counters)
+        order = np.lexsort((u, -c, g))
+        g2 = g[order]
+        gstart = np.ones(len(g2), dtype=bool)
+        gstart[1:] = g2[1:] != g2[:-1]
+        rank = np.arange(len(g2)) - np.maximum.accumulate(
+            np.where(gstart, np.arange(len(g2)), 0)
+        )
+        keep = order[rank < k]
+        return pa.table(
+            {
+                "series_id": pa.array(s[keep], type=pa.uint64()),
+                "window_ts": pa.array(w[keep]),
+                "user_id": pa.array(u[keep]),
+                "n_est": pa.array(c[keep].astype(np.int64)),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "user_id"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "user_id", "n_est"]]
+        .sort_values(
+            ["window_ts", "event_type", "n_est", "user_id"],
+            ascending=[True, True, False, True],
+        )
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["events_topusers_1h"] = q_topusers_1h
+QUERIES["events_topusers_mg"] = q_topusers_mg  # no oracle: sketch by design
+ORACLES["events_topusers_1h"] = """
+    SELECT * FROM (
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    )
+    QUALIFY row_number()
+        OVER (PARTITION BY window_ts, event_type ORDER BY n DESC, user_id) <= 3
+    ORDER BY window_ts, event_type, n DESC, user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed quantiles: exact + bottom-k-sample sketch
+# ---------------------------------------------------------------------------
+
+
+def _group_rank_keep(gkey, order_keys, limit):
+    """Row indices keeping the first ``limit`` rows per gkey group under
+    the lexsort of ``order_keys`` (last key is primary)."""
+    order = np.lexsort(order_keys)
+    g2 = gkey[order]
+    gstart = np.ones(len(g2), dtype=bool)
+    gstart[1:] = g2[1:] != g2[:-1]
+    rank = np.arange(len(g2)) - np.maximum.accumulate(
+        np.where(gstart, np.arange(len(g2)), 0)
+    )
+    return order[rank < limit]
+
+
+def q_quantile_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
+    """Exact p50/p90/p99 of value per (1h window, event_type) — linear
+    interpolation, the same definition as DuckDB ``quantile_cont`` and
+    ``np.percentile(method="linear")``.
+
+    The exact operator must co-locate every group's values (one hash
+    exchange keyed by group; the wire carries (group, value) pairs —
+    inherently data-sized, which is why the sample sketch next door is
+    the scale path).  The per-bucket reduce is one sort + three
+    vectorized interpolated gathers, no per-group loop.
+    """
+    num_buckets = 8
+    qs = (0.5, 0.9, 0.99)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms)
+        sid = _series_ids(t["event_type"])
+        gkey = _group_key(sid, window)
+        bucket = ((gkey >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "series_id": pa.array(sid, type=pa.uint64()),
+                "window_ts": pa.array(window),
+                "value": pc.cast(t["value"], pa.float64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "series_id": pa.array([], type=pa.uint64()),
+                "window_ts": pa.array([], type=pa.int64()),
+                "p50": pa.array([], type=pa.float64()),
+                "p90": pa.array([], type=pa.float64()),
+                "p99": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        order = np.lexsort((val, gkey))
+        gs, vs = gkey[order], val[order]
+        starts = np.ones(len(gs), dtype=bool)
+        starts[1:] = gs[1:] != gs[:-1]
+        first = np.nonzero(starts)[0]
+        cnt = np.diff(np.append(first, len(gs)))
+        cols = {}
+        for q in qs:
+            # linear interpolation: index q*(n-1) within each sorted run
+            pos = q * (cnt - 1)
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            a = vs[first + lo]
+            b = vs[first + np.minimum(lo + 1, cnt - 1)]
+            cols[f"p{int(q * 100)}"] = np.round(a + (b - a) * frac, 6)
+        idx = order[first]
+        return pa.table(
+            {
+                "series_id": pa.array(sid[idx], type=pa.uint64()),
+                "window_ts": pa.array(win[idx]),
+                **{k: pa.array(v) for k, v in cols.items()},
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "value"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "p50", "p90", "p99"]]
+        .sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+def q_quantile_sample_1h(
+    sf_dir: str, m: int = 512, interval_ms: int = HOUR_MS
+) -> pd.DataFrame:
+    """Approximate windowed p50/p90/p99 from a bottom-k-by-hash sample:
+    per group keep the ``m`` values whose splitmix64(row-key) hashes are
+    smallest.  Exactly mergeable (min-m of a union is the merge of
+    per-part min-m's — same trim at map and reduce), uniform without
+    coordination, and the per-group wire volume is CAPPED at m rows
+    however many events arrive — the quantile analogue of the HLL
+    story.  Sample-quantile error is O(1/sqrt(m)) in rank space; the
+    pytest pins it on the testdata.
+    """
+    num_buckets = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "h": pa.array([], type=pa.uint64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms)
+        sid = _series_ids(t["event_type"])
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _splitmix64(eid.astype(np.uint64))  # uniform row key
+        gkey = _group_key(sid, window)
+        keep = _group_rank_keep(gkey, (h, gkey), m)
+        bucket = ((gkey[keep] >> np.uint64(17)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "series_id": pa.array(sid[keep], type=pa.uint64()),
+                "window_ts": pa.array(window[keep]),
+                "value": pa.array(val[keep].astype(np.float64)),
+                "h": pa.array(h[keep], type=pa.uint64()),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "series_id": pa.array([], type=pa.uint64()),
+                "window_ts": pa.array([], type=pa.int64()),
+                "p50": pa.array([], type=pa.float64()),
+                "p90": pa.array([], type=pa.float64()),
+                "p99": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        keep = _group_rank_keep(gkey, (h, gkey), m)  # merge = same trim
+        sid, win, val, gkey = sid[keep], win[keep], val[keep], gkey[keep]
+        order = np.lexsort((val, gkey))
+        gs, vs = gkey[order], val[order]
+        starts = np.ones(len(gs), dtype=bool)
+        starts[1:] = gs[1:] != gs[:-1]
+        first = np.nonzero(starts)[0]
+        cnt = np.diff(np.append(first, len(gs)))
+        cols = {}
+        for q in (0.5, 0.9, 0.99):
+            pos = q * (cnt - 1)
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            a = vs[first + lo]
+            b = vs[first + np.minimum(lo + 1, cnt - 1)]
+            cols[f"p{int(q * 100)}"] = np.round(a + (b - a) * frac, 6)
+        idx = order[first]
+        return pa.table(
+            {
+                "series_id": pa.array(sid[idx], type=pa.uint64()),
+                "window_ts": pa.array(win[idx]),
+                **{k: pa.array(v) for k, v in cols.items()},
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["event_id", "ts", "event_type", "value"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "p50", "p90", "p99"]]
+        .sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["events_quantile_1h"] = q_quantile_1h
+QUERIES["events_quantile_sample_1h"] = q_quantile_sample_1h  # sketch: no oracle
+ORACLES["events_quantile_1h"] = """
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts, event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""

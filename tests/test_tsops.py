@@ -245,3 +245,154 @@ def test_asof_prior_is_really_the_latest_not_later_view(ray_session):
             best = mine.loc[mine["ts_ms"].idxmax()]
             assert row["prior_ts"] == best["ts_ms"]
             assert row["prior_value"] == pytest.approx(best["value"])
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: exact top-k + Misra-Gries sketch
+# ---------------------------------------------------------------------------
+
+
+def test_topusers_1h_matches_duckdb_qualify(ray_session):
+    from pq_ray.pipelines.tsops import q_topusers_1h
+
+    got = q_topusers_1h(SF)
+    exp = _oracle(
+        """
+        SELECT * FROM (
+            SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+                   event_type, user_id, COUNT(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        )
+        QUALIFY row_number()
+            OVER (PARTITION BY window_ts, event_type ORDER BY n DESC, user_id) <= 3
+        ORDER BY window_ts, event_type, n DESC, user_id
+        """
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def _skewed_events_dir(tmp_path):
+    """Synthetic skewed stream: 3 hot users dominate each window."""
+    rng = np.random.default_rng(42)
+    n = 20_000
+    hot = rng.choice([7, 11, 13], size=n)
+    cold = rng.integers(100, 5000, size=n)
+    user = np.where(rng.random(n) < 0.5, hot, cold)
+    ts = pd.to_datetime(
+        1704067200000 + rng.integers(0, 6 * 3600_000, size=n), unit="ms"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": ts,
+            "user_id": user.astype(np.int64),
+            "event_type": rng.choice(["click", "view"], size=n),
+            "value": rng.random(n),
+            "props": "{}",
+        }
+    )
+    d = tmp_path / "skew"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+def test_misra_gries_topk_matches_exact_on_skewed_data(ray_session, tmp_path):
+    from pq_ray.pipelines.tsops import q_topusers_1h, q_topusers_mg
+
+    d = _skewed_events_dir(tmp_path)
+    exact = q_topusers_1h(d)
+    mg = q_topusers_mg(d)
+    assert len(mg) == len(exact)
+    # the hot users (half the stream over 3 ids vs a 4900-id tail)
+    # must survive every trim: identical top-k sets AND identical order
+    np.testing.assert_array_equal(
+        mg["user_id"].to_numpy(), exact["user_id"].to_numpy()
+    )
+    # MG truncation only UNDERcounts, bounded by N_group/counters
+    j = mg.rename(columns={"n_est": "n_mg"}).merge(
+        exact, on=["window_ts", "event_type", "user_id"]
+    )
+    assert (j["n_mg"] <= j["n"]).all()
+    ev = pd.read_parquet(f"{d}/events.parquet")
+    ev["w"] = (ev["ts"].astype("int64") // 1_000_000 // 3600_000) * 3600_000
+    sizes = ev.groupby(["w", "event_type"]).size().rename("N").reset_index()
+    j = j.merge(sizes, left_on=["window_ts", "event_type"], right_on=["w", "event_type"])
+    assert ((j["n"] - j["n_mg"]) <= j["N"] / 64 + 1).all()
+
+
+def test_misra_gries_rows_only_shape_on_testdata(ray_session):
+    from pq_ray.pipelines.tsops import q_topusers_mg
+
+    mg = q_topusers_mg(SF)
+    assert list(mg.columns) == ["window_ts", "event_type", "user_id", "n_est"]
+    assert (mg.groupby(["window_ts", "event_type"]).size() <= 3).all()
+
+
+# ---------------------------------------------------------------------------
+# windowed quantiles: exact + bottom-k sample sketch
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_1h_matches_duckdb_quantile_cont(ray_session):
+    from pq_ray.pipelines.tsops import q_quantile_1h
+
+    got = q_quantile_1h(SF)
+    exp = _oracle(
+        """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts, event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_quantile_sample_tracks_exact_within_rank_error(ray_session):
+    from pq_ray.pipelines.tsops import q_quantile_1h, q_quantile_sample_1h
+
+    exact = q_quantile_1h(SF)
+    est = q_quantile_sample_1h(SF)
+    assert len(est) == len(exact)
+    # groups on this testdata are far smaller than m=512, so the sample
+    # IS the full population: estimates must be exactly the exact ones
+    j = est.merge(exact, on=["window_ts", "event_type"], suffixes=("_est", ""))
+    for q in ("p50", "p90", "p99"):
+        np.testing.assert_allclose(j[f"{q}_est"], j[q], atol=1e-9)
+
+
+def test_quantile_sample_error_bound_when_sampling_engages(ray_session, tmp_path):
+    # a group far larger than m: sampled quantiles must land within a
+    # few rank-percent of the truth
+    from pq_ray.pipelines.tsops import q_quantile_1h, q_quantile_sample_1h
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.to_datetime(
+                1704067200000 + rng.integers(0, 3600_000, size=n), unit="ms"
+            ),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": "click",
+            "value": rng.lognormal(mean=3.0, sigma=1.0, size=n),
+            "props": "{}",
+        }
+    )
+    d = tmp_path / "big"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    exact = q_quantile_1h(str(d))
+    est = q_quantile_sample_1h(str(d), m=512)
+    v = np.sort(df["value"].to_numpy())
+    for q, qq in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        got_rank = np.searchsorted(v, est[q].iloc[0]) / n
+        # rank error ~ sqrt(q(1-q)/m): 3 sigma ≈ 0.066 at p50/m=512
+        assert abs(got_rank - qq) < 0.08, (q, got_rank)
