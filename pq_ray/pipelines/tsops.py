@@ -1033,3 +1033,114 @@ ORACLES["events_quantile_1h"] = """
            ROUND(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based session windows)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MS = 1_800_000  # 30 min
+
+
+def q_sessions(sf_dir: str, gap_ms: int = SESSION_GAP_MS) -> pd.DataFrame:
+    """Gap-based sessionization: a user's events belong to one session
+    until a silence longer than ``gap_ms`` starts the next — the
+    canonical data-driven (non-aligned) window, next to the calendar
+    windows everywhere else in this engine.
+
+    Plan: ONE hash-by-user exchange (the documented partitioning
+    assumption: a user's whole history co-locates); the per-bucket
+    reduce is fully vectorized — sort by (user, ts), new-session flags
+    from one diff, session numbers from one cumsum, per-session
+    aggregates from reduceat segments.  Output matches the SQL oracle's
+    lag()/cumulative-sum formulation row for row.
+    """
+    num_buckets = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (
+            (user.astype(np.uint64) * _PHI) >> np.uint64(17)
+        ) % np.uint64(num_buckets)
+        ts = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": ts,
+                "value": pc.cast(t["value"], pa.float64()),
+                "bucket": pa.array(bucket.astype(np.int32)),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "session_no": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.int64()),
+                "session_end": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "sum_value": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        usr = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, usr))
+        u, s, v = usr[order], ts[order], val[order]
+        new_session = np.ones(len(u), dtype=np.int64)
+        new_session[1:] = (
+            (u[1:] != u[:-1]) | ((s[1:] - s[:-1]) > gap_ms)
+        ).astype(np.int64)
+        first = np.nonzero(new_session)[0]
+        seg_end = np.append(first[1:], len(u))
+        # session_no restarts at 1 per user (lag-is-null counts as new)
+        ustart = np.ones(len(first), dtype=bool)
+        ustart[1:] = u[first[1:]] != u[first[:-1]]
+        sess_idx = np.arange(len(first))
+        session_no = sess_idx - np.maximum.accumulate(
+            np.where(ustart, sess_idx, 0)
+        ) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[first]),
+                "session_no": pa.array(session_no.astype(np.int64)),
+                "session_start": pa.array(s[first]),
+                "session_end": pa.array(s[seg_end - 1]),
+                "n_events": pa.array((seg_end - first).astype(np.int64)),
+                "sum_value": pa.array(np.round(np.add.reduceat(v, first), 6)),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "user_id", "value"])
+    out = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    ).to_pandas()
+    return out.sort_values(["user_id", "session_no"]).reset_index(drop=True)
+
+
+QUERIES["events_sessions"] = q_sessions
+ORACLES["events_sessions"] = """
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS ts, value FROM events
+    ),
+    m AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM m
+    )
+    SELECT user_id, session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -293,6 +293,7 @@ def _skewed_events_dir(tmp_path):
             "props": "{}",
         }
     )
+    df["ts"] = df["ts"].astype("datetime64[us]")  # match testdata schema
     d = tmp_path / "skew"
     d.mkdir()
     df.to_parquet(d / "events.parquet")
@@ -386,6 +387,7 @@ def test_quantile_sample_error_bound_when_sampling_engages(ray_session, tmp_path
             "props": "{}",
         }
     )
+    df["ts"] = df["ts"].astype("datetime64[us]")  # match testdata schema
     d = tmp_path / "big"
     d.mkdir()
     df.to_parquet(d / "events.parquet")
@@ -396,3 +398,50 @@ def test_quantile_sample_error_bound_when_sampling_engages(ray_session, tmp_path
         got_rank = np.searchsorted(v, est[q].iloc[0]) / n
         # rank error ~ sqrt(q(1-q)/m): 3 sigma ≈ 0.066 at p50/m=512
         assert abs(got_rank - qq) < 0.08, (q, got_rank)
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def test_sessions_match_duckdb_lag_cumsum(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, q_sessions
+
+    got = q_sessions(SF)
+    exp = _oracle(ORACLES["events_sessions"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # structural invariants: sessions are disjoint per user and gaps
+    # between consecutive sessions really exceed the threshold
+    for uid, g in got.groupby("user_id"):
+        g = g.sort_values("session_no")
+        assert (g["session_start"] <= g["session_end"]).all()
+        gaps = g["session_start"].to_numpy()[1:] - g["session_end"].to_numpy()[:-1]
+        assert (gaps > 1_800_000).all()
+
+
+def test_sessions_single_event_users(ray_session, tmp_path):
+    from pq_ray.pipelines.tsops import q_sessions
+
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": pd.to_datetime([1704067200000, 1704067200000 + 10_000,
+                                  1704067200000 + 4_000_000], unit="ms"),
+            "user_id": np.array([5, 5, 5], dtype=np.int64),
+            "event_type": "click",
+            "value": [1.0, 2.0, 4.0],
+            "props": "{}",
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")  # match testdata schema
+    d = tmp_path / "one"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    got = q_sessions(str(d))
+    # 2 sessions: events 0,1 together (10s apart), event 2 alone (>30min)
+    assert got["session_no"].tolist() == [1, 2]
+    assert got["n_events"].tolist() == [2, 1]
+    assert got["sum_value"].tolist() == [3.0, 4.0]
