@@ -1144,3 +1144,171 @@ ORACLES["events_sessions"] = """
            COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
     FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# windowed linear regression (deriv/predict_linear-style slope per window)
+# ---------------------------------------------------------------------------
+
+
+def q_regr_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
+    """Per-(1h window, event_type) least-squares fit of value against
+    time: slope (value-units per hour), intercept (fit at the window
+    start) and r².  The PromQL analogues are deriv()/predict_linear()
+    (the reference parses deriv in its function list but the engine
+    rejects it, like the other parity(+ext) functions).
+
+    Mergeable-moment plan: the map side emits per-(window, series)
+    CENTERED partials (n, mean_x, mean_y, Sxx, Sxy, Syy — six doubles
+    per group per batch regardless of row count) and ONE hash exchange
+    merges them with Chan's parallel-variance update, then finalizes
+    slope = Sxy/Sxx.  Numerics, measured: raw sums (nΣxy−ΣxΣy over
+    epoch-ms x) only agree with DuckDB to ~1e-3 relative; centering x at
+    the window start fixes the bulk but still loses n=2 groups whose two
+    points are milliseconds apart (den = nΣx²−(Σx)² cancels to noise —
+    6 rounding flips at sf0.01).  Chan merges are exact for that case
+    (mean_b − mean_a is a Sterbenz-exact subtraction), matching DuckDB's
+    streaming covar bit-for-bit after 6-digit rounding.  The oracle SQL
+    centers x identically.
+    """
+    num_buckets = 8
+    PCOLS = ["n", "mx", "my", "sxx", "sxy", "syy"]
+
+    def _empty(extra: dict) -> pa.Table:
+        cols = {
+            "series_id": pa.array([], type=pa.uint64()),
+            "window_ts": pa.array([], type=pa.int64()),
+        }
+        cols.update(extra)
+        return pa.table(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty(
+                {m: pa.array([], type=pa.float64()) for m in PCOLS}
+                | {"bucket": pa.array([], type=pa.int32())}
+            )
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms)
+        sid = _series_ids(t["event_type"])
+        x = (ts - window) / float(interval_ms)
+        y = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, window)
+        order = np.argsort(gkey, kind="stable")
+        gk, xs, ys = gkey[order], x[order], y[order]
+        starts = np.ones(len(gk), dtype=bool)
+        starts[1:] = gk[1:] != gk[:-1]
+        first = np.nonzero(starts)[0]
+        idx = order[first]
+        n = np.diff(np.append(first, len(gk))).astype(np.float64)
+        mx = np.add.reduceat(xs, first) / n
+        my = np.add.reduceat(ys, first) / n
+        dx = xs - np.repeat(mx, n.astype(np.int64))
+        dy = ys - np.repeat(my, n.astype(np.int64))
+        gk_g = _group_key(sid[idx], window[idx])
+        bucket = ((gk_g >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "series_id": pa.array(sid[idx], type=pa.uint64()),
+                "window_ts": pa.array(window[idx]),
+                "n": pa.array(n),
+                "mx": pa.array(mx),
+                "my": pa.array(my),
+                "sxx": pa.array(np.add.reduceat(dx * dx, first)),
+                "sxy": pa.array(np.add.reduceat(dx * dy, first)),
+                "syy": pa.array(np.add.reduceat(dy * dy, first)),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty(
+                {
+                    "n_events": pa.array([], type=pa.int64()),
+                    "slope": pa.array([], type=pa.float64()),
+                    "intercept": pa.array([], type=pa.float64()),
+                    "r2": pa.array([], type=pa.float64()),
+                }
+            )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        order = np.argsort(gkey, kind="stable")
+        gk = gkey[order]
+        starts = np.ones(len(gk), dtype=bool)
+        starts[1:] = gk[1:] != gk[:-1]
+        first = np.nonzero(starts)[0]
+        counts = np.diff(np.append(first, len(gk)))
+        cols = {
+            name: t[name].combine_chunks().to_numpy(zero_copy_only=False)[order]
+            for name in PCOLS
+        }
+        # Accumulators start as each segment's first partial; fold the
+        # j-th extra partial of EVERY segment in round j (vectorized
+        # Chan merge across all groups at once; rounds = max partials
+        # per group ≈ #map batches that saw it, data-independent work
+        # per round ≈ #groups).
+        acc = {name: cols[name][first].copy() for name in PCOLS}
+        for j in range(1, int(counts.max())):
+            seg = np.nonzero(counts > j)[0]
+            rows = first[seg] + j
+            na, nb = acc["n"][seg], cols["n"][rows]
+            ntot = na + nb
+            dmx = cols["mx"][rows] - acc["mx"][seg]
+            dmy = cols["my"][rows] - acc["my"][seg]
+            w = na * nb / ntot
+            acc["sxx"][seg] += cols["sxx"][rows] + dmx * dmx * w
+            acc["sxy"][seg] += cols["sxy"][rows] + dmx * dmy * w
+            acc["syy"][seg] += cols["syy"][rows] + dmy * dmy * w
+            acc["mx"][seg] += dmx * nb / ntot
+            acc["my"][seg] += dmy * nb / ntot
+            acc["n"][seg] = ntot
+        n, mx, my = acc["n"], acc["mx"], acc["my"]
+        sxx, sxy, syy = acc["sxx"], acc["sxy"], acc["syy"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(sxx > 0, sxy / sxx, np.nan)
+            intercept = np.where(sxx > 0, my - slope * mx, np.nan)
+            r2 = np.where((sxx > 0) & (syy > 0), sxy * sxy / (sxx * syy), np.nan)
+        idx = order[first]
+        return pa.table(
+            {
+                "series_id": pa.array(sid[idx], type=pa.uint64()),
+                "window_ts": pa.array(win[idx]),
+                "n_events": pa.array(n.astype(np.int64)),
+                "slope": pa.array(_round_half_away(slope)),
+                "intercept": pa.array(_round_half_away(intercept)),
+                "r2": pa.array(_round_half_away(r2)),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "value"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "n_events", "slope", "intercept", "r2"]]
+        .sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["events_regr_1h"] = q_regr_1h
+ORACLES["events_regr_1h"] = """
+    WITH e AS (
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type,
+               (epoch_ms(ts) - (epoch_ms(ts) // 3600000) * 3600000) / 3600000.0 AS x,
+               value AS y
+        FROM events
+    )
+    SELECT window_ts, event_type,
+           COUNT(*) AS n_events,
+           ROUND(regr_slope(y, x), 6) AS slope,
+           ROUND(regr_intercept(y, x), 6) AS intercept,
+           ROUND(regr_r2(y, x), 6) AS r2
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -445,3 +445,48 @@ def test_sessions_single_event_users(ray_session, tmp_path):
     assert got["session_no"].tolist() == [1, 2]
     assert got["n_events"].tolist() == [2, 1]
     assert got["sum_value"].tolist() == [3.0, 4.0]
+
+
+# ---------------------------------------------------------------------------
+# windowed linear regression
+# ---------------------------------------------------------------------------
+
+
+def test_regr_1h_matches_duckdb_regr_functions(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, q_regr_1h
+
+    got = q_regr_1h(SF)
+    exp = _oracle(ORACLES["events_regr_1h"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_regr_two_close_points_is_exact_dy_dx(ray_session, tmp_path):
+    """The degenerate case that broke the raw-moment formulation: an
+    n=2 group whose points are 1ms apart.  Chan-merged centered
+    partials must recover exactly dy/dx (slope magnitude ~1e5)."""
+    from pq_ray.pipelines.tsops import q_regr_1h
+
+    t0 = 1704067200000
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": pd.to_datetime([t0 + 7, t0 + 8, t0 + 3_600_000 + 5], unit="ms"),
+            "user_id": np.array([1, 2, 3], dtype=np.int64),
+            "event_type": "click",
+            "value": [1.0, 1.5, 2.0],
+            "props": "{}",
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    d = tmp_path / "one"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    got = q_regr_1h(str(d))
+    # first window: slope = 0.5 value / (1ms / 3600000ms) = 1.8e6 per hour
+    assert got["n_events"].tolist() == [2, 1]
+    assert got["slope"].iloc[0] == pytest.approx(0.5 * 3_600_000, abs=1e-6)
+    assert got["r2"].iloc[0] == 1.0
+    # single-point window: no fit
+    assert np.isnan(got["slope"].iloc[1])
