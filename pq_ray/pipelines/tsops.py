@@ -1312,3 +1312,283 @@ ORACLES["events_regr_1h"] = """
            ROUND(regr_r2(y, x), 6) AS r2
     FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# counter changes / resets per window
+# ---------------------------------------------------------------------------
+
+
+def q_changes_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
+    """PromQL changes()/resets() over tumbling windows: per (1h window,
+    event_type), how many consecutive-sample value changes and how many
+    decreases (counter resets) in time order.
+
+    Unlike the moment operators there is NO sound mergeable partial
+    here without time-contiguous batches (a change is a property of
+    ADJACENT samples, and batch rows interleave arbitrarily in time),
+    so the map side only projects the wire schema narrow — (series,
+    window, ts_us, event_id, value) ≈ 36B/row — and the hash-by-group
+    exchange co-locates each (window, series)'s rows; the per-bucket
+    reduce is one lexsort + one diff.  Same partitioning assumption as
+    sessionization: a group's rows fit one bucket (a window of one
+    series — bounded by the window length, not the corpus).  Order ties
+    on the raw microsecond timestamp break by event_id, matching the
+    oracle's ORDER BY ts, event_id.
+    """
+    num_buckets = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "ts_us": pa.array([], type=pa.int64()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        window = window_floor(ts_us // 1000, interval_ms)
+        sid = _series_ids(t["event_type"])
+        gkey = _group_key(sid, window)
+        bucket = ((gkey >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "series_id": pa.array(sid, type=pa.uint64()),
+                "window_ts": pa.array(window),
+                "ts_us": pa.array(ts_us),
+                "event_id": t["event_id"],
+                "value": t["value"],
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "n_changes": pa.array([], type=pa.int64()),
+                    "n_resets": pa.array([], type=pa.int64()),
+                }
+            )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        order = np.lexsort((eid, ts, gkey))
+        gk, v = gkey[order], val[order]
+        same_group = np.zeros(len(gk), dtype=bool)
+        same_group[1:] = gk[1:] == gk[:-1]
+        changed = np.zeros(len(gk), dtype=bool)
+        changed[1:] = v[1:] != v[:-1]
+        reset = np.zeros(len(gk), dtype=bool)
+        reset[1:] = v[1:] < v[:-1]
+        starts = ~same_group
+        first = np.nonzero(starts)[0]
+        idx = order[first]
+        n = np.diff(np.append(first, len(gk)))
+        return pa.table(
+            {
+                "series_id": pa.array(sid[idx], type=pa.uint64()),
+                "window_ts": pa.array(win[idx]),
+                "n_events": pa.array(n.astype(np.int64)),
+                "n_changes": pa.array(
+                    np.add.reduceat(
+                        (changed & same_group).astype(np.int64), first
+                    )
+                ),
+                "n_resets": pa.array(
+                    np.add.reduceat((reset & same_group).astype(np.int64), first)
+                ),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "event_id", "value"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "n_events", "n_changes", "n_resets"]]
+        .sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["events_changes_1h"] = q_changes_1h
+ORACLES["events_changes_1h"] = """
+    WITH e AS (
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type, value,
+               lag(value) OVER (
+                   PARTITION BY event_type, epoch_ms(ts) // 3600000
+                   ORDER BY ts, event_id
+               ) AS pv
+        FROM events
+    )
+    SELECT window_ts, event_type,
+           COUNT(*) AS n_events,
+           COALESCE(SUM(CASE WHEN value <> pv THEN 1 ELSE 0 END), 0) AS n_changes,
+           COALESCE(SUM(CASE WHEN value < pv THEN 1 ELSE 0 END), 0) AS n_resets
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# irate / idelta (last two samples per window)
+# ---------------------------------------------------------------------------
+
+
+def q_irate_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
+    """PromQL irate()/idelta() over tumbling windows: the instantaneous
+    delta and per-second rate between the LAST TWO samples of each
+    (1h window, event_type), time-ordered (ties break by event_id).
+
+    The counterpoint to q_changes_1h: this one IS mergeable — a batch
+    only ever needs to forward its two latest samples per group (the
+    top-2 under (ts, event_id) of a union is the top-2 of the per-part
+    top-2s), so the wire carries ≤2 rows per group per batch and the
+    reduce re-runs the identical keep-last-2 kernel before finalizing.
+    irate is the plain difference quotient (value_last − value_prev) /
+    Δt_seconds; the PromQL counter-reset special case is out of scope
+    and the oracle SQL states the same definition.
+    """
+    num_buckets = 8
+
+    def _wire_empty() -> pa.Table:
+        return pa.table(
+            {
+                "series_id": pa.array([], type=pa.uint64()),
+                "window_ts": pa.array([], type=pa.int64()),
+                "ts_us": pa.array([], type=pa.int64()),
+                "event_id": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.float64()),
+                "bucket": pa.array([], type=pa.int32()),
+            }
+        )
+
+    def _keep_last2(sid, win, ts, eid, val):
+        """Rows of the ≤2 latest (ts, event_id) samples per group,
+        returned time-ordered within each group."""
+        gkey = _group_key(sid, win)
+        order = np.lexsort((eid, ts, gkey))
+        gk = gkey[order]
+        starts = np.ones(len(gk), dtype=bool)
+        starts[1:] = gk[1:] != gk[:-1]
+        ends = np.append(np.nonzero(starts)[0][1:], len(gk)) - 1
+        keep = np.zeros(len(gk), dtype=bool)
+        keep[ends] = True
+        prev = ends - 1
+        prev_ok = prev >= 0
+        prev_ok[prev_ok] &= gk[prev[prev_ok]] == gk[ends[prev_ok]]
+        keep[prev[prev_ok]] = True
+        idx = order[np.nonzero(keep)[0]]
+        return sid[idx], win[idx], ts[idx], eid[idx], val[idx]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _wire_empty()
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        window = window_floor(ts_us // 1000, interval_ms)
+        sid = _series_ids(t["event_type"])
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        sid, window, ts_us, eid, val = _keep_last2(sid, window, ts_us, eid, val)
+        gkey = _group_key(sid, window)
+        bucket = ((gkey >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "series_id": pa.array(sid, type=pa.uint64()),
+                "window_ts": pa.array(window),
+                "ts_us": pa.array(ts_us),
+                "event_id": pa.array(eid),
+                "value": pa.array(val),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "idelta": pa.array([], type=pa.float64()),
+                    "irate": pa.array([], type=pa.float64()),
+                }
+            )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        sid, win, ts, eid, val = _keep_last2(sid, win, ts, eid, val)
+        gkey = _group_key(sid, win)
+        # groups arrive sorted; pairs are (prev, last) adjacent rows
+        starts = np.ones(len(gkey), dtype=bool)
+        starts[1:] = gkey[1:] != gkey[:-1]
+        first = np.nonzero(starts)[0]
+        n = np.diff(np.append(first, len(gkey)))
+        has2 = n == 2
+        last = first + n - 1
+        idelta = np.full(len(first), np.nan)
+        irate = np.full(len(first), np.nan)
+        dv = val[last[has2]] - val[first[has2]]
+        dt_s = (ts[last[has2]] - ts[first[has2]]) / 1e6
+        idelta[has2] = dv
+        with np.errstate(divide="ignore", invalid="ignore"):
+            irate[has2] = np.where(dt_s > 0, dv / dt_s, np.nan)
+        return pa.table(
+            {
+                "series_id": pa.array(sid[first], type=pa.uint64()),
+                "window_ts": pa.array(win[first]),
+                "idelta": pa.array(_round_half_away(idelta)),
+                "irate": pa.array(_round_half_away(irate)),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "event_id", "value"])
+    pts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+    )
+    out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "idelta", "irate"]]
+        .sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["events_irate_1h"] = q_irate_1h
+ORACLES["events_irate_1h"] = """
+    WITH ranked AS (
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type, value, epoch_us(ts) AS ts_us,
+               row_number() OVER (
+                   PARTITION BY event_type, epoch_ms(ts) // 3600000
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT l.window_ts, l.event_type,
+               l.value - pv.value AS dv,
+               (l.ts_us - pv.ts_us) / 1000000.0 AS dt_s
+        FROM ranked l LEFT JOIN ranked pv
+          ON pv.window_ts = l.window_ts AND pv.event_type = l.event_type
+         AND pv.rn = 2
+        WHERE l.rn = 1
+    )
+    SELECT window_ts, event_type,
+           ROUND(dv, 6) AS idelta,
+           ROUND(CASE WHEN dt_s > 0 THEN dv / dt_s END, 6) AS irate
+    FROM p ORDER BY 1, 2
+"""

@@ -490,3 +490,59 @@ def test_regr_two_close_points_is_exact_dy_dx(ray_session, tmp_path):
     assert got["r2"].iloc[0] == 1.0
     # single-point window: no fit
     assert np.isnan(got["slope"].iloc[1])
+
+
+# ---------------------------------------------------------------------------
+# changes / resets and irate / idelta
+# ---------------------------------------------------------------------------
+
+
+def test_changes_1h_matches_duckdb_lag(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, q_changes_1h
+
+    got = q_changes_1h(SF)
+    exp = _oracle(ORACLES["events_changes_1h"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_irate_1h_matches_duckdb_last_two(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, q_irate_1h
+
+    got = q_irate_1h(SF)
+    exp = _oracle(ORACLES["events_irate_1h"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_changes_and_irate_hand_case(ray_session, tmp_path):
+    """Counter 1→3→3→2 within one window: 2 changes (1→3, 3→2),
+    1 reset (3→2); irate from the last pair (3→2, 10s apart)."""
+    from pq_ray.pipelines.tsops import q_changes_1h, q_irate_1h
+
+    t0 = 1704067200000
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "ts": pd.to_datetime(
+                [t0, t0 + 5_000, t0 + 20_000, t0 + 30_000], unit="ms"
+            ),
+            "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+            "event_type": "req",
+            "value": [1.0, 3.0, 3.0, 2.0],
+            "props": "{}",
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    d = tmp_path / "one"
+    d.mkdir()
+    df.to_parquet(d / "events.parquet")
+    ch = q_changes_1h(str(d))
+    assert ch["n_events"].tolist() == [4]
+    assert ch["n_changes"].tolist() == [2]
+    assert ch["n_resets"].tolist() == [1]
+    ir = q_irate_1h(str(d))
+    assert ir["idelta"].tolist() == [-1.0]
+    assert ir["irate"].tolist() == [-0.1]
