@@ -448,8 +448,14 @@ def evaluate_distributed(node, ctx: DistributedContext):
             node, evaluate_distributed(node.expr, ctx), ctx.extensions
         )
     if isinstance(node, FunctionCall):
-        from .engine import EXTENSION_FNS
+        from .engine import EXT_OVER_TIME_FNS, EXTENSION_FNS
 
+        if ctx.extensions and node.name in EXT_OVER_TIME_FNS:
+            raise QueryError(
+                f"{node.name} is a local-engine extension: its per-window "
+                "kernel is not covered by the distributed mergeable-partial "
+                "schema (tsops.py implements the distributed forms)"
+            )
         if ctx.extensions and node.name in EXTENSION_FNS:
             args = [
                 a if isinstance(a, (float, str)) else evaluate_distributed(a, ctx)

@@ -735,19 +735,234 @@ OVER_TIME_FNS = {
 }
 
 
-EXTENSION_FNS = {"clamp", "clamp_max", "clamp_min", "label_replace"}
+EXTENSION_FNS = {
+    "clamp",
+    "clamp_max",
+    "clamp_min",
+    "label_replace",
+    # instant-vector extensions (not even in the reference's enum —
+    # parse only with parse_expr(extensions=True)); these operate on the
+    # post-rollup driver stream, so the distributed evaluator gets them
+    # for free through its EXTENSION_FNS branch
+    "abs",
+    "absent",
+    "ceil",
+    "floor",
+    "round",
+    "sqrt",
+    "exp",
+    "ln",
+    "log2",
+    "log10",
+    "sgn",
+    "sort",
+    "sort_desc",
+    "histogram_quantile",
+}
+
+# range-vector extension kernels: evaluated on the window segments via
+# the same reduceat machinery as the reference's *_over_time set.  These
+# are NOT pushed down by the distributed evaluator (their per-window
+# state isn't covered by its mergeable partial schema); the tsops
+# pipelines implement the distributed forms of the important ones
+# (events_irate_1h, events_changes_1h, events_regr_1h — tsops.py).
+EXT_OVER_TIME_FNS = {
+    "stddev_over_time",
+    "stdvar_over_time",
+    "present_over_time",
+    "quantile_over_time",
+    "deriv",
+    "predict_linear",
+    "holt_winters",
+    "changes",
+    "resets",
+    "irate",
+    "idelta",
+}
+
+# PromQL elementwise math — all drop __name__ like clamp does
+_MATH_FNS = {
+    "abs": np.abs,
+    "ceil": np.ceil,
+    "floor": np.floor,
+    "sqrt": np.sqrt,
+    "exp": np.exp,
+    "ln": np.log,
+    "log2": np.log2,
+    "log10": np.log10,
+    "sgn": np.sign,
+}
 
 
-def _eval_ext_function(name: str, args: list) -> VectorStream:
-    """clamp / clamp_max / clamp_min / label_replace (EXTENSIONS — the
-    reference parses these then hits unimplemented!, function.rs)."""
-    inner = args[0]
+def _selector_of(node):
+    """Unwrap Parentheses to find a direct VectorSelector argument."""
+    from .ast import Parentheses, VectorSelector
+
+    while isinstance(node, Parentheses):
+        node = node.expr
+    return node if isinstance(node, VectorSelector) else None
+
+
+def _eval_absent(inner: "VectorStream", node) -> "VectorStream":
+    """absent(v) extension: 1 at every tick of v's grid where v has no
+    samples, labeled with the equality matchers of a direct selector
+    argument (PromQL rule).  pq's tick grid is data-anchored (first
+    matched sample), so a selector matching NOTHING has no grid and
+    absent() over it is empty — documented divergence from PromQL's
+    query-range-anchored grid."""
+    label_map: dict[str, str] = {}
+    sel = _selector_of(node.args[0]) if node is not None and node.args else None
+    if sel is not None:
+        for m in sel.matchers:
+            if m.op == "=" and m.label != "__name__":
+                label_map[m.label] = m.value
+    ticks = inner.ticks
+    present = set(inner.df["tick"].tolist()) if not inner.df.empty else set()
+    missing = [int(t) for t in ticks if int(t) not in present]
+    label_cols = sorted(label_map)
+    cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+    if not missing:
+        return VectorStream("instant", ticks, pd.DataFrame(columns=cols), label_cols)
+    out = pd.DataFrame({"tick": missing})
+    out["value"] = 1.0
+    out["name"] = None
+    for c in label_cols:
+        out[L(c)] = label_map[c]
+    out["sig"] = compute_sig(out, label_cols, name_col=False)
+    out = out.sort_values(["tick", "sig"], kind="stable")
+    out = _rank_within_tick(out)
+    return VectorStream("instant", ticks, out[cols], label_cols)
+
+
+def _bucket_quantile(phi: float, les: np.ndarray, counts: np.ndarray) -> float:
+    """Prometheus bucketQuantile over cumulative le-buckets (linear
+    interpolation inside the target bucket; +Inf bucket returns the
+    highest finite upper bound; first bucket interpolates from 0 unless
+    its upper bound is <= 0)."""
+    if np.isnan(phi):
+        return float("nan")
+    if phi < 0:
+        return float("-inf")
+    if phi > 1:
+        return float("inf")
+    if len(les) < 2 or not np.isinf(les[-1]):
+        return float("nan")
+    counts = np.maximum.accumulate(counts)  # monotonicity fixup
+    total = counts[-1]
+    if total == 0:
+        return float("nan")
+    rank = phi * total
+    b = int(np.searchsorted(counts, rank, side="left"))
+    if b == len(les) - 1:
+        return float(les[-2])
+    if b == 0 and les[0] <= 0:
+        return float(les[0])
+    lo, lo_cnt = (0.0, 0.0) if b == 0 else (float(les[b - 1]), float(counts[b - 1]))
+    hi, hi_cnt = float(les[b]), float(counts[b])
+    if hi_cnt == lo_cnt:
+        return hi
+    return lo + (hi - lo) * (rank - lo_cnt) / (hi_cnt - lo_cnt)
+
+
+def _eval_histogram_quantile(phi: float, inner: "VectorStream") -> "VectorStream":
+    """histogram_quantile(phi, v) extension: v's series carry an ``le``
+    label with cumulative bucket counts; output drops le and __name__."""
+    le_col = L("le")
+    out_label_cols = [c for c in inner.label_cols if c != "le"]
+    cols = ["tick", "value", "name", *[L(c) for c in out_label_cols], "sig", "ord"]
+    df = inner.df
+    if df.empty or le_col not in df.columns:
+        return VectorStream(
+            "instant", inner.ticks, pd.DataFrame(columns=cols), out_label_cols
+        )
+    df = df.copy()
+    df["_le"] = np.array(
+        [float(x) if x is not None else np.nan for x in df[le_col]], dtype=np.float64
+    )
+    df = df[~np.isnan(df["_le"])]
+    # group by (tick, labels-without-le): sig recomputed without le/name
+    df["_gsig"] = compute_sig(df, out_label_cols, name_col=False)
+    df = df.sort_values(["tick", "_gsig", "_le"], kind="stable")
+    tick_a = df["tick"].to_numpy()
+    gsig_a = df["_gsig"].to_numpy()
+    boundary = (
+        np.nonzero((tick_a[1:] != tick_a[:-1]) | (gsig_a[1:] != gsig_a[:-1]))[0] + 1
+    )
+    starts = np.concatenate(([0], boundary))
+    counts = np.diff(np.concatenate((starts, [len(df)])))
+    les = df["_le"].to_numpy()
+    vals = df["value"].to_numpy(dtype=np.float64)
+    q = np.array(
+        [
+            _bucket_quantile(phi, les[st : st + c], vals[st : st + c])
+            for st, c in zip(starts, counts)
+        ]
+    )
+    out = df.iloc[starts][["tick", *[L(c) for c in out_label_cols if L(c) in df.columns]]].copy()
+    for c in out_label_cols:
+        if L(c) not in out.columns:
+            out[L(c)] = None
+    out["value"] = q
+    out["name"] = None
+    out["sig"] = gsig_a[starts]
+    out = out.sort_values(["tick", "sig"], kind="stable")
+    out = _rank_within_tick(out)
+    return VectorStream("instant", inner.ticks, out[cols], out_label_cols)
+
+
+def _eval_ext_function(name: str, args: list, node=None) -> VectorStream:
+    """Instant-vector EXTENSIONS: clamp*/label_replace (the reference
+    parses these then hits unimplemented!, function.rs) plus the PromQL
+    math/sort/absent/histogram_quantile family (reference doesn't even
+    parse those — gated at parse time)."""
+    inner = args[1] if name == "histogram_quantile" else args[0]
     if isinstance(inner, ScalarStream) or inner.kind != "instant":
         raise QueryError(f"{name} expects an instant vector argument")
     df = inner.df.copy()
 
     def scalar(a) -> float:
         return a.value if isinstance(a, ScalarStream) else float(a)
+
+    if name in _MATH_FNS or name == "round":
+        v = df["value"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if name == "round":
+                # PromQL round: nearest multiple of to_nearest (default
+                # 1), exact halves away from zero via floor(v/t + 0.5)
+                to_nearest = scalar(args[1]) if len(args) > 1 else 1.0
+                v = np.floor(v / to_nearest + 0.5) * to_nearest
+            else:
+                v = _MATH_FNS[name](v)
+        df["value"] = v
+        df["name"] = None  # PromQL: math functions drop __name__
+        df["sig"] = compute_sig(df, inner.label_cols, name_col=False)
+        df = df.sort_values(["tick", "sig"], kind="stable")
+        df = _rank_within_tick(df)
+        cols = ["tick", "value", "name", *[L(c) for c in inner.label_cols],
+                "sig", "ord"]
+        return VectorStream("instant", inner.ticks, df[cols], inner.label_cols)
+
+    if name in ("sort", "sort_desc"):
+        # presentation-order only: keep __name__ and sigs, reorder rows
+        # within each tick by value (NaN last, numpy default)
+        v = df["value"].to_numpy(dtype=np.float64)
+        order = np.argsort(-v if name == "sort_desc" else v, kind="stable")
+        # -v flips NaN to the front; push NaN rows last explicitly
+        if name == "sort_desc":
+            nan_mask = np.isnan(v[order])
+            order = np.concatenate([order[~nan_mask], order[nan_mask]])
+        df = df.iloc[order]
+        df = df.sort_values("tick", kind="stable")  # group ticks, keep value order
+        df = _rank_within_tick(df)
+        cols = ["tick", "value", "name", *[L(c) for c in inner.label_cols],
+                "sig", "ord"]
+        return VectorStream("instant", inner.ticks, df[cols], inner.label_cols)
+
+    if name == "absent":
+        return _eval_absent(inner, node)
+
+    if name == "histogram_quantile":
+        return _eval_histogram_quantile(scalar(args[0]), inner)
 
     if name in ("clamp", "clamp_max", "clamp_min"):
         v = df["value"].to_numpy(dtype=np.float64)
@@ -819,11 +1034,21 @@ def eval_function(
 ) -> VectorStream:
     name = node.name
     if name in EXTENSION_FNS and extensions:
-        return _eval_ext_function(name, args)
-    if name not in OVER_TIME_FNS:
+        return _eval_ext_function(name, args, node)
+    ext_ot = extensions and name in EXT_OVER_TIME_FNS
+    if name not in OVER_TIME_FNS and not ext_ot:
         raise QueryError(f"function {name!r} is not implemented (coming soon...)")
-    (inner,) = args
-    if isinstance(inner, ScalarStream) or inner.kind != "range":
+    if ext_ot:
+        inner = next((a for a in args if isinstance(a, VectorStream)), None)
+        nums = [
+            a.value if isinstance(a, ScalarStream) else float(a)
+            for a in args
+            if not isinstance(a, VectorStream)
+        ]
+    else:
+        (inner,) = args
+        nums = []
+    if inner is None or isinstance(inner, ScalarStream) or inner.kind != "range":
         raise QueryError(f"{name} expects a range vector argument")
     df = inner.df
     if df.empty:
@@ -831,15 +1056,22 @@ def eval_function(
             columns=["tick", "value", "name", *[L(c) for c in inner.label_cols], "sig", "ord"]
         )
         return VectorStream("instant", inner.ticks, out, inner.label_cols)
-    # order by arrival (seq alone — the reference's deque is pure push
-    # order, vector.rs:225-236) so 'oldest' = first-pushed exactly
-    df = df.sort_values(["tick", "sig", "seq"], kind="stable")
+    if ext_ot:
+        # the PromQL extension kernels are time-ordered (deriv, irate,
+        # holt_winters are defined over chronological points)
+        df = df.sort_values(["tick", "sig", "ts", "seq"], kind="stable")
+    else:
+        # order by arrival (seq alone — the reference's deque is pure push
+        # order, vector.rs:225-236) so 'oldest' = first-pushed exactly
+        df = df.sort_values(["tick", "sig", "seq"], kind="stable")
     # positional/NaN-exact kernels: pandas groupby sum/first/last skip
     # NaN, the reference does not (f64 `.sum()` propagates NaN; min/max
     # fold from +-inf with NaN-skipping f64::min/max — function.rs:49-64)
     tick_a = df["tick"].to_numpy()
     sig_a = df["sig"].to_numpy()
     vals = df["value"].to_numpy(dtype=np.float64)
+    ts_a = df["ts"].to_numpy() if "ts" in df.columns else tick_a
+    keep = None  # EXT kernels may drop segments (e.g. <2 samples)
     boundary = np.nonzero((tick_a[1:] != tick_a[:-1]) | (sig_a[1:] != sig_a[:-1]))[0] + 1
     starts = np.concatenate(([0], boundary))
     counts = np.diff(np.concatenate((starts, [len(vals)])))
@@ -867,12 +1099,90 @@ def eval_function(
         # OLDEST sample (newest-first storage + .last()); our
         # first_over_time extension is the same value by construction
         val = vals[starts]
+    elif name in ("stddev_over_time", "stdvar_over_time"):
+        # population variance (PromQL), two-pass for accuracy
+        mean = np.add.reduceat(vals, starts) / n
+        dev = vals - np.repeat(mean, counts)
+        var = np.add.reduceat(dev * dev, starts) / n
+        val = var if name == "stdvar_over_time" else np.sqrt(var)
+    elif name == "present_over_time":
+        val = np.ones(len(starts), dtype=np.float64)
+    elif name == "quantile_over_time":
+        phi = nums[0]
+        val = np.array(
+            [_promql_quantile(phi, vals[st : st + c]) for st, c in zip(starts, counts)]
+        )
+    elif name in ("changes", "resets"):
+        a, b = vals[:-1], vals[1:]
+        if name == "changes":
+            # NaN→NaN is not a change; NaN↔x is (PromQL)
+            pair = (a != b) & ~(np.isnan(a) & np.isnan(b))
+        else:
+            with np.errstate(invalid="ignore"):
+                pair = b < a  # counter reset
+        flags = np.concatenate(([0.0], pair.astype(np.float64)))
+        flags[starts] = 0.0  # pairs never span segment boundaries
+        val = np.add.reduceat(flags, starts)
+    elif name in ("irate", "idelta"):
+        # last two chronological samples; <2 samples or 0 dt → no output
+        keep = counts >= 2
+        prev = np.maximum(ends - 1, 0)
+        dv = vals[ends] - vals[prev]
+        dt = (ts_a[ends] - ts_a[prev]) / 1000.0
+        keep &= dt > 0
+        if name == "irate":
+            with np.errstate(invalid="ignore"):
+                reset = vals[ends] < vals[prev]
+            dv = np.where(reset, vals[ends], dv)  # counter reset → newest
+            with np.errstate(divide="ignore", invalid="ignore"):
+                val = dv / dt
+        else:
+            val = dv
+    elif name in ("deriv", "predict_linear"):
+        # least-squares fit y = a + b·x; deriv's slope is shift-invariant
+        # so x anchors at the window's first sample; predict_linear
+        # anchors at the tick (PromQL: x = ts - eval_ts, predict at t)
+        keep = counts >= 2
+        if name == "deriv":
+            ref_t = ts_a[starts]
+        else:
+            ref_t = agg["tick"].to_numpy()
+        x = (ts_a - np.repeat(ref_t, counts)) / 1000.0
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(vals, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        sxy = np.add.reduceat(x * vals, starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            intercept = (sy - slope * sx) / n
+            val = slope if name == "deriv" else intercept + slope * nums[0]
+    elif name == "holt_winters":
+        # double exponential smoothing, sequential by definition
+        # (post-rollup driver stream — segment loop, numpy inner state)
+        sf, tf = nums[0], nums[1]
+        keep = counts >= 2
+        val = np.full(len(starts), np.nan)
+        for i, (st, c) in enumerate(zip(starts, counts)):
+            if c < 2:
+                continue
+            seg = vals[st : st + c]
+            s0, s1, b = 0.0, seg[0], seg[1] - seg[0]
+            for j in range(1, c):
+                xx = sf * seg[j]
+                if j - 1 > 0:
+                    b = tf * (s1 - s0) + (1.0 - tf) * b
+                yy = (1.0 - sf) * (s1 + b)
+                s0, s1 = s1, xx + yy
+            val[i] = s1
     else:  # rate / increase / delta extensions
         diff = vals[ends] - vals[starts]
         if name == "rate":
             val = diff / (node_range_ms / 1000.0)
         else:
             val = diff
+    if keep is not None and not bool(keep.all()):
+        val = val[keep]
+        agg = agg[keep]
     out = agg[["tick", *[L(c) for c in inner.label_cols]]].copy()
     out["value"] = val
     out["name"] = None  # all *_over_time drop __name__ (function.rs:49)

@@ -93,14 +93,48 @@ FUNC_NAMES = [
     "label_replace",
     "vector",
 ]
+# Extension-only function names — NOT in the reference's FunctionName
+# enum (src/query/parser/ast.rs:294-331), so by default they must fail
+# to parse exactly like any unknown identifier followed by '(' does in
+# the reference.  ``parse_expr(..., extensions=True)`` turns them on.
+EXT_FUNC_NAMES = [
+    # elementwise instant-vector math (PromQL semantics)
+    "absent",
+    "abs",
+    "ceil",
+    "floor",
+    "round",
+    "sqrt",
+    "exp",
+    "ln",
+    "log2",
+    "log10",
+    "sgn",
+    "sort_desc",
+    "sort",
+    "histogram_quantile",
+    # windowed (range-vector) kernels
+    "stddev_over_time",
+    "stdvar_over_time",
+    "present_over_time",
+    "quantile_over_time",
+    "deriv",
+    "predict_linear",
+    "holt_winters",
+    "changes",
+    "resets",
+    "irate",
+    "idelta",
+]
 BINARY_OPS = ["==", ">=", "<=", "!=", "+", "-", "*", "/", "%", "^", ">", "<"]
 WORD_OPS = ["and", "unless", "or"]
 
 
 class _P:
-    def __init__(self, text: str):
+    def __init__(self, text: str, extensions: bool = False):
         self.t = text
         self.i = 0
+        self.extensions = extensions
 
     # -- low-level helpers --------------------------------------------------
     def ws(self):
@@ -276,7 +310,8 @@ class _P:
     def _function_call(self):
         save = self.i
         self.ws()
-        for name in FUNC_NAMES:
+        names = FUNC_NAMES + EXT_FUNC_NAMES if self.extensions else FUNC_NAMES
+        for name in names:
             if self.t[self.i : self.i + len(name)].lower() == name:
                 j = self.i + len(name)
                 # must be a call: identifier must end here and '(' must follow
@@ -307,8 +342,64 @@ class _P:
             "rate",
             "increase",
             "delta",
+            # extension single-expr functions
+            "abs",
+            "absent",
+            "ceil",
+            "floor",
+            "sqrt",
+            "exp",
+            "ln",
+            "log2",
+            "log10",
+            "sgn",
+            "sort",
+            "sort_desc",
+            "stddev_over_time",
+            "stdvar_over_time",
+            "present_over_time",
+            "deriv",
+            "changes",
+            "resets",
+            "irate",
+            "idelta",
         ):
             return [self.expr(None)]
+        if name == "round":
+            # round(v [, to_nearest])
+            args: list = [self.expr(None)]
+            if self.eat(","):
+                n = self._number()
+                if n is None:
+                    raise ParseError("round: expected number literal", self.i)
+                args.append(n)
+            return args
+        if name in ("histogram_quantile", "quantile_over_time"):
+            # (phi, v)
+            n = self._number()
+            if n is None:
+                raise ParseError(f"{name}: expected number literal", self.i)
+            self.expect(",", "function call")
+            return [n, self.expr(None)]
+        if name == "predict_linear":
+            # (v, t_seconds)
+            args = [self.expr(None)]
+            self.expect(",", "function call")
+            n = self._number()
+            if n is None:
+                raise ParseError("predict_linear: expected number literal", self.i)
+            args.append(n)
+            return args
+        if name == "holt_winters":
+            # (v, smoothing_factor, trend_factor)
+            args = [self.expr(None)]
+            for _ in range(2):
+                self.expect(",", "function call")
+                n = self._number()
+                if n is None:
+                    raise ParseError("holt_winters: expected number literal", self.i)
+                args.append(n)
+            return args
         if name == "vector":
             n = self._number()
             if n is None:
@@ -461,8 +552,8 @@ class _P:
             return out
 
 
-def parse_expr(text: str):
-    p = _P(text)
+def parse_expr(text: str, extensions: bool = False):
+    p = _P(text, extensions=extensions)
     e = p.expr(None)
     p.ws()
     if p.i != len(p.t):

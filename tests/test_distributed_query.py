@@ -175,3 +175,55 @@ def test_distributed_equals_local_random_streams(ray_session, seed):
         assert np.allclose(
             a["value"].to_numpy(dtype=float), b["value"].to_numpy(dtype=float)
         ), (seed, q)
+
+
+EXT_QUERIES = [
+    "abs(-m)",
+    "ceil(m / 7)",
+    "round(m, 0.5)",
+    "sqrt(m)",
+    "sort_desc(sum(m) by (lab))",
+]
+
+
+@pytest.mark.parametrize("q", EXT_QUERIES)
+def test_distributed_instant_extensions_equal_local(ray_session, samples_df, q):
+    # instant-vector extension fns run on the post-rollup driver stream,
+    # so the distributed evaluator shares the exact local code path
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(
+            samples=samples_df, label_cols=["job", "lab"],
+            interval=INTERVAL, lookback=INTERVAL, extensions=True,
+        ),
+    )
+    ds = rd.from_pandas(samples_df).repartition(6)
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(
+            ds, ["job", "lab"], INTERVAL, INTERVAL, num_buckets=8,
+            extensions=True,
+        ),
+    )
+    lcols = ["tick", "value", "sig"]
+    a = local.df[lcols].sort_values(["tick", "sig", "value"]).reset_index(drop=True)
+    b = dist.df[lcols].sort_values(["tick", "sig", "value"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert np.allclose(a["value"].to_numpy(), b["value"].to_numpy(), equal_nan=True)
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all()
+
+
+def test_distributed_ext_over_time_raises_typed_error(ray_session, samples_df):
+    from pq_ray.query.engine import QueryError
+
+    expr = parse_expr("deriv(m[2s])", extensions=True)
+    ds = rd.from_pandas(samples_df).repartition(4)
+    with pytest.raises(QueryError, match="local-engine extension"):
+        evaluate_distributed(
+            expr,
+            DistributedContext(
+                ds, ["job", "lab"], INTERVAL, INTERVAL, num_buckets=4,
+                extensions=True,
+            ),
+        )

@@ -218,3 +218,179 @@ def test_function_extensions_gated():
               'label_replace(m, "d", "$1", "l", "(.*)")'):
         with pytest.raises(QueryError):
             evaluate(parse_expr(q), _ctx(rows, extensions=False))
+
+
+# ---------------------------------------------------------------------------
+# round-3 extension batch: math / sort / absent / histogram_quantile and the
+# windowed PromQL kernels (deriv, predict_linear, holt_winters, changes,
+# resets, irate, idelta, stddev/stdvar/quantile/present _over_time).
+# None of these names exist in the reference's FunctionName enum
+# (src/query/parser/ast.rs:294-331) so they are gated at PARSE time.
+# ---------------------------------------------------------------------------
+
+from pq_ray.query.parser import ParseError
+
+
+def _pe(q):
+    return parse_expr(q, extensions=True)
+
+
+MATH_ROWS = [(5000, "m", -1.5, "a"), (5100, "m", 2.25, "b"), (5200, "m", 9.0, "c")]
+
+
+def test_new_function_names_gated_at_parse_time():
+    # default mode: unknown identifier + '(' fails exactly like any
+    # non-function name in the reference grammar
+    for q in ("abs(m)", "deriv(m[1s])", "histogram_quantile(0.9, h)",
+              "sort(m)", "absent(m)"):
+        with pytest.raises(ParseError):
+            parse_expr(q)
+
+
+def test_math_functions():
+    ctx = _ctx(MATH_ROWS)
+    assert _tick_vals(evaluate(_pe("abs(m)"), ctx), 5999) == [1.5, 2.25, 9.0]
+    assert _tick_vals(evaluate(_pe("ceil(m)"), ctx), 5999) == [-1.0, 3.0, 9.0]
+    assert _tick_vals(evaluate(_pe("floor(m)"), ctx), 5999) == [-2.0, 2.0, 9.0]
+    assert _tick_vals(evaluate(_pe("sgn(m)"), ctx), 5999) == [-1.0, 1.0, 1.0]
+    # round: floor(v/t + 0.5)*t — ties away from -inf like Prometheus
+    assert _tick_vals(evaluate(_pe("round(m)"), ctx), 5999) == [-1.0, 2.0, 9.0]
+    assert _tick_vals(evaluate(_pe("round(m, 0.5)"), ctx), 5999) == [-1.5, 2.5, 9.0]
+    sq = _tick_vals(evaluate(_pe("sqrt(m)"), ctx), 5999)
+    assert np.isnan(sq[-1]) or np.isnan(sq[0])  # sqrt(-1.5) = NaN
+    s = evaluate(_pe("sqrt(m)"), ctx)
+    good = s.df[s.df["value"].notna()]["value"].tolist()
+    assert sorted(good) == [1.5, 3.0]
+    # ln(0) = -inf, math fns drop __name__
+    z = evaluate(_pe("ln(m)"), _ctx([(5000, "m", 0.0, "a")]))
+    assert z.df["value"].iloc[0] == -np.inf
+    assert z.df["name"].isna().all() or (z.df["name"] == None).all()  # noqa: E711
+
+
+def test_log_family():
+    ctx = _ctx([(5000, "m", 8.0, "a"), (5100, "m", 100.0, "b")])
+    assert _tick_vals(evaluate(_pe("log2(m)"), ctx), 5999) == [3.0, np.log2(100.0)]
+    assert _tick_vals(evaluate(_pe("log10(m)"), ctx), 5999) == [np.log10(8.0), 2.0]
+    assert _tick_vals(evaluate(_pe("exp(ln(m))"), ctx), 5999) == pytest.approx([8.0, 100.0])
+
+
+def test_sort_and_sort_desc_presentation_order():
+    ctx = _ctx(MATH_ROWS)
+    s = evaluate(_pe("sort(m)"), ctx)
+    g = s.df[s.df["tick"] == 5999].sort_values("ord")
+    assert list(g["value"]) == [-1.5, 2.25, 9.0]
+    assert set(g["name"]) == {"m"}  # sort keeps __name__
+    d = evaluate(_pe("sort_desc(m)"), ctx)
+    gd = d.df[d.df["tick"] == 5999].sort_values("ord")
+    assert list(gd["value"]) == [9.0, 2.25, -1.5]
+
+
+def test_absent_fills_grid_gaps_with_matcher_labels():
+    # samples at 5000 and 7500 → ticks 5999/6999/7999; 6999 is empty
+    rows = [(5000, "m", 1.0, "a"), (7500, "m", 2.0, "a")]
+    s = evaluate(_pe('absent(m{l="a"})'), _ctx(rows))
+    assert s.df["tick"].tolist() == [6999]
+    assert s.df["value"].tolist() == [1.0]
+    assert s.df["l_l"].tolist() == ["a"]  # equality matcher becomes the label
+    # fully-present series → absent is empty
+    dense = [(5000, "m", 1.0, "a"), (5900, "m", 1.0, "a")]
+    s2 = evaluate(_pe('absent(m{l="a"})'), _ctx(dense))
+    assert len(s2.df) == 0
+    # selector matching NOTHING has no data-anchored grid (documented
+    # divergence from PromQL's query-range grid): empty result
+    s3 = evaluate(_pe('absent(nosuch{job="x"})'), _ctx(rows))
+    assert len(s3.df) == 0
+
+
+def test_histogram_quantile():
+    # two label groups of cumulative le-buckets at one tick
+    rows = [
+        (5000, "h", 1.0, "0.1", "x"), (5000, "h", 3.0, "1", "x"),
+        (5000, "h", 4.0, "+Inf", "x"),
+        (5000, "h", 2.0, "0.1", "y"), (5000, "h", 2.0, "1", "y"),
+        (5000, "h", 4.0, "+Inf", "y"),
+    ]
+    ctx = _ctx(rows, label_cols=("le", "job"))
+    s = evaluate(_pe("histogram_quantile(0.5, h)"), ctx)
+    g = s.df.sort_values("l_job")
+    # x: rank 2 in bucket (0.1, 1]: 0.1 + 0.9 * (2-1)/(3-1) = 0.55
+    # y: rank 2 lands in the FIRST bucket with le > 0 → interpolate from 0
+    assert list(g["l_job"]) == ["x", "y"]
+    assert g["value"].tolist() == pytest.approx([0.55, 0.1])
+    # le dropped from the output labelset, __name__ dropped
+    assert "l_le" not in s.df.columns or s.df.get("l_le") is None
+    assert s.df["name"].isna().all() or (s.df["name"] == None).all()  # noqa: E711
+    # phi out of range
+    lo = evaluate(_pe("histogram_quantile(-1, h)"), ctx)
+    assert (lo.df["value"] == -np.inf).all()
+    hi = evaluate(_pe("histogram_quantile(2, h)"), ctx)
+    assert (hi.df["value"] == np.inf).all()
+    # +Inf bucket target → highest finite upper bound
+    top = evaluate(_pe("histogram_quantile(1, h)"), ctx)
+    assert top.df["value"].tolist() == pytest.approx([1.0, 1.0])
+    # no +Inf bucket → NaN
+    rows_noinf = [(5000, "h", 1.0, "0.1", "x"), (5000, "h", 3.0, "1", "x")]
+    ni = evaluate(_pe("histogram_quantile(0.5, h)"), _ctx(rows_noinf, label_cols=("le", "job")))
+    assert np.isnan(ni.df["value"]).all()
+
+
+# windowed kernels: samples at 5000(v=1), 5400(v=4), 5800(v=2) in one
+# 1s window (tick 5999); hand-computed expectations
+WROWS = [(5000, "m", 1.0, "a"), (5400, "m", 4.0, "a"), (5800, "m", 2.0, "a")]
+
+
+def _wval(q, rows=None):
+    s = evaluate(_pe(q), _ctx(rows or WROWS))
+    g = s.df[s.df["tick"] == 5999]
+    return g["value"].tolist()
+
+
+def test_deriv_and_predict_linear():
+    # x = (0, 0.4, 0.8)s, y = (1, 4, 2): slope = 1.25
+    assert _wval("deriv(m[1s])") == pytest.approx([1.25])
+    # predict_linear anchors x at the tick (5999ms), predicts at +1s
+    assert _wval("predict_linear(m[1s], 1)") == pytest.approx([4.33208333], abs=1e-6)
+    # <2 samples → series dropped
+    assert _wval("deriv(m[1s])", [(5000, "m", 1.0, "a")]) == []
+
+
+def test_windowed_moments_and_quantile():
+    assert _wval("stdvar_over_time(m[1s])") == pytest.approx([14.0 / 9.0])
+    assert _wval("stddev_over_time(m[1s])") == pytest.approx([np.sqrt(14.0 / 9.0)])
+    assert _wval("quantile_over_time(0.5, m[1s])") == [2.0]
+    assert _wval("present_over_time(m[1s])") == [1.0]
+
+
+def test_changes_and_resets():
+    assert _wval("changes(m[1s])") == [2.0]  # 1→4, 4→2
+    assert _wval("resets(m[1s])") == [1.0]  # 4→2
+    # NaN→NaN is not a change; NaN↔x is
+    rows = [(5000, "m", np.nan, "a"), (5300, "m", np.nan, "a"),
+            (5600, "m", 1.0, "a")]
+    assert _wval("changes(m[1s])", rows) == [1.0]
+
+
+def test_irate_and_idelta():
+    # last two chronological samples: (5400, 4) → (5800, 2), dt=0.4s
+    # irate sees a counter reset (2 < 4) → increase = newest = 2 → 5.0/s
+    assert _wval("irate(m[1s])") == pytest.approx([5.0])
+    assert _wval("idelta(m[1s])") == [-2.0]
+    # monotone counter: plain diff / dt
+    up = [(5000, "m", 1.0, "a"), (5500, "m", 3.0, "a")]
+    assert _wval("irate(m[1s])", up) == pytest.approx([4.0])
+    # <2 samples → dropped
+    assert _wval("irate(m[1s])", [(5000, "m", 1.0, "a")]) == []
+
+
+def test_holt_winters():
+    # sf=tf=0.5 over (1, 4, 2): s1=4.5 (hand-rolled Prometheus recurrence)
+    assert _wval("holt_winters(m[1s], 0.5, 0.5)") == pytest.approx([4.5])
+    assert _wval("holt_winters(m[1s], 0.5, 0.5)", [(5000, "m", 1.0, "a")]) == []
+
+
+def test_ext_functions_compose_with_aggregates():
+    rows = [(5000, "m", -2.0, "a"), (5100, "m", 3.0, "b")]
+    s = evaluate(_pe("sum(abs(m))"), _ctx(rows))
+    assert _tick_vals(s, 5999) == [5.0]
+    s2 = evaluate(_pe("abs(m) > 2.5"), _ctx(rows))
+    assert _tick_vals(s2, 5999) == [3.0]
