@@ -77,6 +77,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(logs.QUERIES)
     except ImportError:
         pass
+    try:
+        from pq_ray.pipelines import relational
+
+        out.update(relational.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -109,6 +115,12 @@ def oracle_sql() -> dict[str, str]:
         from pq_ray.pipelines import logs
 
         out.update(logs.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from pq_ray.pipelines import relational
+
+        out.update(relational.ORACLES)
     except ImportError:
         pass
     return out

@@ -1,0 +1,299 @@
+"""Relational queries over the TPC-H-shaped tables: the join + partial
+aggregation surface of the engine.
+
+Three oracle-gated queries, each exercising a join operator in the role
+it keeps at 100 TB (stages/join.py):
+
+- ``tpch_q1``         pure partial aggregation over the widest fact
+  table: per-batch Arrow group_by collapses each block to ≤6 rows
+  BEFORE anything leaves the map side, the driver folds ≤ 6×|blocks|
+  partial rows.  No exchange at all — the textbook
+  combine-before-shuffle plan for low-cardinality group keys.
+- ``tpch_rev_by_nation``   fact-fact SHUFFLE join (orders ⋈ customer,
+  both sides grow with scale → each moves exactly once through the
+  hash exchange) followed by a dimension BROADCAST join (⋈ nation,
+  25 rows → ray.put once), then the same partial-agg fold.
+- ``tpch_building_orders`` broadcast LEFT SEMI join: the filtered
+  customer-key set ships once, each orders batch keeps matching rows
+  with Arrow's semi join — the distributed form of
+  ``WHERE key IN (subquery)``.
+
+Determinism note: monetary/quantity columns carry exactly 2 decimal
+digits, so every aggregate here is computed over INTEGER-scaled values
+(cents; 1e-4 / 1e-6 units for the discount/charge products).  Integer
+sums are fold-order independent — a float sum's low bits would depend
+on Ray's block arrival order, and at sum_charge's ~1e9 magnitude that
+nondeterminism crosses any fixed rounding step (observed: the same
+query flipping a ROUND(x, 2) digit between runs).  The final division
+back to dollars is a single correctly-rounded IEEE op of exact
+operands, which equals DuckDB's DECIMAL→DOUBLE cast bit-for-bit while
+the integer sums stay below 2^53 (true through sf≈100; beyond that the
+partials would widen to int128/decimal, same plan).
+
+The reference engine has no relational joins (its only join is the
+per-tick vector match, src/query/value.rs:69); this family is part of
+the training-data surface, where enrichment joins are routine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..sources.readers import small_input_blocks
+from ..stages.join import broadcast_join, shuffle_join
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    path = f"{sf_dir}/{table}.parquet"
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=small_input_blocks(path)
+    )
+
+
+def _cents(arr: pa.ChunkedArray) -> np.ndarray:
+    """Exact integer cents of a 2-decimal double column."""
+    return np.rint(arr.to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# tpch_q1: pricing summary — partial aggregation, no exchange
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF_US = np.datetime64("1998-09-02T00:00:00", "us")
+
+
+def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary: group lineitem by
+    (returnflag, linestatus) with sum/avg/count aggregates.
+
+    Per-batch Arrow group_by → ≤6 partial rows per block; the driver
+    folds the tiny partial stream.  Scale-safe: wire volume is
+    6 × |blocks| rows regardless of |lineitem|.
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(_Q1_CUTOFF_US)))
+        q100 = _cents(t["l_quantity"])
+        p100 = _cents(t["l_extendedprice"])
+        d100 = _cents(t["l_discount"])  # discount in percent points
+        t100 = _cents(t["l_tax"])
+        disc_price_e4 = p100 * (100 - d100)  # 1e-4 dollar units
+        charge_e6 = disc_price_e4 * (100 + t100)  # 1e-6 dollar units
+        keyed = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "q100": pa.array(q100),
+                "p100": pa.array(p100),
+                "dp_e4": pa.array(disc_price_e4),
+                "ch_e6": pa.array(charge_e6),
+                "d100": pa.array(d100),
+            }
+        )
+        return keyed.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("q100", "sum"),
+                ("p100", "sum"),
+                ("dp_e4", "sum"),
+                ("ch_e6", "sum"),
+                ("d100", "sum"),
+                ("q100", "count"),
+            ]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = (
+        parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .sum(numeric_only=True)
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    n = g["q100_count"].to_numpy().astype(np.int64)
+    return pd.DataFrame(
+        {
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["q100_sum"].to_numpy() / 100.0,
+            "sum_base_price": g["p100_sum"].to_numpy() / 100.0,
+            "sum_disc_price": g["dp_e4_sum"].to_numpy() / 1e4,
+            "sum_charge": g["ch_e6_sum"].to_numpy() / 1e6,
+            "avg_qty": g["q100_sum"].to_numpy() / (100.0 * n),
+            "avg_price": g["p100_sum"].to_numpy() / (100.0 * n),
+            "avg_disc": g["d100_sum"].to_numpy() / (100.0 * n),
+            "count_order": n,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_rev_by_nation: shuffle join (fact-fact) + broadcast join (dimension)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_rev_by_nation(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Order revenue per nation: orders ⋈ customer ⋈ nation.
+
+    orders and customer both scale with SF → shuffle join (each side
+    crosses the wire once, co-partitioned on custkey); nation is 25
+    rows → broadcast.  The aggregate then folds per batch to ≤25 rows.
+    """
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = shuffle_join(
+        orders, cust, "o_custkey", "c_custkey", num_buckets=num_buckets
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    enriched = broadcast_join(
+        joined, nation, keys="c_nationkey", right_keys="n_nationkey"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keyed = pa.table(
+            {"n_name": t["n_name"], "cents": pa.array(_cents(t["o_totalprice"]))}
+        )
+        return keyed.group_by(["n_name"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    parts = enriched.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = (
+        parts.groupby("n_name", as_index=False)
+        .sum(numeric_only=True)
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "n_name": g["n_name"],
+            "revenue": g["cents_sum"].to_numpy() / 100.0,
+            "n_orders": g["cents_count"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# tpch_building_orders: broadcast semi join (distributed IN-subquery)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_building_orders(sf_dir: str) -> pd.DataFrame:
+    """Orders of BUILDING-segment customers, summarized by priority.
+
+    The filtered customer-key set is broadcast once; each orders batch
+    keeps matching rows via Arrow's left-semi join.  At 100 TB the
+    filtered key set is the SMALL side by construction (one segment of
+    one dimension); if it ever outgrows worker heaps the same query
+    routes through shuffle_join(join_type="left semi").
+    """
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(
+        ["c_custkey"]
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+    sem = broadcast_join(
+        orders, keys, keys="o_custkey", right_keys="c_custkey", join_type="left semi"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keyed = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": pa.array(_cents(t["o_totalprice"])),
+            }
+        )
+        return keyed.group_by(["o_orderpriority"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    parts = sem.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = (
+        parts.groupby("o_orderpriority", as_index=False)
+        .sum(numeric_only=True)
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "o_orderpriority": g["o_orderpriority"],
+            "total_price": g["cents_sum"].to_numpy() / 100.0,
+            "n_orders": g["cents_count"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_rev_by_nation": q_tpch_rev_by_nation,
+    "tpch_building_orders": q_tpch_building_orders,
+}
+
+# The oracles mirror the integer-exact plan: aggregates run over
+# DECIMAL casts (exact), and the ×100 numerator trick makes each AVG a
+# single correctly-rounded double division on both sides.
+ORACLES = {
+    "tpch_q1": """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               CAST(100 * SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   / (100.0 * COUNT(*)) AS avg_qty,
+               CAST(100 * SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / (100.0 * COUNT(*)) AS avg_price,
+               CAST(100 * SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                   / (100.0 * COUNT(*)) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_rev_by_nation": """
+        SELECT n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    "tpch_building_orders": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+}

@@ -1,0 +1,135 @@
+"""Join stages (broadcast / shuffle) and the TPC-H-shaped relational
+queries, pinned to DuckDB oracles at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pq_ray.pipelines import relational as rel
+from pq_ray.stages.join import broadcast_join, shuffle_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _assert_frames_equal(mine: pd.DataFrame, oracle: pd.DataFrame):
+    assert list(sorted(mine.columns)) == list(sorted(oracle.columns))
+    mine = mine[sorted(mine.columns)].reset_index(drop=True)
+    oracle = oracle[sorted(oracle.columns)].reset_index(drop=True)
+    assert len(mine) == len(oracle)
+    for c in mine.columns:
+        if np.issubdtype(mine[c].dtype, np.number):
+            assert np.array_equal(
+                mine[c].to_numpy(), oracle[c].to_numpy(), equal_nan=True
+            ), c
+        else:
+            assert (mine[c].astype(str) == oracle[c].astype(str)).all(), c
+
+
+@pytest.mark.parametrize("name", sorted(rel.QUERIES))
+def test_relational_queries_match_oracle(ray_session, name):
+    _assert_frames_equal(rel.QUERIES[name](SF_DIR), _oracle(rel.ORACLES[name]))
+
+
+# ---------------------------------------------------------------------------
+# join stage units
+# ---------------------------------------------------------------------------
+
+
+def _left_table(n=1000, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+            "v": pa.array(rng.normal(size=n)),
+        }
+    )
+
+
+def _right_table():
+    return pa.table(
+        {
+            "rk": pa.array(np.arange(0, 40, dtype=np.int64)),
+            "tag": pa.array([f"t{i % 5}" for i in range(40)]),
+        }
+    )
+
+
+def test_shuffle_join_equals_broadcast_join(ray_session):
+    left, right = _left_table(), _right_table()
+    b = (
+        broadcast_join(
+            rd.from_arrow(left).repartition(4), right, keys="k", right_keys="rk"
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    s = (
+        shuffle_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(2),
+            "k",
+            "rk",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    # keys 40..49 have no right match → dropped by inner join
+    assert (b["k"] < 40).all()
+    assert len(b) == len(s)
+    pd.testing.assert_frame_equal(b[["k", "v", "tag"]], s[["k", "v", "tag"]])
+
+
+def test_broadcast_join_types(ray_session):
+    left = pa.table({"k": pa.array([1, 2, 3, 99], type=pa.int64()),
+                     "v": pa.array([1.0, 2.0, 3.0, 4.0])})
+    right = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                      "tag": pa.array(["a", "b", "c"])})
+    ds = rd.from_arrow(left).repartition(2)
+    semi = broadcast_join(ds, right.select(["k"]), keys="k", join_type="left semi")
+    assert sorted(semi.to_pandas()["k"].tolist()) == [1, 2, 3]
+    anti = broadcast_join(ds, right.select(["k"]), keys="k", join_type="left anti")
+    assert anti.to_pandas()["k"].tolist() == [99]
+    outer = broadcast_join(ds, right, keys="k", join_type="left outer").to_pandas()
+    assert len(outer) == 4
+    assert outer.loc[outer["k"] == 99, "tag"].isna().all()
+
+
+def test_shuffle_join_string_keys(ray_session):
+    left = pa.table({"s": pa.array(["a", "b", "c", "a", "zz"]),
+                     "v": pa.array([1, 2, 3, 4, 5], type=pa.int64())})
+    right = pa.table({"s": pa.array(["a", "b", "c"]),
+                      "w": pa.array([10, 20, 30], type=pa.int64())})
+    out = (
+        shuffle_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right),
+            "s",
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["s", "v"])
+        .reset_index(drop=True)
+    )
+    assert out["s"].tolist() == ["a", "a", "b", "c"]
+    assert out["w"].tolist() == [10, 10, 20, 30]
+
+
+def test_driver_contract_includes_relational():
+    import __ray_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    for name in rel.QUERIES:
+        assert name in qs and name in os_
