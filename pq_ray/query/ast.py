@@ -106,6 +106,19 @@ class FunctionCall:
     args: tuple = ()  # mix of Expr / float / str
 
 
+@dataclass(frozen=True)
+class Subquery:
+    """EXTENSION — PromQL subquery ``<expr>[range:step]``: evaluate the
+    inner expression on a step-spaced tick grid, then re-window those
+    points into range-vector segments on the outer query's grid.  Not
+    part of the reference grammar (src/query/parser/vector.rs has no
+    ':' production) — parse_expr(extensions=True) only."""
+
+    expr: "Expr"
+    range_ms: int
+    step_ms: int
+
+
 Expr = (
     NumberLiteral
     | VectorSelector
@@ -114,6 +127,7 @@ Expr = (
     | Binary
     | Aggregate
     | FunctionCall
+    | Subquery
 )
 
 
@@ -160,6 +174,11 @@ def find_smallest_range_ms(node: Expr) -> int | None:
         return None
     if isinstance(node, VectorSelector):
         return node.range_ms
+    if isinstance(node, Subquery):
+        # the inner expression's own ranges dominate (they're smaller by
+        # construction); a rangeless inner contributes the subquery range
+        inner = find_smallest_range_ms(node.expr)
+        return inner if inner is not None else node.range_ms
     return None
 
 

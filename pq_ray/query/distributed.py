@@ -428,7 +428,14 @@ def evaluate_distributed(node, ctx: DistributedContext):
     # non-leaf nodes: recurse, then reuse the local combinators by
     # dispatching through the local evaluate with pre-computed children
     from . import engine as eng
-    from .ast import Aggregate, Binary, NumberLiteral, Parentheses, Unary
+    from .ast import Aggregate, Binary, NumberLiteral, Parentheses, Subquery, Unary
+
+    if isinstance(node, Subquery):
+        raise QueryError(
+            "subqueries are a local-engine extension: the inner expression "
+            "re-evaluates on a step grid, which the distributed partial "
+            "schema does not cover"
+        )
 
     if isinstance(node, NumberLiteral):
         return ScalarStream(node.value)

@@ -51,6 +51,7 @@ from .ast import (
     FunctionCall,
     NumberLiteral,
     Parentheses,
+    Subquery,
     Unary,
     VectorSelector,
 )
@@ -1199,6 +1200,60 @@ def eval_function(
     )
 
 
+def eval_subquery(node: Subquery, ctx: EvalContext) -> VectorStream:
+    """EXTENSION — ``<expr>[range:step]``: evaluate the inner expression
+    on a step-spaced grid (same data-anchored grid rule as selectors,
+    interval := step), then re-window the resulting points into
+    range-vector segments on the OUTER query's grid — the exact
+    window-explode the range selector uses (each inner point lands in
+    every outer tick whose (T-range, T] window contains its tick)."""
+    from dataclasses import replace
+
+    inner = evaluate(node.expr, replace(ctx, interval=node.step_ms))
+    if isinstance(inner, ScalarStream) or inner.kind != "instant":
+        raise QueryError("subquery expects an instant-vector inner expression")
+    label_cols = inner.label_cols
+    cols = ["tick", "value", "name", *[L(c) for c in label_cols],
+            "sig", "ord", "ts", "seq"]
+    pts = inner.df
+    if pts.empty:
+        return VectorStream("range", inner.ticks, pd.DataFrame(columns=cols), label_cols)
+    pts = pts.sort_values(["tick", "sig"], kind="stable").reset_index(drop=True)
+    ts = pts["tick"].to_numpy()  # each inner point's time IS its tick
+    interval, d = ctx.interval, node.range_ms
+    t0 = ctx.start_at if ctx.start_at is not None else int(ts.min())
+    first = t0 + min(d, interval) - 1
+    last_ts = int(ts.max())
+    k_max = (last_ts + d - 1 - first) // interval
+    if k_max < 0:
+        return VectorStream(
+            "range", np.array([], dtype=np.int64),
+            pd.DataFrame(columns=cols), label_cols,
+        )
+    ticks = first + interval * np.arange(k_max + 1, dtype=np.int64)
+    k_lo = np.maximum(np.ceil((ts - first) / interval).astype(np.int64), 0)
+    k_hi = np.minimum((ts + d - 1 - first) // interval, k_max)
+    reps = np.maximum(k_hi - k_lo + 1, 0)
+    keep = reps > 0
+    total = int(reps[keep].sum())
+    if total == 0:
+        return VectorStream("range", ticks, pd.DataFrame(columns=cols), label_cols)
+    seq = np.arange(len(pts), dtype=np.int64)  # arrival = inner grid order
+    pts, ts, reps, k_lo, seq = pts[keep], ts[keep], reps[keep], k_lo[keep], seq[keep]
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+    )
+    ex = pts.loc[pts.index.repeat(reps)].reset_index(drop=True)
+    ex["tick"] = first + (np.repeat(k_lo, reps) + within) * interval
+    ex["ts"] = np.repeat(ts, reps)
+    ex["seq"] = np.repeat(seq, reps)
+    ex = ex.sort_values(["tick", "sig", "ts", "seq"], kind="stable")
+    ex["ord"] = ex.groupby("tick", sort=False)["sig"].transform(
+        lambda x: pd.factorize(x)[0]
+    )
+    return VectorStream("range", ticks, ex[cols], label_cols)
+
+
 # --------------------------------------------------------------------------
 # top-level evaluation
 # --------------------------------------------------------------------------
@@ -1211,6 +1266,10 @@ def evaluate(node, ctx: EvalContext):
         return evaluate(node.expr, ctx)
     if isinstance(node, VectorSelector):
         return eval_selector(node, ctx)
+    if isinstance(node, Subquery):
+        if not ctx.extensions:
+            raise QueryError("subqueries are an extension (extensions=True)")
+        return eval_subquery(node, ctx)
     if isinstance(node, Unary):
         return eval_unary(node.op, evaluate(node.expr, ctx))
     if isinstance(node, Binary):

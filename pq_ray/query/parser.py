@@ -43,6 +43,7 @@ from .ast import (
     Parentheses,
     Program,
     RegexDecoder,
+    Subquery,
     Unary,
     VectorSelector,
     PRECEDENCE,
@@ -269,15 +270,15 @@ class _P:
         # parens, number literal, unary, vector selector
         fc = self._function_call()
         if fc is not None:
-            return fc
+            return self._maybe_subquery(fc)
         agg = self._aggregate()
         if agg is not None:
-            return agg
+            return self._maybe_subquery(agg)
         if self.peek() == "(":
             self.eat("(")
             inner = self.expr(None)
             self.expect(")", "parentheses")
-            return Parentheses(inner)
+            return self._maybe_subquery(Parentheses(inner))
         num = self._number()
         if num is not None:
             return NumberLiteral(num)
@@ -291,6 +292,29 @@ class _P:
         if sel is not None:
             return sel
         raise ParseError("expected expression", self.i)
+
+    def _maybe_subquery(self, node):
+        """EXTENSION postfix ``[range:step]`` after a function call,
+        aggregate or parenthesized expression.  Step is mandatory (no
+        PromQL default-step shorthand — pq has no global step to fall
+        back on)."""
+        if not self.extensions:
+            return node
+        self.ws()
+        if self.i >= len(self.t) or self.t[self.i] != "[":
+            return node
+        save = self.i
+        self.i += 1
+        d = self.regex(_DURATION)
+        if d is None or self.peek() != ":":
+            self.i = save  # not a subquery — leave for the caller's error
+            return node
+        self.eat(":")
+        s = self.regex(_DURATION)
+        if s is None:
+            raise ParseError("subquery: expected step duration", self.i)
+        self.expect("]", "subquery")
+        return Subquery(node, parse_duration_ms(d), parse_duration_ms(s))
 
     def _number(self) -> float | None:
         save = self.i
@@ -484,13 +508,22 @@ class _P:
         if matchers is None:
             matchers = []
         range_ms = None
+        subquery: tuple[int, int] | None = None
         self.ws()
         if self.i < len(self.t) and self.t[self.i] == "[":
             self.i += 1
             d = self.regex(_DURATION)
             if d is None:
                 raise ParseError("range vector selector: expected duration", self.i)
-            range_ms = parse_duration_ms(d)
+            if self.extensions and self.peek() == ":":
+                # EXTENSION: m[range:step] — subquery over the instant selector
+                self.eat(":")
+                s = self.regex(_DURATION)
+                if s is None:
+                    raise ParseError("subquery: expected step duration", self.i)
+                subquery = (parse_duration_ms(d), parse_duration_ms(s))
+            else:
+                range_ms = parse_duration_ms(d)
             self.expect("]", "range vector selector")
         # VectorSelector::new validation (reference ast.rs:396-410):
         # an explicit metric name plus a __name__ matcher is ambiguous;
@@ -502,7 +535,10 @@ class _P:
             raise ParseError(
                 "vector selector must contain at least one non-empty matcher", self.i
             )
-        return VectorSelector(name, tuple(matchers), range_ms)
+        sel = VectorSelector(name, tuple(matchers), range_ms)
+        if subquery is not None:
+            return Subquery(sel, subquery[0], subquery[1])
+        return sel
 
     @staticmethod
     def _matches_empty(m) -> bool:

@@ -394,3 +394,59 @@ def test_ext_functions_compose_with_aggregates():
     assert _tick_vals(s, 5999) == [5.0]
     s2 = evaluate(_pe("abs(m) > 2.5"), _ctx(rows))
     assert _tick_vals(s2, 5999) == [3.0]
+
+
+# ---------------------------------------------------------------------------
+# subqueries — <expr>[range:step] (EXTENSION; the reference grammar has
+# no ':' production in its range selector, src/query/parser/vector.rs)
+# ---------------------------------------------------------------------------
+
+# counter sampled every 250ms for 4s
+SUBQ_ROWS = [(5000 + i * 250, "m", float(i), "a") for i in range(16)]
+
+
+def test_subquery_gated_at_parse_time():
+    with pytest.raises(ParseError):
+        parse_expr("max_over_time(m[1s:500ms])")
+    with pytest.raises(ParseError):
+        parse_expr("m[1s:500ms]")
+
+
+def test_subquery_over_selector():
+    # inner instant eval at 500ms steps → outer 1s windows; outer grid
+    # anchors at the inner grid's first tick (5499): first outer tick
+    # 6498 covers inner points 5499 (v=1) and 5999 (v=3)
+    s = evaluate(_pe("max_over_time(m[1s:500ms])"), _ctx(SUBQ_ROWS))
+    got = s.df[["tick", "value"]].values.tolist()
+    assert got[:4] == [[6498, 3.0], [7498, 7.0], [8498, 11.0], [9498, 15.0]]
+
+
+def test_subquery_over_aggregate():
+    s = evaluate(_pe("avg_over_time(sum(m)[2s:1s])"), _ctx(SUBQ_ROWS))
+    got = s.df[["tick", "value"]].values.tolist()
+    # inner sum(m) at 1s grid = 3,7,11,15; 2s windows average the pairs
+    assert got[:4] == [[6998, 3.0], [7998, 5.0], [8998, 9.0], [9998, 13.0]]
+
+
+def test_subquery_composes_with_new_kernels():
+    # deriv over a subquery of an aggregate: slope of the inner points
+    s = evaluate(_pe("deriv(sum(m)[2s:1s])"), _ctx(SUBQ_ROWS))
+    g = s.df[s.df["tick"] == 7998]
+    # points (5999, 3), (6999, 7): slope = 4 per second
+    assert g["value"].tolist() == pytest.approx([4.0])
+
+
+def test_subquery_top_level_is_range_vector():
+    s = evaluate(_pe("m[1s:500ms]"), _ctx(SUBQ_ROWS))
+    assert s.kind == "range"
+    # each outer tick's segment carries the inner step points
+    one = s.df[s.df["tick"] == 6498]
+    assert one["value"].tolist() == [1.0, 3.0]
+
+
+def test_subquery_requires_extension_eval():
+    from pq_ray.query.ast import Subquery, VectorSelector
+
+    node = Subquery(VectorSelector("m", (), None), 1000, 500)
+    with pytest.raises(QueryError):
+        evaluate(node, _ctx(SUBQ_ROWS, extensions=False))
