@@ -50,6 +50,10 @@ class VectorSelector:
     name: str | None
     matchers: tuple[LabelMatcher, ...] = ()
     range_ms: int | None = None  # None → instant selector
+    # EXTENSION (reference leaves offset as a TODO, src/query/parser/
+    # expr.rs:33): evaluate the selector `offset_ms` further in the past
+    # — tick T reads samples from (T - d - offset, T - offset].
+    offset_ms: int = 0
 
     def all_matchers(self) -> tuple[LabelMatcher, ...]:
         """Matchers incl. the auto-added __name__ matcher

@@ -36,6 +36,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..model import signature
 from ..stages.exchange import hash_exchange
@@ -126,9 +127,18 @@ def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
     matchers = sel.all_matchers()
     label_cols = ctx.label_cols
 
+    offset_ms = getattr(sel, "offset_ms", 0)
+
     def filter_batch(t: pa.Table) -> pa.Table:
         mask = _matcher_mask(t, matchers)
-        return t.filter(pa.array(mask))
+        t = t.filter(pa.array(mask))
+        if offset_ms and t.num_rows:
+            # offset extension: shift sample ts forward so downstream
+            # windowing reads the (T-d-offset, T-offset] window (same
+            # rule as the local engine, engine.py eval_selector)
+            i = t.schema.get_field_index("ts")
+            t = t.set_column(i, "ts", pc.add(t.column("ts"), offset_ms))
+        return t
 
     filtered = ctx.ds.map_batches(filter_batch, batch_format="pyarrow")
 

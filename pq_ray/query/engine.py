@@ -204,6 +204,12 @@ def eval_selector(sel: VectorSelector, ctx: EvalContext) -> VectorStream:
     matched = s[mask]
     if matched.empty:
         return _empty_vector(kind, label_cols)
+    if getattr(sel, "offset_ms", 0):
+        # offset extension: shifting sample timestamps forward by the
+        # offset makes tick T read the original (T-d-offset, T-offset]
+        # window.  The tick grid stays data-anchored (first *shifted*
+        # sample), consistent with pq's grid rule.
+        matched = matched.assign(ts=matched["ts"] + sel.offset_ms)
 
     ts = matched["ts"].to_numpy()
     t0 = ctx.start_at if ctx.start_at is not None else int(ts.min())
@@ -253,7 +259,11 @@ def eval_selector(sel: VectorSelector, ctx: EvalContext) -> VectorStream:
         ex = ex.groupby(["tick", "sig"], sort=False).tail(1)
         ex = ex.sort_values(["tick", "sig"], kind="stable")
         ex = _rank_within_tick(ex)
-        cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+        # "ts" rides along so the timestamp() extension can read the
+        # sample time; every combinator re-builds its column list, so it
+        # drops past the first non-selector node (PromQL: timestamp()
+        # applies to a selector).
+        cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord", "ts"]
         return VectorStream("instant", ticks, ex[cols], label_cols)
 
     # range vector: keep all window samples; series ordered by sig,
@@ -759,6 +769,15 @@ EXTENSION_FNS = {
     "sort",
     "sort_desc",
     "histogram_quantile",
+    # trig + conversions (elementwise, drop __name__ like the math set)
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "deg", "rad",
+    # time-component family (value = epoch seconds; vector arg REQUIRED)
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year",
+    "timestamp",
+    "label_join",
 }
 
 # range-vector extension kernels: evaluated on the window segments via
@@ -792,6 +811,37 @@ _MATH_FNS = {
     "log2": np.log2,
     "log10": np.log10,
     "sgn": np.sign,
+    # PromQL trigonometric family (all radians; deg/rad convert)
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "asin": np.arcsin,
+    "acos": np.arccos,
+    "atan": np.arctan,
+    "sinh": np.sinh,
+    "cosh": np.cosh,
+    "tanh": np.tanh,
+    "asinh": np.arcsinh,
+    "acosh": np.arccosh,
+    "atanh": np.arctanh,
+    "deg": np.degrees,
+    "rad": np.radians,
+}
+
+# PromQL time-component family: the sample VALUE is interpreted as a UTC
+# epoch-seconds timestamp and the named component is returned.  PromQL's
+# zero-arg default (vector(time())) needs an evaluation timestamp, which
+# pq's data-anchored model doesn't have — the vector argument is
+# REQUIRED here (documented divergence).
+_TIME_FNS = {
+    "minute": lambda dt: dt.minute,
+    "hour": lambda dt: dt.hour,
+    "day_of_week": lambda dt: (dt.dayofweek + 1) % 7,  # PromQL: 0 = Sunday
+    "day_of_month": lambda dt: dt.day,
+    "day_of_year": lambda dt: dt.dayofyear,
+    "days_in_month": lambda dt: dt.days_in_month,
+    "month": lambda dt: dt.month,
+    "year": lambda dt: dt.year,
 }
 
 
@@ -942,6 +992,73 @@ def _eval_ext_function(name: str, args: list, node=None) -> VectorStream:
         cols = ["tick", "value", "name", *[L(c) for c in inner.label_cols],
                 "sig", "ord"]
         return VectorStream("instant", inner.ticks, df[cols], inner.label_cols)
+
+    if name in _TIME_FNS or name == "timestamp":
+        if name == "timestamp":
+            if "ts" not in df.columns:
+                raise QueryError(
+                    "timestamp() needs the sample time, which only a "
+                    "direct selector argument carries"
+                )
+            v = df["ts"].to_numpy(dtype=np.float64) / 1000.0
+        else:
+            vals = df["value"].to_numpy(dtype=np.float64)
+            finite = np.isfinite(vals)
+            v = np.full(len(vals), np.nan)
+            if finite.any():
+                dt = pd.DatetimeIndex(
+                    pd.to_datetime(vals[finite], unit="s", utc=True)
+                )
+                v[finite] = np.asarray(_TIME_FNS[name](dt), dtype=np.float64)
+        df["value"] = v
+        df["name"] = None  # PromQL: these drop __name__
+        df["sig"] = compute_sig(df, inner.label_cols, name_col=False)
+        df = df.sort_values(["tick", "sig"], kind="stable")
+        df = _rank_within_tick(df)
+        cols = ["tick", "value", "name", *[L(c) for c in inner.label_cols],
+                "sig", "ord"]
+        return VectorStream("instant", inner.ticks, df[cols], inner.label_cols)
+
+    if name == "label_join":
+        # label_join(v, dst, sep, src1, src2, ...): dst := sep.join(src
+        # label values, missing label = ""); an empty joined value
+        # removes dst; __name__ is KEPT (labels-only transform)
+        import re as _re
+
+        dst, sep = str(args[1]), str(args[2])
+        srcs = [str(a) for a in args[3:]]
+        if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+            raise QueryError(f"label_join: invalid destination label {dst!r}")
+
+        def _sval(col: str) -> pd.Series:
+            c = "name" if col == "__name__" else L(col)
+            if c not in df.columns:
+                return pd.Series([""] * len(df), index=df.index)
+            return df[c].map(
+                lambda x: ""
+                if x is None or (isinstance(x, float) and np.isnan(x))
+                else str(x)
+            )
+
+        joined = None
+        for scol in srcs:
+            part = _sval(scol)
+            joined = part if joined is None else joined + sep + part
+        if joined is None:
+            joined = pd.Series([""] * len(df), index=df.index)
+        dst_col = "name" if dst == "__name__" else L(dst)
+        df[dst_col] = joined.map(lambda s: s if s != "" else None)
+        label_cols = sorted(
+            set(inner.label_cols) | ({dst} if dst != "__name__" else set())
+        )
+        for c in label_cols:
+            if L(c) not in df.columns:
+                df[L(c)] = None
+        df["sig"] = compute_sig(df, label_cols, name_col=True)
+        df = df.sort_values(["tick", "sig"], kind="stable")
+        df = _rank_within_tick(df)
+        cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
+        return VectorStream("instant", inner.ticks, df[cols], label_cols)
 
     if name in ("sort", "sort_desc"):
         # presentation-order only: keep __name__ and sigs, reorder rows

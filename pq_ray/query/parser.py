@@ -114,6 +114,14 @@ EXT_FUNC_NAMES = [
     "sort_desc",
     "sort",
     "histogram_quantile",
+    # trig + conversions
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "deg", "rad",
+    # time components of the sample value (epoch seconds) / sample ts
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year", "timestamp",
+    "label_join",
     # windowed (range-vector) kernels
     "stddev_over_time",
     "stdvar_over_time",
@@ -387,8 +395,29 @@ class _P:
             "resets",
             "irate",
             "idelta",
+            # trig / conversions / time components / timestamp
+            "sin", "cos", "tan", "asin", "acos", "atan",
+            "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+            "deg", "rad",
+            "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+            "days_in_month", "month", "year", "timestamp",
         ):
             return [self.expr(None)]
+        if name == "label_join":
+            # (v, dst, sep, src1, src2, ...) — variadic string tail
+            args = [self.expr(None)]
+            for _ in range(2):
+                self.expect(",", "function call")
+                s = self.string_literal()
+                if s is None:
+                    raise ParseError("label_join: expected string literal", self.i)
+                args.append(s)
+            while self.eat(","):
+                s = self.string_literal()
+                if s is None:
+                    raise ParseError("label_join: expected string literal", self.i)
+                args.append(s)
+            return args
         if name == "round":
             # round(v [, to_nearest])
             args: list = [self.expr(None)]
@@ -535,7 +564,22 @@ class _P:
             raise ParseError(
                 "vector selector must contain at least one non-empty matcher", self.i
             )
-        sel = VectorSelector(name, tuple(matchers), range_ms)
+        offset_ms = 0
+        if self.extensions:
+            save = self.i
+            if self._keyword("offset"):
+                # EXTENSION: `offset <duration>` (reference TODO at
+                # src/query/parser/expr.rs:33).  PromQL also allows a
+                # negative offset (look into the "future").
+                self.ws()
+                neg = self.eat("-")
+                d = self.regex(_DURATION)
+                if d is None:
+                    raise ParseError("offset: expected duration", self.i)
+                offset_ms = parse_duration_ms(d) * (-1 if neg else 1)
+            else:
+                self.i = save
+        sel = VectorSelector(name, tuple(matchers), range_ms, offset_ms)
         if subquery is not None:
             return Subquery(sel, subquery[0], subquery[1])
         return sel

@@ -450,3 +450,163 @@ def test_subquery_requires_extension_eval():
     node = Subquery(VectorSelector("m", (), None), 1000, 500)
     with pytest.raises(QueryError):
         evaluate(node, _ctx(SUBQ_ROWS, extensions=False))
+
+
+# ---------------------------------------------------------------------------
+# offset modifier (reference leaves it as a TODO, src/query/parser/expr.rs:33)
+# ---------------------------------------------------------------------------
+
+OFFSET_ROWS = [
+    (5000, "m", 1.0, "a"),
+    (6000, "m", 2.0, "a"),
+    (7000, "m", 3.0, "a"),
+]
+
+
+def test_offset_gated_at_parse_time():
+    with pytest.raises(ParseError):
+        parse_expr("m offset 1s")
+
+
+def test_offset_instant():
+    base = evaluate(_pe("m"), _ctx(OFFSET_ROWS))
+    off = evaluate(_pe("m offset 1s"), _ctx(OFFSET_ROWS))
+    # the grid anchors at the first shifted sample: every (tick, value)
+    # pair moves exactly one interval later
+    a = base.df[["tick", "value"]].to_numpy()
+    b = off.df[["tick", "value"]].to_numpy()
+    assert len(a) == len(b)
+    assert (a[:, 0] + 1000 == b[:, 0]).all()
+    assert (a[:, 1] == b[:, 1]).all()
+
+
+def test_offset_range_vector():
+    s = evaluate(_pe("sum_over_time(m[2s] offset 1s)"), _ctx(OFFSET_ROWS))
+    base = evaluate(_pe("sum_over_time(m[2s])"), _ctx(OFFSET_ROWS))
+    a = base.df[["tick", "value"]].to_numpy()
+    b = s.df[["tick", "value"]].to_numpy()
+    assert (a[:, 0] + 1000 == b[:, 0]).all() and (a[:, 1] == b[:, 1]).all()
+
+
+def test_offset_negative():
+    off = evaluate(_pe("m offset -1s"), _ctx(OFFSET_ROWS))
+    base = evaluate(_pe("m"), _ctx(OFFSET_ROWS))
+    a = base.df[["tick", "value"]].to_numpy()
+    b = off.df[["tick", "value"]].to_numpy()
+    assert (a[:, 0] - 1000 == b[:, 0]).all() and (a[:, 1] == b[:, 1]).all()
+
+
+def test_offset_distributed_parity(ray_session):
+    import ray.data as rd
+
+    from pq_ray.query.distributed import DistributedContext, evaluate_distributed
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "ts": 1_700_000_000_000
+            + np.sort(rng.integers(0, 15_000, n)).astype(np.int64),
+            "seq": np.arange(n, dtype=np.int64),
+            "name": rng.choice(["m", "k"], n),
+            "value": rng.integers(0, 50, n).astype(np.float64),
+            "l_lab": rng.choice(["a", "b"], n),
+        }
+    )
+    for q in ("sum(m offset 2s) by (lab)", "sum_over_time(m[3s] offset 2s)"):
+        expr = parse_expr(q, extensions=True)
+        local = evaluate(
+            expr,
+            EvalContext(samples=df, label_cols=["lab"], interval=1000,
+                        lookback=1000, extensions=True),
+        )
+        dist = evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(df).repartition(4), ["lab"],
+                               1000, 1000, num_buckets=4, extensions=True),
+        )
+        a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+        b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+        assert len(a) == len(b), q
+        assert (a["tick"].to_numpy() == b["tick"].to_numpy()).all(), q
+        assert np.allclose(
+            a["value"].to_numpy(dtype=float), b["value"].to_numpy(dtype=float)
+        ), q
+
+
+# ---------------------------------------------------------------------------
+# trig / time-component / timestamp / label_join extensions
+# ---------------------------------------------------------------------------
+
+
+def test_trig_functions():
+    rows = [(5000, "m", 0.0, "a"), (5100, "m", np.pi / 2, "b")]
+    ctx = _ctx(rows)
+    assert _tick_vals(evaluate(_pe("sin(m)"), ctx), 5999) == pytest.approx([0.0, 1.0])
+    assert _tick_vals(evaluate(_pe("cos(m)"), ctx), 5999) == pytest.approx(
+        [0.0, 1.0], abs=1e-12
+    )
+    assert _tick_vals(evaluate(_pe("deg(m)"), ctx), 5999) == pytest.approx([0.0, 90.0])
+    assert _tick_vals(evaluate(_pe("rad(deg(m))"), ctx), 5999) == pytest.approx(
+        [0.0, np.pi / 2]
+    )
+    # name is dropped like the other math functions
+    s = evaluate(_pe("sin(m)"), ctx)
+    assert s.df["name"].isna().all()
+
+
+def test_time_component_functions():
+    # 2023-04-01 15:30:00 UTC (a Saturday) = 1680363000 epoch seconds
+    rows = [(5000, "m", 1_680_363_000.0, "a")]
+    ctx = _ctx(rows)
+    expect = {
+        "minute": 30.0,
+        "hour": 15.0,
+        "day_of_week": 6.0,  # PromQL: 0 = Sunday
+        "day_of_month": 1.0,
+        "day_of_year": 91.0,
+        "days_in_month": 30.0,
+        "month": 4.0,
+        "year": 2023.0,
+    }
+    for fn, want in expect.items():
+        got = _tick_vals(evaluate(_pe(f"{fn}(m)"), ctx), 5999)
+        assert got == [want], fn
+    # NaN value propagates
+    nan_ctx = _ctx([(5000, "m", float("nan"), "a")])
+    got = _tick_vals(evaluate(_pe("hour(m)"), nan_ctx), 5999)
+    assert len(got) == 1 and np.isnan(got[0])
+
+
+def test_timestamp_function():
+    rows = [(5000, "m", 42.0, "a"), (6250, "m", 43.0, "a")]
+    s = evaluate(_pe("timestamp(m)"), _ctx(rows))
+    got = s.df[["tick", "value"]].values.tolist()
+    assert got[:2] == [[5999, 5.0], [6999, 6.25]]
+    # non-selector argument: the sample time is gone -> typed error
+    with pytest.raises(QueryError):
+        evaluate(_pe("timestamp(sum(m))"), _ctx(rows))
+
+
+def test_label_join():
+    rows = [
+        (5000, "m", 1.0, "a", "x"),
+        (5100, "m", 2.0, "b", None),
+    ]
+    ctx = _ctx(rows, label_cols=("l", "sub"))
+    s = evaluate(_pe('label_join(m, "joined", "-", "l", "sub")'), ctx)
+    g = s.df[s.df["tick"] == 5999].sort_values("value")
+    assert g["l_joined"].tolist() == ["a-x", "b-"]
+    # __name__ is KEPT (labels-only transform, like label_replace)
+    assert set(g["name"]) == {"m"}
+    # empty join result removes the label
+    s2 = evaluate(_pe('label_join(m, "joined", "", "nope")'), ctx)
+    g2 = s2.df[s2.df["tick"] == 5999]
+    assert g2["l_joined"].isna().all()
+
+
+def test_new_families_gated_at_parse_time():
+    for q in ("sin(m)", "hour(m)", "timestamp(m)",
+              'label_join(m, "d", "-", "l")'):
+        with pytest.raises(ParseError):
+            parse_expr(q)
