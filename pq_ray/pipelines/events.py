@@ -443,3 +443,56 @@ ORACLES["events_gapfill_1m"] = """
     ORDER BY s.event_type, s.window_ts
 """
 QUERIES["events_gapfill_1m"] = q_gapfill_1m
+
+
+def q_hour_profile(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day activity profile per event_type — the distributed
+    form of the engine's time-component extension family (hour(),
+    engine.py _TIME_FNS).  Plan: column-pruned read → per-batch Arrow
+    partial (pc.hour + group_by collapses each block to ≤24×|types|
+    rows) → tiny driver fold.  No exchange: the group domain is fixed
+    (24 × |event types|) regardless of corpus size, so at 100 TB this
+    stays a pure map-side combine."""
+    ds = read_events(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keyed = pa.table(
+            {
+                "hour": pc.cast(pc.hour(t["ts"]), pa.int64()),
+                "event_type": t["event_type"],
+                "value": pc.cast(t["value"], pa.float64()),
+            }
+        )
+        return keyed.group_by(["hour", "event_type"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = (
+        parts.groupby(["hour", "event_type"], as_index=False)
+        .sum(numeric_only=True)
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "hour": g["hour"].astype(np.int64),
+            "event_type": g["event_type"],
+            "n_events": g["value_count"].to_numpy().astype(np.int64),
+            "sum_value": g["value_sum"].round(6),
+            "avg_value": (g["value_sum"] / g["value_count"]).round(6),
+        }
+    )
+
+
+ORACLES["events_hour_profile"] = """
+    SELECT EXTRACT(hour FROM ts)::BIGINT AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+QUERIES["events_hour_profile"] = q_hour_profile

@@ -297,3 +297,74 @@ ORACLES = {
         ORDER BY o_orderpriority
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# tpch_quiet_customers: shuffle ANTI join (distributed NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_quiet_customers(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """Customers with NO urgent order, counted per nation.
+
+    The NOT EXISTS side (urgent orders) scales with SF, so this is a
+    SHUFFLE left-anti join: both customer and the filtered order keys
+    cross the wire exactly once, co-partitioned on custkey.  The
+    nation name re-attach is a 25-row broadcast, and the final count
+    folds per batch to ≤25 rows before the driver sees it.
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        # per-batch dedup: the anti probe only needs distinct keys
+        return (
+            t.filter(m).select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
+        )
+
+    quiet = shuffle_join(
+        cust,
+        orders.map_batches(urgent_keys, batch_format="pyarrow"),
+        "c_custkey",
+        "o_custkey",
+        num_buckets=num_buckets,
+        join_type="left anti",
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    enriched = broadcast_join(
+        quiet, nation, keys="c_nationkey", right_keys="n_nationkey"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select(["n_name"]).group_by(["n_name"]).aggregate([([], "count_all")])
+
+    parts = enriched.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = (
+        parts.groupby("n_name", as_index=False)
+        .sum(numeric_only=True)
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "n_name": g["n_name"],
+            "n_customers": g["count_all"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+QUERIES["tpch_quiet_customers"] = q_tpch_quiet_customers
+ORACLES["tpch_quiet_customers"] = """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    GROUP BY n_name
+    ORDER BY n_name
+"""

@@ -28,7 +28,9 @@ def _compare(got, exp):
             assert (a == b).all(), c
 
 
-@pytest.mark.parametrize("name", ["events_props_k", "events_gapfill_1m"])
+@pytest.mark.parametrize(
+    "name", ["events_props_k", "events_gapfill_1m", "events_hour_profile"]
+)
 def test_oracle_parity(ray_session, con, name):
     from pq_ray.pipelines.events import ORACLES, QUERIES
 
