@@ -98,6 +98,7 @@ _TRAINING_BENCH = [
     "simhash",
     "lang_quality",
     "fingerprints",
+    "repetition_filter",
     "ann_topk",
     "ann_ivf",
     "embed_neardup_lsh",

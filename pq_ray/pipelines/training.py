@@ -1773,3 +1773,148 @@ ORACLES["dedup_clusters"] = f"""
     SELECT node AS doc_id, MIN(src) AS cluster_id
     FROM reach GROUP BY node ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality filter (Rae et al. 2021, arXiv:2112.11446
+# §A1.1): duplicate-word and top-n-gram mass per document, with keep/drop
+# thresholds.  All outputs are INTEGER numerators over the obvious
+# denominators (n_tokens, n_tokens-1, n_tokens-2) and the thresholds are
+# integer cross-multiplications, so the oracle compare is exact — no
+# float round-half hazards.
+# ---------------------------------------------------------------------------
+
+
+def _per_doc_top_ngram(th: np.ndarray, counts: np.ndarray, n: int) -> np.ndarray:
+    """Count of each doc's most frequent n-gram (token-hash based, same
+    hashing as _doc_shingles), fully vectorized: flat n-gram hash array
+    → lexsort by (doc, hash) → run lengths → per-doc max via reduceat.
+    Docs with fewer than n tokens get 0."""
+    n_docs = len(counts)
+    ng = np.maximum(counts - (n - 1), 0)
+    total = int(ng.sum())
+    if total == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(ng)[:-1])), ng
+    )
+    first_idx = within + np.repeat(tok_starts, ng)
+    h = th[first_idx] * _PHI
+    for k in range(1, n):
+        h = h ^ (th[first_idx + k] * (_PHI2 + np.uint64(2 * k)))
+    didx = np.repeat(np.arange(n_docs, dtype=np.int64), ng)
+    order = np.lexsort((h, didx))
+    d, hh = didx[order], h[order]
+    run_start = np.ones(len(d), dtype=bool)
+    run_start[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    starts = np.flatnonzero(run_start)
+    run_lens = np.diff(np.concatenate((starts, [len(d)])))
+    run_doc = d[starts]
+    doc_start = np.ones(len(run_doc), dtype=bool)
+    doc_start[1:] = run_doc[1:] != run_doc[:-1]
+    doc_idx = np.flatnonzero(doc_start)
+    out = np.zeros(n_docs, dtype=np.int64)
+    out[run_doc[doc_idx]] = np.maximum.reduceat(run_lens, doc_idx)
+    return out
+
+
+def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """Per-doc repetition signals + Gopher-rule keep verdict.
+
+    keep ⇔ repeated-word mass ≤ 30% AND top bigram ≤ 20% of bigrams
+    AND top trigram ≤ 18% of trigrams — each test an exact integer
+    cross-multiplication.  Per-batch work is one token-hash pass plus
+    three lexsorts; nothing leaves the map side but |docs| narrow rows.
+    """
+    ds = _read_docs(sf_dir)
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        flat = toks.explode().to_numpy(dtype=object)
+        th = pd.util.hash_array(flat).astype(np.uint64)
+        n_docs = len(df)
+        didx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        # distinct words per doc: lexsort + boundary scan (same trick as
+        # _doc_shingles)
+        order = np.lexsort((th, didx))
+        d, hh = didx[order], th[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        n_unique = np.bincount(d[new], minlength=n_docs).astype(np.int64)
+        n_rep = counts - n_unique
+        top_bi = _per_doc_top_ngram(th, counts, 2)
+        top_tri = _per_doc_top_ngram(th, counts, 3)
+        n_bi = np.maximum(counts - 1, 0)
+        n_tri = np.maximum(counts - 2, 0)
+        keep = (
+            (10 * n_rep <= 3 * counts)
+            & (5 * top_bi <= n_bi)
+            & (50 * top_tri <= 9 * n_tri)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": counts,
+                "n_repeated_words": n_rep,
+                "top_bigram_n": top_bi,
+                "top_trigram_n": top_tri,
+                "keep": keep,
+            }
+        )
+
+    return (
+        ds.map_batches(signals, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["repetition_filter"] = q_repetition_filter
+ORACLES["repetition_filter"] = """
+    WITH words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, n, w,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM words
+    ),
+    uniq AS (
+        SELECT doc_id, ANY_VALUE(n) AS n_tokens,
+               COUNT(DISTINCT w) AS n_unique
+        FROM grams GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, MAX(c) AS top_bi FROM (
+            SELECT doc_id, w || ' ' || w1 AS g, COUNT(*) AS c
+            FROM grams WHERE w1 IS NOT NULL GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id, MAX(c) AS top_tri FROM (
+            SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS g, COUNT(*) AS c
+            FROM grams WHERE w2 IS NOT NULL GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           u.n_tokens,
+           u.n_tokens - u.n_unique AS n_repeated_words,
+           COALESCE(b.top_bi, 0) AS top_bigram_n,
+           COALESCE(t.top_tri, 0) AS top_trigram_n,
+           (10 * (u.n_tokens - u.n_unique) <= 3 * u.n_tokens
+            AND 5 * COALESCE(b.top_bi, 0) <= GREATEST(u.n_tokens - 1, 0)
+            AND 50 * COALESCE(t.top_tri, 0) <= 9 * GREATEST(u.n_tokens - 2, 0))
+               AS keep
+    FROM uniq u
+    LEFT JOIN bi b USING (doc_id)
+    LEFT JOIN tri t USING (doc_id)
+    ORDER BY u.doc_id
+"""

@@ -34,7 +34,8 @@ def _compare(got: pd.DataFrame, exp: pd.DataFrame):
 
 @pytest.mark.parametrize(
     "name", ["dedup_exact", "dedup_keep", "token_stats", "token_bpe",
-             "jaccard_pairs", "ann_topk", "ann_topk_multi", "embed_neardup"]
+             "jaccard_pairs", "ann_topk", "ann_topk_multi", "embed_neardup",
+             "repetition_filter"]
 )
 def test_oracle_parity(ray_session, con, name):
     from pq_ray.pipelines.training import ORACLES, QUERIES
@@ -360,3 +361,32 @@ def test_ann_ivf_multi_recall(ray_session):
     # reported sims are exact (verified rerank)
     merged = ivf.merge(brute, on=["qid", "vec_id"], suffixes=("_ivf", "_bf"))
     assert (merged["sim_ivf"] == merged["sim_bf"]).all()
+
+
+def test_repetition_filter_edge_cases(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import q_repetition_filter
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "a",              # 1 token: no n-grams at all
+                "a a a a",        # all repeats: dup mass 3/4, top bigram 3/3
+                "x y z x y w q",  # top bigram "x y" ×2 of 6
+            ],
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    out = q_repetition_filter(str(d)).set_index("doc_id")
+    assert out.loc[0, ["n_tokens", "n_repeated_words", "top_bigram_n",
+                       "top_trigram_n"]].tolist() == [1, 0, 0, 0]
+    assert bool(out.loc[0, "keep"])  # vacuously clean
+    assert out.loc[1, ["n_tokens", "n_repeated_words", "top_bigram_n",
+                       "top_trigram_n"]].tolist() == [4, 3, 3, 2]
+    assert not bool(out.loc[1, "keep"])  # 10*3 > 3*4
+    assert out.loc[2, ["n_tokens", "top_bigram_n"]].tolist() == [7, 2]
