@@ -99,6 +99,7 @@ _TRAINING_BENCH = [
     "lang_quality",
     "fingerprints",
     "repetition_filter",
+    "stratified_sample",
     "ann_topk",
     "ann_ivf",
     "embed_neardup_lsh",

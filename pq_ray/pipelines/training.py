@@ -1918,3 +1918,68 @@ ORACLES["repetition_filter"] = """
     LEFT JOIN tri t USING (doc_id)
     ORDER BY u.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling — N docs per source, selected by a
+# cross-engine-reproducible hash order so any engine (or a resumed run)
+# picks the identical sample
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # Knuth multiplicative hash; doc_id*K mod 2^32 is
+# expressible exactly in both int64 numpy and SQL BIGINT arithmetic
+
+
+def q_stratified_sample(sf_dir: str, n_per_source: int = 10) -> pd.DataFrame:
+    """The N lowest-hash docs of each source stratum.
+
+    Map side: each batch keeps its own per-source top-N (one lexsort,
+    ≤ N×|sources| rows survive), so the driver folds
+    |blocks| × N × |sources| candidate rows regardless of corpus size —
+    the distributed form of QUALIFY row_number() OVER (PARTITION BY
+    source ORDER BY hash) <= N.  The hash is a pure-arithmetic Knuth
+    mix so the oracle computes the identical order.
+    """
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(
+        path, columns=["doc_id", "source"],
+        override_num_blocks=small_input_blocks(path),
+    )
+
+    def _top_n(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["doc_id"].to_numpy(dtype=np.int64) * _KNUTH) % (1 << 32)
+        order = np.lexsort((df["doc_id"].to_numpy(), key, df["source"].to_numpy()))
+        src = df["source"].to_numpy()[order]
+        starts = np.ones(len(src), dtype=bool)
+        starts[1:] = src[1:] != src[:-1]
+        rank = np.arange(len(src)) - np.repeat(
+            np.flatnonzero(starts), np.diff(np.append(np.flatnonzero(starts), len(src)))
+        )
+        keep_idx = order[rank < n_per_source]
+        out = df.iloc[keep_idx][["doc_id", "source"]].copy()
+        out["sample_key"] = key[keep_idx]
+        return out
+
+    cand = ds.map_batches(_top_n, batch_format="pandas").to_pandas()
+    final = _top_n(cand.rename(columns={"sample_key": "_k"}).drop(columns="_k"))
+    final = final.sort_values(["source", "sample_key", "doc_id"]).reset_index(drop=True)
+    final["sample_rank"] = final.groupby("source").cumcount().to_numpy() + 1
+    return (
+        final[["source", "sample_rank", "doc_id"]]
+        .sort_values(["source", "sample_rank"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLES["stratified_sample"] = """
+    SELECT source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ) AS sample_rank,
+           doc_id
+    FROM documents
+    QUALIFY sample_rank <= 10
+    ORDER BY source, sample_rank
+"""

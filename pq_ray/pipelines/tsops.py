@@ -1592,3 +1592,59 @@ ORACLES["events_irate_1h"] = """
            ROUND(CASE WHEN dt_s > 0 THEN dv / dt_s END, 6) AS irate
     FROM p ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# day-over-day delta — the distributed face of the engine's `offset`
+# extension (engine.py eval_selector): compare each 1h window's sum to
+# the SAME window one day earlier
+# ---------------------------------------------------------------------------
+
+DAY_MS = 86_400_000
+
+
+def q_dod_delta(sf_dir: str) -> pd.DataFrame:
+    """Per (1h window, event_type): this window's value sum vs the same
+    hour one day earlier (`sum(v) - sum(v) offset 1d` in the extension
+    grammar).
+
+    Plan: ONE distributed rollup exchange produces the hourly sums; the
+    day-over-day self-alignment happens on the post-rollup stream, whose
+    size is bounded by |time range| × |series| — not corpus size — so
+    the driver-side merge is the same tiny-footprint step every
+    post-rollup combinator in this repo takes.  Windows with no
+    previous-day counterpart yield NULL (staleness, not 0).
+    """
+    from .events import rollup_events
+
+    df = rollup_events(sf_dir, HOUR_MS).to_pandas()
+    cur = pd.DataFrame(
+        {
+            "window_ts": df["window_ts"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+            "sum_value": df["sum"].round(6),
+        }
+    )
+    prev = cur.rename(columns={"sum_value": "prev_day_sum"}).copy()
+    prev["window_ts"] = prev["window_ts"] + DAY_MS
+    out = cur.merge(prev, on=["window_ts", "event_type"], how="left", sort=False)
+    out["dod_delta"] = (out["sum_value"] - out["prev_day_sum"]).round(6)
+    return out.sort_values(["window_ts", "event_type"]).reset_index(drop=True)
+
+
+QUERIES["events_dod_delta"] = q_dod_delta
+ORACLES["events_dod_delta"] = """
+    WITH w AS (
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.window_ts, a.event_type, a.sum_value,
+           b.sum_value AS prev_day_sum,
+           ROUND(a.sum_value - b.sum_value, 6) AS dod_delta
+    FROM w a
+    LEFT JOIN w b
+      ON b.event_type = a.event_type AND b.window_ts = a.window_ts - 86400000
+    ORDER BY 1, 2
+"""

@@ -390,3 +390,16 @@ def test_repetition_filter_edge_cases(ray_session, tmp_path):
                        "top_trigram_n"]].tolist() == [4, 3, 3, 2]
     assert not bool(out.loc[1, "keep"])  # 10*3 > 3*4
     assert out.loc[2, ["n_tokens", "top_bigram_n"]].tolist() == [7, 2]
+
+
+def test_stratified_sample_matches_oracle_and_is_deterministic(ray_session, con):
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    got = QUERIES["stratified_sample"](SF)
+    exp = con.sql(ORACLES["stratified_sample"]).df()
+    _compare(got, exp)
+    # stable under re-execution (resume / different block split must
+    # pick the identical sample)
+    again = QUERIES["stratified_sample"](SF)
+    pd.testing.assert_frame_equal(got, again)
+    assert (got.groupby("source").size() == 10).all()

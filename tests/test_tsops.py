@@ -546,3 +546,17 @@ def test_changes_and_irate_hand_case(ray_session, tmp_path):
     ir = q_irate_1h(str(d))
     assert ir["idelta"].tolist() == [-1.0]
     assert ir["irate"].tolist() == [-0.1]
+
+
+def test_dod_delta_matches_duckdb(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, QUERIES
+
+    got = QUERIES["events_dod_delta"](SF)
+    exp = _oracle(ORACLES["events_dod_delta"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # day-1 windows have no previous day: delta NULL, never 0-filled
+    first_day = got[got["window_ts"] < got["window_ts"].min() + 86_400_000]
+    assert first_day["prev_day_sum"].isna().all()
+    assert got["prev_day_sum"].notna().any()
