@@ -1648,3 +1648,64 @@ ORACLES["events_dod_delta"] = """
       ON b.event_type = a.event_type AND b.window_ts = a.window_ts - 86400000
     ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# trailing-window spike detection — integer-exact anomaly flags
+# ---------------------------------------------------------------------------
+
+
+def q_spikes_1m(sf_dir: str, k: int = 24) -> pd.DataFrame:
+    """Flag 1m windows whose event count exceeds 1.5× the trailing-k
+    mean (over observed windows of the same event_type).
+
+    The rule is the integer cross-multiplication ``16·n > trail``
+    (n > 1.5 · trail/24), so the oracle compare is exact — no float
+    mean/stddev boundary hazards.  Plan: the same ONE rollup exchange
+    as every windowed query; the trailing scan runs on the post-rollup
+    stream (bounded by time range × series).  Windows with fewer than
+    k predecessors report NULL trail and never flag.
+    """
+    from .events import rollup_events
+
+    df = rollup_events(sf_dir, MINUTE_MS).to_pandas()
+    out = pd.DataFrame(
+        {
+            "window_ts": df["window_ts"].to_numpy(),
+            "event_type": df["event_type"].to_numpy(),
+            "n": df["count"].to_numpy().astype(np.int64),
+        }
+    ).sort_values(["event_type", "window_ts"], kind="stable")
+    trail = out.groupby("event_type")["n"].transform(
+        lambda s: s.shift(1).rolling(k, min_periods=k).sum()
+    )
+    out["trail_n"] = trail
+    out["is_spike"] = (16 * out["n"] > trail) & trail.notna()
+    return (
+        out.sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)[
+            ["window_ts", "event_type", "n", "trail_n", "is_spike"]
+        ]
+    )
+
+
+QUERIES["events_spikes_1m"] = q_spikes_1m
+ORACLES["events_spikes_1m"] = """
+    WITH w AS (
+        SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT *,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY window_ts
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY window_ts
+                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS k
+        FROM w
+    )
+    SELECT window_ts, event_type, n,
+           CASE WHEN k = 24 THEN s END AS trail_n,
+           (k = 24 AND 16 * n > s) AS is_spike
+    FROM t ORDER BY 1, 2
+"""

@@ -560,3 +560,17 @@ def test_dod_delta_matches_duckdb(ray_session):
     first_day = got[got["window_ts"] < got["window_ts"].min() + 86_400_000]
     assert first_day["prev_day_sum"].isna().all()
     assert got["prev_day_sum"].notna().any()
+
+
+def test_spikes_1m_matches_duckdb(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, QUERIES
+
+    got = QUERIES["events_spikes_1m"](SF)
+    exp = _oracle(ORACLES["events_spikes_1m"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+    # first k windows of each series can never flag (no full history)
+    head = got.groupby("event_type").head(24)
+    assert not head["is_spike"].any()
+    assert head["trail_n"].isna().all()
