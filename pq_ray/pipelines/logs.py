@@ -235,7 +235,11 @@ def run_log_query(
     from ..query.ast import find_smallest_range_ms
     from ..query.distributed import DistributedContext, evaluate_distributed
 
-    ast = parse_program(program) if isinstance(program, str) else program
+    ast = (
+        parse_program(program, extensions=extensions)
+        if isinstance(program, str)
+        else program
+    )
     if ast.query is None:
         raise ValueError(
             "run_log_query needs a | select <query> stage; use pq_ray.runner "

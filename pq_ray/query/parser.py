@@ -693,8 +693,8 @@ def _try_named_decoder(p: _P) -> NamedDecoder | None:
     return NamedDecoder(name, tuple(args))
 
 
-def parse_program(text: str) -> Program:
-    p = _P(text.strip())
+def parse_program(text: str, extensions: bool = False) -> Program:
+    p = _P(text.strip(), extensions=extensions)
 
     # decoder
     decoder: RegexDecoder | JsonDecoder

@@ -52,7 +52,11 @@ def run_program(
     instead of silently dropped, and empty ticks print ``<no data>``.
     Errors go to ``error_sink`` (a list-like with ``append``) or stderr.
     """
-    ast = parse_program(program) if isinstance(program, str) else program
+    ast = (
+        parse_program(program, extensions=extensions)
+        if isinstance(program, str)
+        else program
+    )
 
     def report(err: Exception) -> None:
         if not verbose:

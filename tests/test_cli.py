@@ -61,3 +61,47 @@ def test_cli_parse_error_exit_code(capsys, monkeypatch):
     monkeypatch.setattr(sys, "stdin", io.TextIOWrapper(io.BytesIO(b"")))
     rc = main(["| select |"])
     assert rc != 0
+
+
+def test_cli_extensions_flag_new_functions(tmp_path, capsys, monkeypatch):
+    """-x turns on the extension grammar end-to-end: offset shifts the
+    grid one interval later, round() applies per sample."""
+    import io
+    import sys
+
+    all_lines = _write_logs(tmp_path)
+    data = ("\n".join(all_lines) + "\n").encode()
+    base_prog = (
+        r"/(\d+) (\w+) (\d+)/ | map {.0:ts, .1 as host, .2:num as rps} "
+        r"| select round(sum(rps) by (host)) | to_json"
+    )
+    off_prog = base_prog.replace("sum(rps)", "sum(rps offset 1s)")
+
+    # without -x: extension names must fail exactly like unknown parsers
+    monkeypatch.setattr(sys, "stdin", io.TextIOWrapper(io.BytesIO(data)))
+    assert main([base_prog]) != 0
+    capsys.readouterr()
+
+    monkeypatch.setattr(sys, "stdin", io.TextIOWrapper(io.BytesIO(data)))
+    rc = main([base_prog, "-x"])
+    base_out = capsys.readouterr().out.rstrip("\n").splitlines()
+    assert rc == 0 and base_out
+
+    monkeypatch.setattr(sys, "stdin", io.TextIOWrapper(io.BytesIO(data)))
+    rc = main([off_prog, "-x"])
+    off_out = capsys.readouterr().out.rstrip("\n").splitlines()
+    assert rc == 0
+    # offset 1s: same (host, value) stream, timestamps one interval later
+    import json
+
+    def triples(lines):
+        out = []
+        for l in lines:
+            for item in json.loads(l)["result"]:
+                ts, v = item["value"]
+                out.append((round(ts, 3), item["metric"]["host"], v))
+        return out
+
+    base_t = triples(base_out)
+    off_t = triples(off_out)
+    assert [(round(t + 1.0, 3), h, v) for t, h, v in base_t] == off_t
