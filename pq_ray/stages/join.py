@@ -102,6 +102,48 @@ def _join_gather(
     return left.join(right, keys=left_key, right_keys=right_key, join_type=join_type)
 
 
+def detect_hot_keys(
+    ds,
+    key: str,
+    num_buckets: int = 16,
+    top: int = 3,
+    min_share: float = 2.0,
+) -> list:
+    """ADVISORY hot-key detector for skew salting.
+
+    Each batch reports its local top-``top`` keys by count plus its row
+    total (≤ top+1 tiny rows per block on the wire); the driver folds
+    and returns keys whose summed count exceeds ``min_share`` × the
+    average bucket share (total/num_buckets).  A globally hot key is in
+    almost every batch's local top-k, so its fold is near-exact; a key
+    the heuristic misses just stays on the normal hash path —
+    correctness never depends on detection.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (kept local: optional path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = t.select([key]).group_by([key]).aggregate([([], "count_all")])
+        counts = counts.sort_by([("count_all", "descending")]).slice(0, top)
+        # batch total rides on the FIRST reported row only, so the
+        # driver's sum over all partial rows is the exact stream total
+        br = np.zeros(counts.num_rows, dtype=np.int64)
+        if len(br):
+            br[0] = t.num_rows
+        return counts.append_column("batch_rows", pa.array(br))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return []
+    total = int(parts["batch_rows"].sum())
+    folded = parts.groupby(key, as_index=False)["count_all"].sum()
+    cut = min_share * total / num_buckets
+    hot = folded[folded["count_all"] > cut]
+    return hot[key].tolist()
+
+
+_SALT_OK_TYPES = {"inner", "left outer", "left semi", "left anti"}
+
+
 def shuffle_join(
     left_ds,
     right_ds,
@@ -109,33 +151,96 @@ def shuffle_join(
     right_key: str | None = None,
     num_buckets: int = 16,
     join_type: str = "inner",
+    hot_keys: list | None = None,
+    salt: int = 8,
 ):
     """Hash-partition both datasets on the join key and join each bucket.
 
     Equal key values land in the same bucket on both sides (same hash,
     same modulus), so the per-bucket Arrow joins union to the global
     join.  Returns a Dataset of the per-bucket join outputs.
+
+    ``hot_keys`` enables EXPLICIT SKEW SALTING (the north rule's hot-key
+    split): each listed key gets its own ``salt`` dedicated buckets —
+    left rows of that key spread round-robin across them, right rows of
+    that key are REPLICATED into each (classic salted join).  Exact for
+    left-anchored join types (inner / left outer / left semi / left
+    anti): every left row still meets the complete right slice of its
+    key exactly once.  Right-anchored types would duplicate right rows,
+    so they are rejected.  Use ``detect_hot_keys`` (or the Misra-Gries
+    heavy-hitter sketch, tsops.py) to find candidates; a missed hot key
+    only costs balance, never correctness.
     """
     right_key = right_key or left_key
+    hot_keys = list(hot_keys or [])
+    if hot_keys and join_type not in _SALT_OK_TYPES:
+        raise ValueError(
+            f"hot_keys salting supports {sorted(_SALT_OK_TYPES)}, not {join_type!r}"
+        )
+    hot_idx = {k: i for i, k in enumerate(hot_keys)}
+    total_buckets = num_buckets + len(hot_keys) * salt
 
-    def tag(key_col):
-        def add_bucket(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t.append_column("__bucket", pa.array([], type=pa.int32()))
-            b = _key_buckets(t[key_col], num_buckets)
+    def _hot_masks(t: pa.Table, key_col: str):
+        import pyarrow.compute as pc
+
+        arr = t[key_col]
+        return [
+            pc.fill_null(pc.equal(arr, k), False).to_numpy(zero_copy_only=False)
+            for k in hot_keys
+        ]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], type=pa.int32()))
+        b = _key_buckets(t[left_key], num_buckets)
+        for k, m in zip(hot_keys, _hot_masks(t, left_key)):
+            n = int(m.sum())
+            if n:
+                h = hot_idx[k]
+                b[m] = num_buckets + h * salt + (np.arange(n) % salt)
+        return t.append_column("__bucket", pa.array(b))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], type=pa.int32()))
+        b = _key_buckets(t[right_key], num_buckets)
+        if not hot_keys:
             return t.append_column("__bucket", pa.array(b))
-
-        return add_bucket
+        masks = _hot_masks(t, right_key)
+        any_hot = np.zeros(t.num_rows, dtype=bool)
+        for m in masks:
+            any_hot |= m
+        pieces = [
+            t.filter(pa.array(~any_hot)).append_column(
+                "__bucket", pa.array(b[~any_hot])
+            )
+        ]
+        for k, m in zip(hot_keys, masks):
+            if not m.any():
+                continue
+            rows = t.filter(pa.array(m))
+            h = hot_idx[k]
+            for s in range(salt):  # replicate into every salted bucket
+                pieces.append(
+                    rows.append_column(
+                        "__bucket",
+                        pa.array(
+                            np.full(rows.num_rows, num_buckets + h * salt + s,
+                                    dtype=np.int32)
+                        ),
+                    )
+                )
+        return pa.concat_tables(pieces)
 
     lrefs = split_stream(
-        left_ds.map_batches(tag(left_key), batch_format="pyarrow"),
+        left_ds.map_batches(tag_left, batch_format="pyarrow"),
         "__bucket",
-        num_buckets,
+        total_buckets,
     )
     rrefs = split_stream(
-        right_ds.map_batches(tag(right_key), batch_format="pyarrow"),
+        right_ds.map_batches(tag_right, batch_format="pyarrow"),
         "__bucket",
-        num_buckets,
+        total_buckets,
     )
     if not lrefs or not rrefs:
         return rd.from_arrow_refs([])
@@ -148,6 +253,6 @@ def shuffle_join(
             *[lrefs[j][i] for j in range(len(lrefs))],
             *[rrefs[j][i] for j in range(len(rrefs))],
         )
-        for i in range(num_buckets)
+        for i in range(total_buckets)
     ]
     return rd.from_arrow_refs(out_refs)

@@ -133,3 +133,85 @@ def test_driver_contract_includes_relational():
     qs, os_ = e.queries(), e.oracle_sql()
     for name in rel.QUERIES:
         assert name in qs and name in os_
+
+
+# ---------------------------------------------------------------------------
+# skew salting (explicit hot-key split, per the north rule)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_sides(seed=13, n_left=20_000, hot_share=0.6):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 200, n_left).astype(np.int64)
+    keys[: int(n_left * hot_share)] = 7  # one dominant key
+    rng.shuffle(keys)
+    left = pa.table({"k": pa.array(keys), "v": pa.array(rng.normal(size=n_left))})
+    right = pa.table(
+        {
+            "k": pa.array(np.arange(0, 150, dtype=np.int64)),
+            "tag": pa.array([f"t{i % 4}" for i in range(150)]),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("join_type", ["inner", "left outer", "left semi", "left anti"])
+def test_salted_shuffle_join_matches_unsalted(ray_session, join_type):
+    left, right = _skewed_sides()
+    lds = rd.from_arrow(left).repartition(8)
+    rds = rd.from_arrow(right).repartition(4)
+    plain = shuffle_join(lds, rds, "k", "k", num_buckets=8,
+                         join_type=join_type).to_pandas()
+    salted = shuffle_join(lds, rds, "k", "k", num_buckets=8,
+                          join_type=join_type, hot_keys=[7], salt=4).to_pandas()
+    sort_cols = [c for c in plain.columns]
+    a = plain.sort_values(sort_cols).reset_index(drop=True)
+    b = salted.sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_join_rejects_right_anchored_types(ray_session):
+    left, right = _skewed_sides(n_left=100)
+    with pytest.raises(ValueError):
+        shuffle_join(rd.from_arrow(left), rd.from_arrow(right), "k",
+                     join_type="right outer", hot_keys=[7])
+
+
+def test_detect_hot_keys_finds_planted_key(ray_session):
+    from pq_ray.stages.join import detect_hot_keys
+
+    left, _ = _skewed_sides()
+    hot = detect_hot_keys(rd.from_arrow(left).repartition(8), "k", num_buckets=8)
+    assert hot == [7]
+
+
+def test_salting_actually_spreads_the_hot_key(ray_session):
+    """The hot key's left rows land in `salt` distinct buckets with a
+    balanced split, and every salted bucket sees the full right slice."""
+    import pyarrow.compute as pc
+
+    from pq_ray.stages.exchange import split_stream
+
+    left, right = _skewed_sides(n_left=8_000)
+    num_buckets, salt = 8, 4
+
+    # replicate the operator's tagging, then inspect bucket histograms
+    from pq_ray.stages.join import _key_buckets
+
+    def tag_left(t):
+        b = _key_buckets(t["k"], num_buckets)
+        m = pc.equal(t["k"], 7).to_numpy(zero_copy_only=False)
+        n = int(m.sum())
+        if n:
+            b[m] = num_buckets + (np.arange(n) % salt)
+        return t.append_column("__bucket", pa.array(b))
+
+    lds = rd.from_arrow(left).repartition(8).map_batches(
+        tag_left, batch_format="pyarrow"
+    )
+    df = lds.to_pandas()
+    hot = df[df["k"] == 7]
+    counts = hot["__bucket"].value_counts()
+    assert sorted(counts.index) == list(range(num_buckets, num_buckets + salt))
+    assert counts.max() <= int(np.ceil(len(hot) / salt)) + 8  # near-even
+    assert not (df[df["k"] != 7]["__bucket"] >= num_buckets).any()
