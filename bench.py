@@ -63,6 +63,25 @@ def run_headline() -> dict:
 QUERY_REPS = int(os.environ.get("GRAFT_BENCH_QUERY_REPS", "2"))
 
 
+def host_canary_gbps() -> float:
+    """First-touch memory bandwidth of this VM right now, GB/s.
+
+    The sandbox host intermittently degrades page-fault servicing by
+    ~100× (observed: 0.03–0.1 GB/s first-touch vs ~1.5 GB/s quiet —
+    BASELINE.md "host-noise burst").  Ray workers first-touch every
+    fresh batch, so the whole pipeline inherits the degradation.  This
+    number rides along in the bench JSON so a slow draw is attributable:
+    ≳1 GB/s = quiet window, ≲0.3 GB/s = burst (expect 2–10× inflation).
+    """
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.ones(50_000_000)  # 400 MB, first touch dominates
+    dt = time.perf_counter() - t0
+    del a
+    return round(0.4 / dt, 3)
+
+
 def _time_query(fn) -> float:
     """min-of-N per query (same rationale as the headline's min-of-2:
     the VM's bursty wall-time inflation, see BASELINE.md)."""
@@ -172,6 +191,7 @@ def main() -> None:
                 "raw_samples": headline["raw_samples"],
                 "samples_per_sec": round(headline["samples_per_sec"]),
                 "tier_rows": headline["tier_rows"],
+                "host_first_touch_gbps": host_canary_gbps(),
             }
         )
     )
@@ -260,6 +280,12 @@ def scaling() -> None:
                 "cores": {"lo": lo, "hi": hi},
                 "reps_per_leg": {str(lo): len(runs[lo]), str(hi): len(runs[hi])},
                 "all_secs": {str(n): [r["value"] for r in rs] for n, rs in runs.items()},
+                # per-run host canaries (GB/s first-touch; ≲0.3 = burst,
+                # see BASELINE.md) so each leg's draw is attributable
+                "host_first_touch_gbps": {
+                    str(n): [r.get("host_first_touch_gbps") for r in rs]
+                    for n, rs in runs.items()
+                },
             }
         )
     )
