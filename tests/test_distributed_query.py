@@ -183,6 +183,12 @@ EXT_QUERIES = [
     "round(m, 0.5)",
     "sqrt(m)",
     "sort_desc(sum(m) by (lab))",
+    "sin(m / 50)",
+    "hour(m * 100000)",
+    'label_join(sum(m) by (lab), "j", "-", "lab")',
+    "sum(m offset 2s) by (lab)",
+    "max_over_time(m[3s] offset 2s)",
+    "rate(m[4s] offset 1s)",
 ]
 
 
