@@ -1983,3 +1983,59 @@ ORACLES["stratified_sample"] = """
     QUALIFY sample_rank <= 10
     ORDER BY source, sample_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary builder — global top-K token counts (the classic
+# combine-before-exchange word count)
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_topk(sf_dir: str, k: int = 100, num_buckets: int = 8) -> pd.DataFrame:
+    """The K most frequent tokens across the corpus, with exact counts.
+
+    Map side: each batch collapses to its DISTINCT (token, count) pairs
+    (one pandas explode + value_counts, C-speed) — the combiner that
+    makes word count scale: wire rows per block ≤ the block's distinct
+    vocabulary, not its token count.  Exchange hashes tokens so each
+    bucket folds disjoint vocabulary slices and keeps only its local
+    top-K; the driver merges ≤ K×num_buckets candidates.  Ordering is
+    deterministic: count DESC, token ASC.
+    """
+    ds = _read_docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        out = pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                            "n": vc.to_numpy().astype(np.int64)})
+        out["bucket"] = _bucket_of_str(out["token"].to_numpy(), num_buckets)
+        return out
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        df = t.select(["token", "n"]).to_pandas()
+        g = df.groupby("token", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..stages.exchange import hash_exchange
+
+    cand = hash_exchange(
+        ds.map_batches(partial, batch_format="pandas"), "bucket", num_buckets, fold
+    ).to_pandas()
+    cand = cand.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)
+
+
+QUERIES["vocab_topk"] = q_vocab_topk
+ORACLES["vocab_topk"] = """
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (SELECT token, COUNT(*) AS n FROM w GROUP BY token)
+    SELECT token, n FROM c
+    QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 100
+    ORDER BY n DESC, token
+"""

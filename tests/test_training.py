@@ -403,3 +403,40 @@ def test_stratified_sample_matches_oracle_and_is_deterministic(ray_session, con)
     again = QUERIES["stratified_sample"](SF)
     pd.testing.assert_frame_equal(got, again)
     assert (got.groupby("source").size() == 10).all()
+
+
+def test_vocab_topk_wide_vocab(ray_session, tmp_path):
+    """Planted corpus with a vocab far wider than K stresses the
+    per-bucket top-K cut: a global top-K token is always in its own
+    bucket's local top-K, so the merged candidate set is sufficient."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import q_vocab_topk
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"tok{i:04d}" for i in range(500)])
+    # zipf-ish frequencies so ranks are distinct and ties exist
+    probs = 1.0 / np.arange(1, len(vocab) + 1)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(20, 80), p=probs))
+        for _ in range(400)
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)}),
+        d / "documents.parquet",
+    )
+    got = q_vocab_topk(str(d), k=100)
+    truth = (
+        pd.Series(" ".join(texts).split(" ")).value_counts().rename_axis("token")
+        .reset_index(name="n")
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    assert (got["token"].to_numpy() == truth["token"].to_numpy()).all()
+    assert (got["n"].to_numpy() == truth["n"].to_numpy()).all()
