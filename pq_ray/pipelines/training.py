@@ -2039,3 +2039,96 @@ ORACLES["vocab_topk"] = """
     QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 100
     ORDER BY n DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction — most distinctive term per document
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_topterm(sf_dir: str) -> pd.DataFrame:
+    """Per doc: the term maximizing tf/df (term frequency over corpus
+    document frequency), tie-broken by tf DESC then token ASC.
+
+    Two passes: (1) document frequencies — per-batch distinct
+    (doc, token) collapse to (token, count) partials, driver-folded
+    into the vocabulary table and broadcast back via ray.put (the
+    vocabulary is the bounded side, like every label map here);
+    (2) per-batch tf counts join the broadcast df and take a per-doc
+    argmax.  Exactness: tf and df are ints < 2^20, so distinct ratios
+    differ by ≥ 2^-40 — far above double ulp — and the float argmax is
+    exact; true ties resolve by the same (tf, token) order in SQL.
+    """
+    ds = _read_docs(sf_dir)
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            df[["doc_id", "text"]]
+            .assign(token=df["text"].str.split(" "))
+            .explode("token")[["doc_id", "token"]]
+            .drop_duplicates()
+        )
+        vc = pairs["token"].value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object),
+             "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("token", as_index=False)["n"].sum()
+        .rename(columns={"n": "df"})
+    )
+    df_ref = ray.put(df_tbl)
+
+    def top_term(df: pd.DataFrame) -> pd.DataFrame:
+        vocab = ray.get(df_ref)  # node-local after the first task
+        pairs = (
+            df[["doc_id"]]
+            .assign(token=df["text"].str.split(" "))
+            .explode("token")
+            .groupby(["doc_id", "token"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        m = pairs.merge(vocab, on="token", sort=False)
+        m["ratio"] = m["tf"].to_numpy() / m["df"].to_numpy()
+        m = m.sort_values(
+            ["doc_id", "ratio", "tf", "token"],
+            ascending=[True, False, False, True],
+            kind="stable",
+        )
+        top = m.groupby("doc_id", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "doc_id": top["doc_id"].to_numpy(),
+                "top_term": top["token"].to_numpy(dtype=object),
+                "tf": top["tf"].to_numpy().astype(np.int64),
+                "df": top["df"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(top_term, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["tfidf_topterm"] = q_tfidf_topterm
+ORACLES["tfidf_topterm"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+    SELECT doc_id, token AS top_term, tf, df
+    FROM tf JOIN df USING (token)
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY CAST(tf AS DOUBLE) / df DESC, tf DESC, token
+    ) = 1
+    ORDER BY doc_id
+"""
