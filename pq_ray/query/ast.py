@@ -88,7 +88,7 @@ class Binary:
 
     @property
     def kind(self) -> str:
-        if self.op in ("+", "-", "*", "/", "%", "^"):
+        if self.op in ("+", "-", "*", "/", "%", "^", "atan2"):
             return "arithmetic"
         if self.op in ("==", "!=", ">", ">=", "<", "<="):
             return "comparison"
@@ -150,6 +150,7 @@ PRECEDENCE = {
     "*": 50,
     "/": 50,
     "%": 50,
+    "atan2": 50,  # PromQL: same precedence as * / % (extension-only)
     "^": 60,
 }
 

@@ -313,6 +313,8 @@ def _scalar_op(op: str, l, r):
             return np.fmod(l, r)  # Rust % on f64 = fmod (sign of dividend)
         if op == "^":
             return np.power(l, r)
+        if op == "atan2":  # extension: PromQL's trig binary operator
+            return np.arctan2(l, r)
         if op == "==":
             return (np.abs(l - r) < F64_EPSILON).astype(np.float64)
         if op == "!=":
@@ -494,6 +496,8 @@ def eval_binary(node: Binary, left, right, extensions: bool = False) -> object:
     if node.kind == "logical":
         if extensions:
             return _eval_logical(node, left, right)
+        raise QueryError(f"operator {op!r} is not implemented")
+    if op == "atan2" and not extensions:
         raise QueryError(f"operator {op!r} is not implemented")
     if isinstance(left, ScalarStream) and isinstance(right, ScalarStream):
         if node.kind == "comparison" and not node.bool_modifier:

@@ -230,6 +230,10 @@ class _P:
         if m and m.group(0).lower() in WORD_OPS:
             self.i = m.end()
             return m.group(0).lower()
+        # extension-only word operator (PromQL trig binary op)
+        if self.extensions and m and m.group(0).lower() == "atan2":
+            self.i = m.end()
+            return "atan2"
         return None
 
     def _label_matching(self):

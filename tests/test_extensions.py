@@ -610,3 +610,25 @@ def test_new_families_gated_at_parse_time():
               'label_join(m, "d", "-", "l")'):
         with pytest.raises(ParseError):
             parse_expr(q)
+
+
+def test_atan2_binary_operator():
+    rows = [
+        (5000, "m", 1.0, "a"),
+        (5000, "k", 1.0, "a"),
+        (5100, "m", -1.0, "b"),
+        (5100, "k", 0.0, "b"),
+    ]
+    s = evaluate(_pe("m atan2 k"), _ctx(rows))
+    got = sorted(s.df[s.df["tick"] == 5999]["value"].tolist())
+    assert got == pytest.approx(sorted([np.arctan2(1.0, 1.0), np.arctan2(-1.0, 0.0)]))
+    # vector ∘ scalar form
+    s2 = evaluate(_pe("m atan2 2"), _ctx(rows))
+    assert sorted(s2.df["value"].tolist()) == pytest.approx(
+        sorted([np.arctan2(1.0, 2.0), np.arctan2(-1.0, 2.0)])
+    )
+    # arithmetic kind: __name__ dropped
+    assert s.df["name"].isna().all()
+    # gated: default grammar leaves 'atan2' unconsumed -> parse error
+    with pytest.raises(ParseError):
+        parse_expr("m atan2 k")
