@@ -1709,3 +1709,67 @@ ORACLES["events_spikes_1m"] = """
            (k = 24 AND 16 * n > s) AS is_spike
     FROM t ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — the sequential-recurrence family, distributed
+# ---------------------------------------------------------------------------
+
+
+def q_ewma_1m(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
+    """EWMA (adjust=False: y_t = (1-α)·y_{t-1} + α·x_t) of each
+    series' 1m mean values, over observed windows.
+
+    A linear recurrence can't split mid-series, so the plan co-locates
+    each series with a SECOND hash exchange keyed on series alone (the
+    rollup exchange keys on (series, window-group) to spread hot
+    series; here the whole series must meet one reduce).  The per-bucket
+    scan is pandas' C ewm over each series slice.  Post-rollup rows are
+    bounded by time range × series, so the series-keyed exchange moves
+    the small stream, never raw samples.  No SQL oracle — a recursive
+    float recurrence isn't expressible as a DuckDB one-liner — exactness
+    is pinned by pytest against a direct whole-table pandas computation.
+    """
+    from .events import rollup_events_numeric
+
+    pts, label_df = rollup_events_numeric(sf_dir, MINUTE_MS)
+
+    def tag(t: pa.Table) -> pa.Table:
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = ((sid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(17)) % np.uint64(8)
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def smooth(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "avg_value": pa.array([], type=pa.float64()),
+                    "ewma": pa.array([], type=pa.float64()),
+                }
+            )
+        df = t.select(["series_id", "window_ts", "sum", "count"]).to_pandas()
+        df["avg_value"] = df["sum"] / df["count"]
+        df = df.sort_values(["series_id", "window_ts"], kind="stable")
+        df["ewma"] = df.groupby("series_id")["avg_value"].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+        )
+        out = df[["series_id", "window_ts", "avg_value", "ewma"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sm = hash_exchange(
+        pts.map_batches(tag, batch_format="pyarrow"), "bucket", 8, smooth
+    )
+    out = sm.to_pandas().merge(label_df, on="series_id", sort=False)
+    out["avg_value"] = out["avg_value"].round(6)
+    out["ewma"] = out["ewma"].round(6)
+    return (
+        out[["window_ts", "event_type", "avg_value", "ewma"]]
+        .sort_values(["window_ts", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["events_ewma_1m"] = q_ewma_1m  # no SQL oracle: recursive recurrence

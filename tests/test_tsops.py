@@ -574,3 +574,32 @@ def test_spikes_1m_matches_duckdb(ray_session):
     head = got.groupby("event_type").head(24)
     assert not head["is_spike"].any()
     assert head["trail_n"].isna().all()
+
+
+def test_ewma_1m_matches_whole_table_pandas(ray_session):
+    """The bucketed distributed EWMA equals a direct single-process
+    pandas computation over the oracle-green 1m rollup — co-location
+    by series preserved the full per-series order."""
+    from pq_ray.pipelines.tsops import QUERIES
+
+    got = QUERIES["events_ewma_1m"](SF)
+    base = _oracle(
+        """
+        SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
+               SUM(value) / COUNT(*) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY 2, 1
+        """
+    )
+    base["ewma"] = base.groupby("event_type")["avg_value"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean()
+    )
+    base["avg_value"] = base["avg_value"].round(6)
+    base["ewma"] = base["ewma"].round(6)
+    base = base.sort_values(["window_ts", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, base[["window_ts", "event_type", "avg_value", "ewma"]],
+        check_dtype=False,
+    )
+    # smoothing sanity: ewma variance < raw variance per series
+    for _, g in got.groupby("event_type"):
+        assert g["ewma"].var() < g["avg_value"].var()
