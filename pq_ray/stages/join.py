@@ -93,12 +93,36 @@ def _join_gather(
     n_left: int,
     *parts: pa.Table,
 ) -> pa.Table:
-    lparts = [p for p in parts[:n_left] if p.num_rows]
-    rparts = [p for p in parts[n_left:] if p.num_rows]
-    left = pa.concat_tables(lparts) if lparts else parts[0].slice(0, 0)
-    right = pa.concat_tables(rparts) if rparts else parts[n_left].slice(0, 0)
-    left = left.drop_columns(["__bucket"])
-    right = right.drop_columns(["__bucket"])
+    def side(parts_slice: tuple, key: str) -> pa.Table | None:
+        rows = [p for p in parts_slice if p.num_rows]
+        if rows:
+            t = pa.concat_tables(rows)
+        else:
+            # empty fallback: prefer a part that carries the real schema
+            # (a split task with usable blocks emits full-schema empty
+            # slices; a fully-empty side emits schema-less placeholders)
+            t = next(
+                (p.slice(0, 0) for p in parts_slice if key in p.schema.names),
+                None,
+            )
+            if t is None:
+                return None  # side is globally empty AND schema-less
+        if "__bucket" in t.schema.names:
+            t = t.drop_columns(["__bucket"])
+        return t
+
+    left = side(parts[:n_left], left_key)
+    right = side(parts[n_left:], right_key)
+    if left is None:
+        # no left schema anywhere → the left side is globally empty;
+        # every left-anchored join of it is empty (schema: best effort)
+        return pa.table({})
+    if right is None:
+        # right side globally empty (e.g. a NOT EXISTS probe matching
+        # nothing): left-anchored semantics without right columns
+        if join_type in ("left anti", "left outer"):
+            return left
+        return left.slice(0, 0)  # inner / left semi
     return left.join(right, keys=left_key, right_keys=right_key, join_type=join_type)
 
 

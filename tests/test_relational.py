@@ -215,3 +215,17 @@ def test_salting_actually_spreads_the_hot_key(ray_session):
     assert sorted(counts.index) == list(range(num_buckets, num_buckets + salt))
     assert counts.max() <= int(np.ceil(len(hot) / salt)) + 8  # near-even
     assert not (df[df["k"] != 7]["__bucket"] >= num_buckets).any()
+
+
+@pytest.mark.parametrize("join_type,expect", [("inner", 0), ("left anti", 1000)])
+def test_shuffle_join_tolerates_empty_side(ray_session, join_type, expect):
+    """A side that a filter emptied entirely (legitimate: a NOT EXISTS
+    probe matching nothing) must not crash the per-bucket gathers."""
+    left = _left_table(1000)
+    right = _right_table()
+    rds = rd.from_arrow(right).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow"
+    )
+    out = shuffle_join(rd.from_arrow(left), rds, "k", "rk",
+                       num_buckets=4, join_type=join_type).to_pandas()
+    assert len(out) == expect
