@@ -72,17 +72,26 @@ def _samples(sf_dir: str):
     return ds.map_batches(to_samples, batch_format="pyarrow")
 
 
-def _t0(samples) -> int:
-    return int(samples.min("ts"))
+def _t0(samples) -> int | None:
+    """Grid anchor = first matched sample; None when nothing matched
+    (the reference's pull loop simply emits nothing then)."""
+    m = samples.min("ts")
+    return None if m is None else int(m)
 
 
-def _instant_rollup(samples, t0: int, interval: int) -> pd.DataFrame:
+def _instant_rollup(samples, t0: int | None, interval: int) -> pd.DataFrame:
     """Per (tick, series): the instant-vector value (latest sample in
     (tick-interval, tick]) — last_v of the offset-aligned window partial.
 
     tick = t0 + I - 1 + floor((ts - t0)/I)*I — every sample belongs to
     exactly one tick when lookback == interval."""
-    from ..stages.rollup import rollup_numeric
+    from ..stages.rollup import AGG_COLS, rollup_numeric
+
+    if t0 is None:  # empty selector match → empty tick grid (reference)
+        return pd.DataFrame(
+            columns=["series_id", "window_ts", *AGG_COLS,
+                     "event_type", "user_mod", "tick"]
+        )
 
     pts_ds = rollup_numeric(samples, interval, offset_ms=t0 % interval, num_buckets=16)
     # labels re-attached from the tiny (event_type, user_mod) map —
@@ -165,6 +174,12 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
     samples = _samples(sf_dir)
     t0 = _t0(samples)
     interval, d = MINUTE, RANGE_5M
+    if t0 is None:  # empty selector match → empty output (reference)
+        return pd.DataFrame(
+            {"tick": pd.Series(dtype=np.int64),
+             "event_type": pd.Series(dtype=object),
+             "n": pd.Series(dtype=np.int64)}
+        )
     first = t0 + min(d, interval) - 1
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -275,6 +290,12 @@ def q_pq_quantile09_by_event_1h(sf_dir: str) -> pd.DataFrame:
     # matching engine._promql_quantile): sort by (group, value), then
     # per-segment rank arithmetic — no per-group Python lambda
     phi = 0.9
+    if pts.empty:
+        return pd.DataFrame(
+            {"tick": pd.Series(dtype=np.int64),
+             "event_type": pd.Series(dtype=object),
+             "q90_value": pd.Series(dtype=np.float64)}
+        )
     et_codes, et_uniques = pd.factorize(pts["event_type"], sort=False)
     tick = pts["tick"].to_numpy(dtype=np.int64)
     v = pts["last_v"].to_numpy(dtype=np.float64)

@@ -76,3 +76,21 @@ def test_distributed_matches_local_engine(ray_session, con):
     _compare(dist, local)
     # and the local engine's empty-tick spine covers every grid tick
     assert len(stream.ticks) >= local["tick"].nunique()
+
+
+def test_pq_queries_empty_input_yield_empty_frames(ray_session, tmp_path):
+    """A selector matching NOTHING emits nothing in the reference's pull
+    loop; the distributed tick-grid queries must do the same instead of
+    crashing on the missing grid anchor (t0 = min ts of an empty set)."""
+    import pyarrow.parquet as pq_
+
+    from pq_ray.pipelines.pq_queries import QUERIES
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_.write_table(pq_.read_schema(src).empty_table(), d / "events.parquet")
+    for name, fn in QUERIES.items():
+        out = fn(str(d))
+        assert len(out) == 0, name
+        assert len(out.columns) >= 2, name  # typed empty, not schema-less
