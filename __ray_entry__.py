@@ -83,6 +83,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(relational.QUERIES)
     except ImportError:
         pass
+    try:
+        from pq_ray.pipelines import curation
+
+        out.update(curation.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -121,6 +127,12 @@ def oracle_sql() -> dict[str, str]:
         from pq_ray.pipelines import relational
 
         out.update(relational.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from pq_ray.pipelines import curation
+
+        out.update(curation.ORACLES)
     except ImportError:
         pass
     return out

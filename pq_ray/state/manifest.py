@@ -58,9 +58,12 @@ def file_row_counts(tier_dir: str) -> dict[str, int]:
     import pyarrow.parquet as pq
 
     out = {}
-    for name in sorted(os.listdir(tier_dir)):
-        if name.endswith(".parquet"):
-            out[name] = pq.ParquetFile(os.path.join(tier_dir, name)).metadata.num_rows
+    for root, _dirs, files in os.walk(tier_dir):
+        for name in sorted(files):
+            if name.endswith(".parquet"):
+                path = os.path.join(root, name)
+                rel = os.path.relpath(path, tier_dir)
+                out[rel] = pq.ParquetFile(path).metadata.num_rows
     return out
 
 
