@@ -39,7 +39,7 @@ from .training import (
     _bucket_of_str,
     _KNUTH,
     _md5_hex,
-    _per_doc_top_ngram,
+    repetition_signals,
 )
 
 
@@ -56,25 +56,7 @@ N_PER_SOURCE = 10
 def _doc_signals(df: pd.DataFrame) -> pd.DataFrame:
     """Per-doc batch-local curation signals (no exchange yet)."""
     h = df["text"].map(_md5_hex)
-    toks = df["text"].str.split(" ")
-    counts = toks.str.len().to_numpy().astype(np.int64)
-    flat = toks.explode().to_numpy(dtype=object)
-    th = pd.util.hash_array(flat).astype(np.uint64)
-    n_docs = len(df)
-    didx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    order = np.lexsort((th, didx))
-    d, hh = didx[order], th[order]
-    new = np.ones(len(d), dtype=bool)
-    new[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
-    n_unique = np.bincount(d[new], minlength=n_docs).astype(np.int64)
-    n_rep = counts - n_unique
-    top_bi = _per_doc_top_ngram(th, counts, 2)
-    top_tri = _per_doc_top_ngram(th, counts, 3)
-    rep_keep = (
-        (10 * n_rep <= 3 * counts)
-        & (5 * top_bi <= np.maximum(counts - 1, 0))
-        & (50 * top_tri <= 9 * np.maximum(counts - 2, 0))
-    )
+    _, _, _, _, rep_keep = repetition_signals(df["text"].to_numpy())
     doc_id = df["doc_id"].to_numpy(dtype=np.int64)
     return pd.DataFrame(
         {
@@ -123,8 +105,10 @@ def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
         _bucket_candidates,
     ).to_pandas()
     cand = cand.sort_values(["source", "sample_key", "doc_id"], kind="stable")
-    final = cand.groupby("source", sort=False).head(N_PER_SOURCE).copy()
-    final = final.sort_values(["source", "sample_key", "doc_id"]).reset_index(drop=True)
+    # head() preserves the sort above, so final is already ordered
+    final = (
+        cand.groupby("source", sort=False).head(N_PER_SOURCE).reset_index(drop=True)
+    )
     final["sample_rank"] = final.groupby("source").cumcount().to_numpy() + 1
     return (
         final[["source", "sample_rank", "doc_id"]]
@@ -148,6 +132,12 @@ def run_curation(sf_dir: str, out_dir: str) -> dict:
         return {"resumed": True, "rows": sum(mf.file_row_counts(out_dir).values())}
     t0 = _time.perf_counter()
     df = q_curate_corpus(sf_dir)
+    # recompute (corpus changed or never completed): clear any previous
+    # output so stale partitions from a prior corpus can't survive into
+    # the new manifest's row counts
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     for src, g in df.groupby("source"):
         part = os.path.join(out_dir, f"source={src}")

@@ -1819,39 +1819,49 @@ def _per_doc_top_ngram(th: np.ndarray, counts: np.ndarray, n: int) -> np.ndarray
     return out
 
 
-def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
-    """Per-doc repetition signals + Gopher-rule keep verdict.
-
+def repetition_signals(
+    texts,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-local Gopher repetition signals for a text array: returns
+    (n_tokens, n_repeated_words, top_bigram_n, top_trigram_n, keep).
     keep ⇔ repeated-word mass ≤ 30% AND top bigram ≤ 20% of bigrams
-    AND top trigram ≤ 18% of trigrams — each test an exact integer
-    cross-multiplication.  Per-batch work is one token-hash pass plus
-    three lexsorts; nothing leaves the map side but |docs| narrow rows.
-    """
+    AND top trigram ≤ 18% of trigrams — each an exact integer
+    cross-multiplication.  One token-hash pass + three lexsorts; shared
+    by q_repetition_filter and the composed curation pipeline so the
+    thresholds can never diverge."""
+    toks = pd.Series(texts, dtype=object).str.split(" ")
+    counts = toks.str.len().to_numpy().astype(np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    th = pd.util.hash_array(flat).astype(np.uint64)
+    n_docs = len(counts)
+    didx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    # distinct words per doc: lexsort + boundary scan (same trick as
+    # _doc_shingles)
+    order = np.lexsort((th, didx))
+    d, hh = didx[order], th[order]
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    n_unique = np.bincount(d[new], minlength=n_docs).astype(np.int64)
+    n_rep = counts - n_unique
+    top_bi = _per_doc_top_ngram(th, counts, 2)
+    top_tri = _per_doc_top_ngram(th, counts, 3)
+    keep = (
+        (10 * n_rep <= 3 * counts)
+        & (5 * top_bi <= np.maximum(counts - 1, 0))
+        & (50 * top_tri <= 9 * np.maximum(counts - 2, 0))
+    )
+    return counts, n_rep, top_bi, top_tri, keep
+
+
+def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """Per-doc repetition signals + Gopher-rule keep verdict
+    (repetition_signals above); nothing leaves the map side but |docs|
+    narrow rows."""
     ds = _read_docs(sf_dir)
 
     def signals(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        counts = toks.str.len().to_numpy().astype(np.int64)
-        flat = toks.explode().to_numpy(dtype=object)
-        th = pd.util.hash_array(flat).astype(np.uint64)
-        n_docs = len(df)
-        didx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        # distinct words per doc: lexsort + boundary scan (same trick as
-        # _doc_shingles)
-        order = np.lexsort((th, didx))
-        d, hh = didx[order], th[order]
-        new = np.ones(len(d), dtype=bool)
-        new[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
-        n_unique = np.bincount(d[new], minlength=n_docs).astype(np.int64)
-        n_rep = counts - n_unique
-        top_bi = _per_doc_top_ngram(th, counts, 2)
-        top_tri = _per_doc_top_ngram(th, counts, 3)
-        n_bi = np.maximum(counts - 1, 0)
-        n_tri = np.maximum(counts - 2, 0)
-        keep = (
-            (10 * n_rep <= 3 * counts)
-            & (5 * top_bi <= n_bi)
-            & (50 * top_tri <= 9 * n_tri)
+        counts, n_rep, top_bi, top_tri, keep = repetition_signals(
+            df["text"].to_numpy()
         )
         return pd.DataFrame(
             {
@@ -1961,7 +1971,7 @@ def q_stratified_sample(sf_dir: str, n_per_source: int = 10) -> pd.DataFrame:
         return out
 
     cand = ds.map_batches(_top_n, batch_format="pandas").to_pandas()
-    final = _top_n(cand.rename(columns={"sample_key": "_k"}).drop(columns="_k"))
+    final = _top_n(cand.drop(columns="sample_key"))
     final = final.sort_values(["source", "sample_key", "doc_id"]).reset_index(drop=True)
     final["sample_rank"] = final.groupby("source").cumcount().to_numpy() + 1
     return (

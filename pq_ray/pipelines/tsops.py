@@ -1680,7 +1680,9 @@ def q_spikes_1m(sf_dir: str, k: int = 24) -> pd.DataFrame:
         lambda s: s.shift(1).rolling(k, min_periods=k).sum()
     )
     out["trail_n"] = trail
-    out["is_spike"] = (16 * out["n"] > trail) & trail.notna()
+    # n > 1.5 · (trail/k)  ⇔  2·k·n > 3·trail (integer-exact for any k;
+    # at the default k=24 this is the oracle's 16·n > trail)
+    out["is_spike"] = (2 * k * out["n"] > 3 * trail) & trail.notna()
     return (
         out.sort_values(["window_ts", "event_type"])
         .reset_index(drop=True)[

@@ -158,6 +158,8 @@ def _empty_vector(kind: str, label_cols: list[str]) -> VectorStream:
     cols = ["tick", "value", "name", *[L(c) for c in label_cols], "sig", "ord"]
     if kind == "range":
         cols += ["ts", "seq"]
+    else:
+        cols += ["ts"]  # instant selectors carry ts (timestamp() ext)
     return VectorStream(
         kind, np.array([], dtype=np.int64), pd.DataFrame(columns=cols), label_cols
     )

@@ -113,16 +113,20 @@ def _join_gather(
 
     left = side(parts[:n_left], left_key)
     right = side(parts[n_left:], right_key)
-    if left is None:
-        # no left schema anywhere → the left side is globally empty;
-        # every left-anchored join of it is empty (schema: best effort)
-        return pa.table({})
-    if right is None:
-        # right side globally empty (e.g. a NOT EXISTS probe matching
-        # nothing): left-anchored semantics without right columns
-        if join_type in ("left anti", "left outer"):
-            return left
-        return left.slice(0, 0)  # inner / left semi
+    if left is None or right is None:
+        # A side is globally empty AND schema-less (Ray's placeholder
+        # blocks): we can only synthesize results whose output schema
+        # doesn't need the missing side — otherwise fail LOUD rather
+        # than return silently-wrong rows (e.g. a full outer missing
+        # the null-extended columns).
+        if left is not None and join_type in ("inner", "left semi", "left anti"):
+            # anti: all left rows survive (exact, anti output schema is
+            # left-only anyway); inner/semi: zero rows
+            return left if join_type == "left anti" else left.slice(0, 0)
+        raise ValueError(
+            f"shuffle join: a side arrived globally empty without a schema; "
+            f"cannot synthesize a {join_type!r} result"
+        )
     return left.join(right, keys=left_key, right_keys=right_key, join_type=join_type)
 
 
@@ -143,7 +147,6 @@ def detect_hot_keys(
     the heuristic misses just stays on the normal hash path —
     correctness never depends on detection.
     """
-    import pyarrow.compute as pc  # noqa: F401  (kept local: optional path)
 
     def partial(t: pa.Table) -> pa.Table:
         counts = t.select([key]).group_by([key]).aggregate([([], "count_all")])

@@ -229,3 +229,15 @@ def test_shuffle_join_tolerates_empty_side(ray_session, join_type, expect):
     out = shuffle_join(rd.from_arrow(left), rds, "k", "rk",
                        num_buckets=4, join_type=join_type).to_pandas()
     assert len(out) == expect
+
+
+def test_empty_schemaless_side_fails_loud_for_outer_types(ray_session):
+    """With a globally empty schema-less side, results needing that
+    side's columns (outer joins) must raise, not silently change shape."""
+    left, right = _skewed_sides(n_left=100)
+    rds = rd.from_arrow(right).map_batches(
+        lambda t: t.slice(0, 0), batch_format="pyarrow"
+    )
+    with pytest.raises(Exception):
+        shuffle_join(rd.from_arrow(left), rds, "k", "rk",
+                     num_buckets=4, join_type="left outer").to_pandas()
