@@ -440,3 +440,43 @@ def test_vocab_topk_wide_vocab(ray_session, tmp_path):
     )
     assert (got["token"].to_numpy() == truth["token"].to_numpy()).all()
     assert (got["n"].to_numpy() == truth["n"].to_numpy()).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["a", "b", "c", "aa", "ab", "w1", "w2"])
+_docs = st.lists(
+    st.lists(_words, min_size=1, max_size=40).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(_docs)
+@settings(max_examples=150, deadline=None)
+def test_repetition_signals_match_naive(texts):
+    """The lexsort/reduceat kernel equals a per-doc Counter reference,
+    including 1-token docs (no n-grams) and all-repeat docs."""
+    from collections import Counter
+
+    from pq_ray.pipelines.training import repetition_signals
+
+    counts, n_rep, top_bi, top_tri, keep = repetition_signals(
+        np.array(texts, dtype=object)
+    )
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        n = len(toks)
+        assert counts[i] == n
+        assert n_rep[i] == n - len(set(toks))
+        bi = Counter(zip(toks, toks[1:]))
+        tri = Counter(zip(toks, toks[1:], toks[2:]))
+        assert top_bi[i] == (max(bi.values()) if bi else 0)
+        assert top_tri[i] == (max(tri.values()) if tri else 0)
+        want_keep = (
+            10 * (n - len(set(toks))) <= 3 * n
+            and 5 * (max(bi.values()) if bi else 0) <= max(n - 1, 0)
+            and 50 * (max(tri.values()) if tri else 0) <= 9 * max(n - 2, 0)
+        )
+        assert bool(keep[i]) == want_keep
