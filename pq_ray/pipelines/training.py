@@ -2079,17 +2079,33 @@ def q_tfidf_topterm(sf_dir: str) -> pd.DataFrame:
             .drop_duplicates()
         )
         vc = pairs["token"].value_counts()
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"token": vc.index.to_numpy(dtype=object),
              "n": vc.to_numpy().astype(np.int64)}
         )
+        out["bucket"] = _bucket_of_str(out["token"].to_numpy())
+        return out
 
-    df_tbl = (
-        ds.map_batches(df_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("token", as_index=False)["n"].sum()
-        .rename(columns={"n": "df"})
-    )
+    def df_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        g = (
+            t.select(["token", "n"]).to_pandas()
+            .groupby("token", as_index=False)["n"].sum()
+            .rename(columns={"n": "df"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # per-batch partials fold in the EXCHANGE (disjoint vocab slices per
+    # bucket), so the driver collects one row per distinct token — not
+    # |blocks| × batch-vocab partial rows
+    df_tbl = hash_exchange(
+        ds.map_batches(df_partial, batch_format="pandas"),
+        "bucket",
+        NUM_BUCKETS,
+        df_fold,
+    ).to_pandas()
     df_ref = ray.put(df_tbl)
 
     def top_term(df: pd.DataFrame) -> pd.DataFrame:
