@@ -184,3 +184,110 @@ def q_media_features(sf_dir: str) -> "pd.DataFrame":
 
 QUERIES = {"media_features": q_media_features}
 ORACLES: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling — the per-modality stage a video corpus needs
+# ---------------------------------------------------------------------------
+
+VMAGIC = b"PQRV"
+VHEADER = struct.Struct(">4sHHHI")  # magic, width, height, n_frames, seed
+
+
+def synth_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic fake video payload: header + n_frames gray frames."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=n_frames * width * height, dtype=np.uint8)
+    return VHEADER.pack(VMAGIC, width, height, n_frames, seed) + frames.tobytes()
+
+
+def synth_video_corpus(n: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "mime": [], "n_frames": []}
+    for i in range(n):
+        w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        nf = int(rng.integers(4, 40))
+        rows["media_id"].append(i)
+        rows["payload"].append(synth_video(w, h, nf, seed * 7_000_003 + i))
+        rows["mime"].append("video/x-pqrv")
+        rows["n_frames"].append(nf)
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], type=pa.int64()),
+            "payload": pa.array(rows["payload"], type=pa.binary()),
+            "mime": pa.array(rows["mime"], type=pa.string()),
+            "n_frames": pa.array(rows["n_frames"], type=pa.int32()),
+        }
+    )
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload → every ``stride``-th frame as
+    its own output ROW (media_id, frame_idx, pixels) — the flat_map
+    shape a frame-level training pipeline consumes.  Real parsing for
+    the fake format; real codecs would slot into ``decode_real``.
+
+    Output rows are (much) larger than input rows when stride is small:
+    callers size batch_size × concurrency for the EXPANDED frames, not
+    the input payloads.
+    """
+
+    def __init__(self, stride: int = 4, on_error: str = "raise"):
+        self.stride = stride
+        self.on_error = on_error
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mids, fidx, pixels = [], [], []
+        for media_id, payload, mime in zip(
+            batch["media_id"], batch["payload"], batch["mime"]
+        ):
+            try:
+                if mime != "video/x-pqrv":
+                    decode_real(payload, mime)
+                magic, w, h, nf, _seed = VHEADER.unpack(payload[: VHEADER.size])
+                if magic != VMAGIC:
+                    raise ValueError("bad magic")
+                frames = np.frombuffer(payload[VHEADER.size :], dtype=np.uint8)
+                if len(frames) != nf * w * h:
+                    raise ValueError("truncated payload")
+                frames = frames.reshape(nf, w * h)
+                for k in range(0, nf, self.stride):
+                    mids.append(media_id)
+                    fidx.append(k)
+                    pixels.append(frames[k].astype(np.float32))
+            except NotImplementedError:
+                if self.on_error == "raise":
+                    raise
+        return pd.DataFrame({"media_id": mids, "frame_idx": fidx, "pixels": pixels})
+
+
+def video_frame_pipeline(
+    table_or_path, *, stride: int = 4, batch_size: int = 16, concurrency: int = 2
+):
+    """video table → sampled frame rows → per-frame features (reusing
+    the image feature stage: a frame IS an image once sampled)."""
+    ds = (
+        rd.read_parquet(table_or_path)
+        if isinstance(table_or_path, str)
+        else rd.from_arrow(table_or_path)
+    )
+    frames = ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    class FrameFeatures(ExtractFeatures):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = super().__call__(batch)
+            out["frame_idx"] = batch["frame_idx"].to_numpy()
+            return out
+
+    return frames.map_batches(
+        FrameFeatures,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
