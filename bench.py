@@ -95,11 +95,12 @@ def _time_query(fn) -> float:
 
 
 def run_queries() -> dict:
-    from pq_ray.pipelines import events, relational, tsops
+    from pq_ray.pipelines import curation, events, relational, tsops
 
     out = {name: _time_query(fn) for name, fn in events.QUERIES.items()}
     out.update({name: _time_query(fn) for name, fn in tsops.QUERIES.items()})
     out.update({name: _time_query(fn) for name, fn in relational.QUERIES.items()})
+    out.update({name: _time_query(fn) for name, fn in curation.QUERIES.items()})
     return out
 
 
