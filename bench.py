@@ -73,13 +73,27 @@ def host_canary_gbps() -> float:
     number rides along in the bench JSON so a slow draw is attributable:
     ≳1 GB/s = quiet window, ≲0.3 GB/s = burst (expect 2–10× inflation).
     """
-    import numpy as np
+    import mmap
 
-    t0 = time.perf_counter()
-    a = np.ones(50_000_000)  # 400 MB, first touch dominates
-    dt = time.perf_counter() - t0
-    del a
-    return round(0.4 / dt, 3)
+    # anonymous mmap + FULL writes: the degradation throttles full-page
+    # writes to newly-faulted memory (measured: fault-only touching runs
+    # ~10× faster than full writes during a burst, and a numpy realloc
+    # can reuse warm arena pages entirely) — so the honest probe writes
+    # every byte of a mapping that is guaranteed fresh
+    size = 400 * 1024 * 1024
+    chunk = b"\x01" * (1 << 20)
+    worst = float("inf")
+    # the throttle FLAPS on a seconds scale (measured: 1.0 GB/s and
+    # 0.04 GB/s probes seconds apart) — take the min of 3 spaced probes
+    for _ in range(3):
+        m = mmap.mmap(-1, size)
+        t0 = time.perf_counter()
+        for _ in range(size >> 20):
+            m.write(chunk)
+        worst = min(worst, size / (1024**3) / (time.perf_counter() - t0))
+        m.close()
+        time.sleep(0.5)
+    return round(worst, 3)
 
 
 def _time_query(fn) -> float:
