@@ -784,6 +784,7 @@ EXTENSION_FNS = {
     "days_in_month", "month", "year",
     "timestamp",
     "label_join",
+    "absent_over_time",
 }
 
 # range-vector extension kernels: evaluated on the window segments via
@@ -973,6 +974,12 @@ def _eval_ext_function(name: str, args: list, node=None) -> VectorStream:
     math/sort/absent/histogram_quantile family (reference doesn't even
     parse those — gated at parse time)."""
     inner = args[1] if name == "histogram_quantile" else args[0]
+    if name == "absent_over_time":
+        # same grid-gap rule as absent(), but over the range windows:
+        # 1 wherever the (T-d, T] window holds no samples
+        if isinstance(inner, ScalarStream) or inner.kind != "range":
+            raise QueryError("absent_over_time expects a range vector argument")
+        return _eval_absent(inner, node)
     if isinstance(inner, ScalarStream) or inner.kind != "instant":
         raise QueryError(f"{name} expects an instant vector argument")
     df = inner.df.copy()

@@ -114,6 +114,7 @@ EXT_FUNC_NAMES = [
     "sort_desc",
     "sort",
     "histogram_quantile",
+    "absent_over_time",
     # trig + conversions
     "sin", "cos", "tan", "asin", "acos", "atan",
     "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
@@ -405,6 +406,7 @@ class _P:
             "deg", "rad",
             "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
             "days_in_month", "month", "year", "timestamp",
+            "absent_over_time",
         ):
             return [self.expr(None)]
         if name == "label_join":

@@ -632,3 +632,23 @@ def test_atan2_binary_operator():
     # gated: default grammar leaves 'atan2' unconsumed -> parse error
     with pytest.raises(ParseError):
         parse_expr("m atan2 k")
+
+
+def test_absent_over_time():
+    rows = [
+        (5000, "m", 1.0, "a"),
+        (9000, "m", 2.0, "a"),  # 3 empty 1s windows in between
+    ]
+    s = evaluate(_pe('absent_over_time(m{l="a"}[1s])'), _ctx(rows))
+    # grid ticks 5999..9999; windows (5999,6999,7999,8999,9999] →
+    # samples present at 5999 and 9999 only
+    got = s.df[["tick", "value"]].values.tolist()
+    assert got == [[6999, 1.0], [7999, 1.0], [8999, 1.0]]
+    # labels from the selector's equality matchers
+    assert set(s.df["l_l"]) == {"a"}
+    # no gaps → empty result
+    dense = [(5000 + i * 500, "m", float(i), "a") for i in range(10)]
+    s2 = evaluate(_pe("absent_over_time(m[1s])"), _ctx(dense))
+    assert len(s2.df) == 0
+    with pytest.raises(ParseError):
+        parse_expr("absent_over_time(m[1s])")
