@@ -57,6 +57,7 @@ def run_headline() -> dict:
         "raw_samples": result["raw_samples"],
         "samples_per_sec": result["raw_samples"] / elapsed,
         "tier_rows": result["tier_rows"],
+        "phases": result.get("phases", {}),
     }
 
 
@@ -206,6 +207,7 @@ def main() -> None:
                 "raw_samples": headline["raw_samples"],
                 "samples_per_sec": round(headline["samples_per_sec"]),
                 "tier_rows": headline["tier_rows"],
+                "phases": headline["phases"],
                 "host_first_touch_gbps": host_canary_gbps(),
             }
         )
