@@ -81,7 +81,7 @@ def main(argv: list[str] | None = None) -> int:
                 k: v
                 for k, v in opts.items()
                 if k in ("interval_ms", "lookback_ms", "since_ms",
-                         "until_ms", "extensions")
+                         "until_ms", "extensions", "verbose")
             }
             try:
                 for out in run_log_query(args.files, args.program, **dist_opts):

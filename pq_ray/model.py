@@ -246,3 +246,15 @@ def parse_number(text: str) -> float | None:
         return float(t)
     except ValueError:
         return None
+
+
+def splitmix64(x) -> "np.ndarray":
+    """Vectorized SplitMix64 finalizer — the standard public-domain
+    avalanche.  THE one copy: bucket assignments everywhere (joins,
+    windowed ops) derive from it, so modules must share it."""
+    import numpy as np
+
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))

@@ -228,6 +228,8 @@ def run_log_query(
     extensions: bool = False,
     formatter: bool = True,
     split_bytes: int = _DEFAULT_SPLIT_BYTES,
+    verbose: bool = False,
+    error_sink=None,
 ):
     """Run a pq program over log files with Ray; returns the formatted
     output lines (query programs) or the samples DataFrame when
@@ -258,6 +260,23 @@ def run_log_query(
     ]
     metas = ray.get([m for (_t, m) in parsed])
     label_cols = sorted({k for m in metas for k in m["label_keys"]})
+
+    if verbose:
+        # the local runner's -v reports each dropped line (runner.py
+        # report()); distributed splits aggregate per file instead —
+        # same signal, wire-cheap
+        per_file: dict[int, int] = {}
+        for (fi, _p, _s, _e), meta in zip(splits, metas):
+            per_file[fi] = per_file.get(fi, 0) + meta["dropped"]
+        for fi, n in sorted(per_file.items()):
+            if n:
+                msg = f"{files[fi]}: {n} line(s) dropped (decode/map errors)"
+                if error_sink is not None:
+                    error_sink.append(msg)
+                else:
+                    import sys as _sys
+
+                    print(msg, file=_sys.stderr)
 
     # per-file prefix sums of line/sample counts (splits are emitted in
     # file order) → each block's offsets; fixup tasks rewrite seq /

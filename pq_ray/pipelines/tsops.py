@@ -182,12 +182,7 @@ HLL_M = 1 << HLL_P
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer — the standard public-domain avalanche."""
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+from ..model import splitmix64 as _splitmix64  # shared single copy
 
 
 def _hll_rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -250,6 +250,10 @@ def eval_selector(sel: VectorSelector, ctx: EvalContext) -> VectorStream:
 
     ex = matched.loc[matched.index.repeat(reps)].reset_index(drop=True)
     ex["tick"] = tick_col
+    if getattr(sel, "offset_ms", 0):
+        # windowing used the shifted ts; emit the sample's REAL time so
+        # timestamp() (and any ts consumer) sees the data, not the shift
+        ex["ts"] = ex["ts"] - sel.offset_ms
     ex["sig"] = compute_sig(ex, label_cols, name_col=True)
 
     if kind == "instant":
@@ -933,11 +937,20 @@ def _eval_histogram_quantile(phi: float, inner: "VectorStream") -> "VectorStream
         return VectorStream(
             "instant", inner.ticks, pd.DataFrame(columns=cols), out_label_cols
         )
+    def _le_of(x) -> float:
+        # Prometheus skips series whose le isn't a number
+        try:
+            return float(x) if x is not None else np.nan
+        except (TypeError, ValueError):
+            return np.nan
+
     df = df.copy()
-    df["_le"] = np.array(
-        [float(x) if x is not None else np.nan for x in df[le_col]], dtype=np.float64
-    )
+    df["_le"] = np.array([_le_of(x) for x in df[le_col]], dtype=np.float64)
     df = df[~np.isnan(df["_le"])]
+    if df.empty:  # every le was missing/unparsable
+        return VectorStream(
+            "instant", inner.ticks, pd.DataFrame(columns=cols), out_label_cols
+        )
     # group by (tick, labels-without-le): sig recomputed without le/name
     df["_gsig"] = compute_sig(df, out_label_cols, name_col=False)
     df = df.sort_values(["tick", "_gsig", "_le"], kind="stable")
@@ -1077,11 +1090,9 @@ def _eval_ext_function(name: str, args: list, node=None) -> VectorStream:
         # presentation-order only: keep __name__ and sigs, reorder rows
         # within each tick by value (NaN last, numpy default)
         v = df["value"].to_numpy(dtype=np.float64)
+        # argsort places NaN last in BOTH directions (NaN stays NaN
+        # under negation and argsort treats it as largest)
         order = np.argsort(-v if name == "sort_desc" else v, kind="stable")
-        # -v flips NaN to the front; push NaN rows last explicitly
-        if name == "sort_desc":
-            nan_mask = np.isnan(v[order])
-            order = np.concatenate([order[~nan_mask], order[nan_mask]])
         df = df.iloc[order]
         df = df.sort_values("tick", kind="stable")  # group ticks, keep value order
         df = _rank_within_tick(df)
@@ -1412,9 +1423,28 @@ def evaluate(node, ctx: EvalContext):
         args = [
             a if isinstance(a, (float, str)) else evaluate(a, ctx) for a in node.args
         ]
-        from .ast import find_smallest_range_ms
-
-        return eval_function(
-            node, args, find_smallest_range_ms(node), ctx.extensions
-        )
+        return eval_function(node, args, _fn_range_ms(node), ctx.extensions)
     raise QueryError(f"cannot evaluate node {node!r}")
+
+
+def _fn_range_ms(node: FunctionCall) -> int | None:
+    """The window duration a range-vector function divides/derives by:
+    its DIRECT argument's range.  A Subquery argument contributes the
+    subquery's OWN range — not the smaller range inside its inner
+    expression (rate(f(m[1h])[2m:1m]) spans 2m of points, so rate
+    divides by 2m)."""
+    from .ast import Parentheses as _Par
+    from .ast import Subquery as _Sub
+    from .ast import VectorSelector as _Sel
+    from .ast import find_smallest_range_ms
+
+    for a in node.args:
+        if isinstance(a, (float, str)):
+            continue
+        x = a
+        while isinstance(x, _Par):
+            x = x.expr
+        if isinstance(x, (_Sel, _Sub)):
+            return x.range_ms
+        return find_smallest_range_ms(x)
+    return None

@@ -35,12 +35,7 @@ import ray.data as rd
 from .exchange import split_stream
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """SplitMix64 finalizer — the standard public-domain avalanche."""
-    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+from ..model import splitmix64 as _splitmix64  # shared single copy
 
 
 def _key_buckets(col: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
@@ -123,6 +118,10 @@ def _join_gather(
             # anti: all left rows survive (exact, anti output schema is
             # left-only anyway); inner/semi: zero rows
             return left if join_type == "left anti" else left.slice(0, 0)
+        if left is None and join_type in ("inner", "left semi", "left anti"):
+            # no left data at all → these join types are empty; the
+            # schema is unknowable but so is every bucket's, uniformly
+            return pa.table({})
         raise ValueError(
             f"shuffle join: a side arrived globally empty without a schema; "
             f"cannot synthesize a {join_type!r} result"
@@ -269,8 +268,11 @@ def shuffle_join(
         "__bucket",
         total_buckets,
     )
-    if not lrefs or not rrefs:
+    if not lrefs and not rrefs:
         return rd.from_arrow_refs([])
+    # a SINGLE empty side still runs the gathers: _join_gather's
+    # missing-side semantics (anti keeps all left rows, inner/semi go
+    # empty, outer types fail loud) apply uniformly across buckets
     out_refs = [
         _join_gather.remote(
             left_key,

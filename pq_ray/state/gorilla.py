@@ -201,7 +201,14 @@ def decode_timestamps(data: bytes, n: int) -> np.ndarray:
     # zero tail is a complete proof of regularity.
     if r.tail_is_zero():
         return t0 + delta * np.arange(n, dtype=np.int64)
-    out[1] = out[0] + delta
+
+    def wrap64(x: int) -> int:
+        # two's-complement wrap: the encoder's np.diff wraps mod 2^64 on
+        # >half-range spans, so the decoder must accumulate the same way
+        # (Python ints would otherwise overflow the int64 output)
+        return ((x + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+
+    out[1] = wrap64(int(out[0]) + delta)
     prev_delta = delta
     for i in range(2, n):
         if r.read(1) == 0:
@@ -216,8 +223,8 @@ def decode_timestamps(data: bytes, n: int) -> np.ndarray:
             dod = r.read(64)
             if dod >= 1 << 63:
                 dod -= 1 << 64
-        prev_delta += dod
-        out[i] = out[i - 1] + prev_delta
+        prev_delta = wrap64(prev_delta + dod)
+        out[i] = wrap64(int(out[i - 1]) + prev_delta)
     return out
 
 

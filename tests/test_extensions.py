@@ -652,3 +652,33 @@ def test_absent_over_time():
     assert len(s2.df) == 0
     with pytest.raises(ParseError):
         parse_expr("absent_over_time(m[1s])")
+
+
+def test_rate_over_subquery_divides_by_subquery_range():
+    # counter rising 1/sec; subquery [4s:1s] over last_over_time inner
+    rows = [(5000 + i * 1000, "m", float(i), "a") for i in range(10)]
+    s = evaluate(_pe("rate(last_over_time(m[10s])[4s:1s])"), _ctx(rows))
+    # within a full 4s window the counter rises 3 → rate must divide by
+    # the SUBQUERY range (3/4 = 0.75), not the inner 10s (0.3)
+    vals = s.df["value"].to_numpy()
+    assert vals.max() == pytest.approx(3.0 / 4.0)
+    assert not np.isclose(vals, 0.3).any()
+
+
+def test_timestamp_ignores_offset():
+    rows = [(5000, "m", 1.0, "a")]
+    plain = evaluate(_pe("timestamp(m)"), _ctx(rows))
+    off = evaluate(_pe("timestamp(m offset 2s)"), _ctx(rows))
+    # offset shifts WHICH tick sees the sample, never the sample's time
+    assert plain.df["value"].iloc[0] == off.df["value"].iloc[0] == 5.0
+    assert off.df["tick"].iloc[0] == plain.df["tick"].iloc[0] + 2000
+
+
+def test_histogram_quantile_bad_le_is_skipped():
+    rows = [
+        (5000, "h", 1.0, "abc"),   # unparsable le
+        (5100, "h", 2.0, None),    # missing le
+    ]
+    ctx = _ctx(rows, label_cols=("le",))
+    s = evaluate(_pe("histogram_quantile(0.9, h)"), ctx)
+    assert len(s.df) == 0  # skipped, not crashed
