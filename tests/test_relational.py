@@ -241,3 +241,26 @@ def test_empty_schemaless_side_fails_loud_for_outer_types(ray_session):
     with pytest.raises(Exception):
         shuffle_join(rd.from_arrow(left), rds, "k", "rk",
                      num_buckets=4, join_type="left outer").to_pandas()
+
+
+def test_salted_join_string_keys(ray_session):
+    rng = np.random.default_rng(3)
+    keys = rng.choice(["cold1", "cold2", "cold3"], 5000).astype(object)
+    keys[:3000] = "hot"
+    rng.shuffle(keys)
+    left = pa.table({"k": pa.array(list(keys), type=pa.string()),
+                     "v": pa.array(rng.normal(size=len(keys)))})
+    right = pa.table({"k": pa.array(["hot", "cold1", "cold2"], type=pa.string()),
+                      "tag": pa.array(["H", "C1", "C2"])})
+    from pq_ray.stages.join import detect_hot_keys
+
+    lds = rd.from_arrow(left).repartition(6)
+    hot = detect_hot_keys(lds, "k", num_buckets=4)
+    assert hot == ["hot"]
+    plain = shuffle_join(lds, rd.from_arrow(right), "k",
+                         num_buckets=4).to_pandas()
+    salted = shuffle_join(lds, rd.from_arrow(right), "k", num_buckets=4,
+                          hot_keys=hot, salt=4).to_pandas()
+    a = plain.sort_values(list(plain.columns)).reset_index(drop=True)
+    b = salted.sort_values(list(salted.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
