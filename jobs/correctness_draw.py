@@ -29,6 +29,15 @@ TABLES = [
 
 
 def compare(got, exp) -> dict:
+    """Driver-faithful compare (VERDICT r3 #3): the driver's value-hash is
+    dtype-sensitive (an engine int64 `1` vs an oracle float64 `1.0`
+    hash-mismatches even though np.allclose passes — that is exactly how
+    CORRECTNESS_r03's two reds were masked by the old allclose-based
+    replay).  So: numeric-kind mismatch (int vs float) ⇒ hash_match=False,
+    and float columns compare EXACTLY (bitwise, NaN==NaN) rather than
+    within tolerance.  ``values_close`` keeps the old tolerant verdict as
+    a diagnostic so a dtype artifact is distinguishable from a value bug.
+    """
     res = {"rows_match": None, "schema_match": None, "hash_match": None,
            "spark_rows": int(len(got)), "oracle_rows": int(len(exp)), "err": None}
     res["rows_match"] = len(got) == len(exp)
@@ -41,16 +50,37 @@ def compare(got, exp) -> dict:
     gs = gs.sort_values(list(gs.columns)).reset_index(drop=True)
     es = es.sort_values(list(es.columns)).reset_index(drop=True)
     ok = True
+    close = True
     for c in gs.columns:
         a, b = gs[c].to_numpy(), es[c].to_numpy()
-        if a.dtype.kind == "f" or b.dtype.kind == "f":
-            ok &= bool(np.allclose(a.astype(np.float64), b.astype(np.float64),
-                                   equal_nan=True))
+        ka, kb = a.dtype.kind, b.dtype.kind
+        float_kinds = {"f"}
+        int_kinds = {"i", "u", "b"}
+        if (ka in float_kinds) != (kb in float_kinds) and (
+            ka in float_kinds | int_kinds and kb in float_kinds | int_kinds
+        ):
+            # int-vs-float: the driver hashes the repr/dtype, so this is red
+            ok = False
+            res.setdefault("dtype_mismatch", []).append(
+                f"{c}: {a.dtype} vs {b.dtype}"
+            )
+            close &= bool(np.allclose(a.astype(np.float64),
+                                      b.astype(np.float64), equal_nan=True))
+            continue
+        if ka in float_kinds and kb in float_kinds:
+            ok &= bool(np.array_equal(a.astype(np.float64),
+                                      b.astype(np.float64), equal_nan=True))
+            close &= bool(np.allclose(a.astype(np.float64),
+                                      b.astype(np.float64), equal_nan=True))
         else:
-            ok &= bool((a.astype(str) == b.astype(str)).all())
-        if not ok:
+            col_ok = bool((a.astype(str) == b.astype(str)).all())
+            ok &= col_ok
+            close &= col_ok
+        if not close:
             break
     res["hash_match"] = ok
+    if ok != close:
+        res["values_close"] = close
     return res
 
 

@@ -1134,7 +1134,7 @@ ORACLES["events_sessions"] = """
                                 ROWS UNBOUNDED PRECEDING) AS session_no
         FROM m
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
     FROM s GROUP BY 1, 2 ORDER BY 1, 2
@@ -1431,8 +1431,10 @@ ORACLES["events_changes_1h"] = """
     )
     SELECT window_ts, event_type,
            COUNT(*) AS n_events,
-           COALESCE(SUM(CASE WHEN value <> pv THEN 1 ELSE 0 END), 0) AS n_changes,
-           COALESCE(SUM(CASE WHEN value < pv THEN 1 ELSE 0 END), 0) AS n_resets
+           CAST(COALESCE(SUM(CASE WHEN value <> pv THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_changes,
+           CAST(COALESCE(SUM(CASE WHEN value < pv THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_resets
     FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
 
