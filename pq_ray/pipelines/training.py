@@ -1246,7 +1246,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "token_bpe": q_token_bpe,
     "jaccard_pairs": q_jaccard_pairs,
-    "minhash_pairs": q_minhash_pairs,  # rows-only (approx candidates)
+    "minhash_pairs": q_minhash_pairs,  # oracle added below (recall-1.0 LSH)
     "simhash": q_simhash,  # rows-only (hash definition is ours)
     "simhash_pairs": q_simhash_pairs,  # rows-only (banded hamming dedup)
     "lang_quality": q_lang_quality,  # rows-only (heuristic)
@@ -1641,9 +1641,47 @@ def q_ann_ivf_multi(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["qid", "vec_id"]).reset_index(drop=True)
 
 
-QUERIES["ann_ivf"] = q_ann_ivf
-QUERIES["ann_ivf_multi"] = q_ann_ivf_multi
+def q_ann_ivf_multi_check(sf_dir: str) -> pd.DataFrame:
+    """Driver-hashable IVF row (VERDICT r3 #8): IVF prunes 12 of 16
+    lists per probe, so its top-k is approximate and its raw output
+    can't hash against SQL.  Emit instead the EXACT top-k per query
+    (hashable against the brute-force oracle) plus ``ivf_ok`` — did the
+    IVF retrieval hit its pinned contract over the 8-query panel: mean
+    recall >= 0.7 and min >= 0.5 vs exact (the weak cosine-0.45 bench
+    threshold scatters neighbor sets across list boundaries — see the
+    LSH parameter note above; a SINGLE query's recall varies too much
+    to pin, which is why ann_ivf stays rows-only).  The oracle emits
+    TRUE, so a contract violation hash-reds the row."""
+    brute = q_ann_topk_multi(sf_dir)
+    ivf = q_ann_ivf_multi(sf_dir)
+    recalls = []
+    for qid, g in brute.groupby("qid"):
+        iset = set(ivf.loc[ivf["qid"] == qid, "vec_id"])
+        recalls.append(len(set(g["vec_id"]) & iset) / max(len(g), 1))
+    ok = bool(np.mean(recalls) >= 0.7 and min(recalls) >= 0.5)
+    out = brute.copy()
+    out["ivf_ok"] = ok
+    return out
+
+
+QUERIES["ann_ivf"] = q_ann_ivf  # rows-only: single-query recall too noisy
+QUERIES["ann_ivf_multi"] = q_ann_ivf_multi_check
 QUERIES["embed_neardup_lsh"] = q_embed_neardup_lsh
+ORACLES["ann_ivf_multi"] = (
+    ORACLES["ann_topk_multi"].rstrip()
+    .replace("SELECT qid, vec_id, sim FROM ranked",
+             "SELECT qid, vec_id, sim, TRUE AS ivf_ok FROM ranked", 1)
+)
+
+# Both LSH near-dup pipelines verify every candidate pair with the EXACT
+# measure before emitting, so a hash-green row certifies recall 1.0 on
+# the driver's corpus, not a lucky approximation: minhash banding at
+# 32 bands x 4 rows and hyperplane LSH at 32 tables x 3 bits put the
+# per-pair miss probability below ~3e-5 at the bench thresholds
+# (verified output == exact sibling at sf0.01 AND sf0.1; the recall
+# floor stays pinned in tests/test_training.py).  VERDICT r3 #8.
+ORACLES["minhash_pairs"] = ORACLES["jaccard_pairs"]
+ORACLES["embed_neardup_lsh"] = ORACLES["embed_neardup"]
 
 
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:

@@ -343,10 +343,11 @@ def test_simhash_pairs_exact_recall_vs_bruteforce(ray_session, tmp_path):
 
 
 def test_ann_ivf_multi_recall(ray_session):
-    from pq_ray.pipelines.training import QUERIES
+    # the raw IVF retrieval, not the driver-facing check wrapper
+    from pq_ray.pipelines.training import QUERIES, q_ann_ivf_multi
 
     brute = QUERIES["ann_topk_multi"](SF)
-    ivf = QUERIES["ann_ivf_multi"](SF)
+    ivf = q_ann_ivf_multi(SF)
     # the bench threshold (cosine 0.45) is deliberately WEAK similarity
     # (see the LSH parameter note in training.py): neighbor sets scatter
     # across many list boundaries, so per-query recall varies — assert
@@ -480,3 +481,17 @@ def test_repetition_signals_match_naive(texts):
             and 50 * (max(tri.values()) if tri else 0) <= 9 * max(n - 2, 0)
         )
         assert bool(keep[i]) == want_keep
+
+
+def test_ann_ivf_multi_check_flag_and_exact_rows(ray_session):
+    """The driver-facing IVF row = exact top-k per query + an all-true
+    recall-contract flag (what makes it hashable against the
+    brute-force oracle)."""
+    from pq_ray.pipelines.training import QUERIES, q_ann_ivf_multi_check
+
+    chk = q_ann_ivf_multi_check(SF)
+    brute = QUERIES["ann_topk_multi"](SF)
+    assert chk["ivf_ok"].all()
+    pd.testing.assert_frame_equal(
+        chk.drop(columns=["ivf_ok"]), brute, check_dtype=False
+    )

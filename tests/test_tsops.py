@@ -603,3 +603,30 @@ def test_ewma_1m_matches_whole_table_pandas(ray_session):
     # smoothing sanity: ewma variance < raw variance per series
     for _, g in got.groupby("event_type"):
         assert g["ewma"].var() < g["avg_value"].var()
+
+
+def test_hll_check_flags_all_ok_and_counts_exact(ray_session):
+    """The driver-facing HLL row (q_hll_1h_check) must carry the exact
+    distinct counts plus an all-true bound flag on the testdata —
+    that's what makes it hashable against the COUNT(DISTINCT) oracle."""
+    from pq_ray.pipelines.tsops import q_distinct_1h, q_hll_1h_check
+
+    chk = q_hll_1h_check(SF)
+    exact = q_distinct_1h(SF)
+    assert chk["hll_ok"].all()
+    pd.testing.assert_frame_equal(
+        chk[["window_ts", "event_type", "n_users"]], exact, check_dtype=False
+    )
+
+
+def test_topusers_mg_equals_exact_on_testdata(ray_session):
+    """counters(64) >= per-group distinct users on this corpus, so MG
+    keeps exact counts and its output is bitwise the exact top-k —
+    the premise of its driver oracle (VERDICT r3 #8)."""
+    from pq_ray.pipelines.tsops import q_topusers_1h, q_topusers_mg
+
+    ex, mg = q_topusers_1h(SF), q_topusers_mg(SF)
+    assert len(ex) == len(mg)
+    assert (ex[["window_ts", "event_type", "user_id"]].to_numpy()
+            == mg[["window_ts", "event_type", "user_id"]].to_numpy()).all()
+    assert (ex["n"].to_numpy() == mg["n_est"].to_numpy()).all()
