@@ -1,0 +1,186 @@
+"""Driver-facing distributed-query pipelines (VERDICT r3 #4/#9).
+
+These two queries are the hard-signal proof that the pq query engine's
+per-tick COMBINATORS — not just its selector/rollup leaves — run in Ray:
+
+- ``dq_agg_div_1h``: ``sum by(event) (sum_over_time(m[1h])) / on(event)
+  sum by(event) (count_over_time(m[1h]))`` over the events table lifted
+  into the engine's samples schema with a 2-label series space
+  (event_type x user_id%16, so the ``by (event)`` aggregate really
+  collapses series).  Both aggregates AND the one-to-one ``on(event)``
+  match execute as hash exchanges keyed (tick, signature)
+  (`query/distributed.py::_dist_aggregate/_dist_binary`); the driver
+  only materializes the final per-(tick, event) vector.
+
+- ``dq_subquery_sum_1h``: ``sum_over_time(sum by(event)
+  (sum_over_time(m[1m]))[1h:1m])`` — the distributed subquery lowering
+  (`_dist_subquery_overtime`): the inner expression evaluates on the 1m
+  step grid in Ray, its points re-window into the outer 1h sliding
+  frame as mergeable partials through one more exchange, and the outer
+  kernel finalizes per bucket.  Inner points never touch the driver.
+
+Both carry DuckDB oracles that reproduce the pq tick-grid rule
+(Q1: first = t0 + min(d, interval) - 1, half-open (T-d, T] windows —
+SURVEY.md §5) in SQL, like the logs oracles do at 1s.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..query.distributed import DistributedContext, evaluate_distributed
+from ..query.parser import parse_expr
+from ..sources.readers import small_input_blocks
+
+HOUR_MS = 3_600_000
+MINUTE_MS = 60_000
+
+
+def _round_half_away(x: np.ndarray, nd: int = 6) -> np.ndarray:
+    """SQL ROUND semantics (half away from zero) — numpy/pandas round
+    half-to-even and the two disagree exactly on the dyadic-rational
+    ties an integer-cents division produces."""
+    f = 10.0 ** nd
+    return np.copysign(np.floor(np.abs(x) * f + 0.5) / f, x)
+
+
+def _events_samples_ds(sf_dir: str):
+    """events.parquet → the engine's distributed samples schema:
+    ts (int64 ms), seq (arrival key = event_id), name ("m"), value,
+    l_event (event_type) and l_u16 (user_id % 16 — a second label so
+    the series space is event x device-bucket and ``by (event)``
+    aggregates over real groups)."""
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(
+        path,
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        override_num_blocks=small_input_blocks(path),
+    )
+
+    def to_samples(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ms = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64())
+        u16 = (
+            t["user_id"].combine_chunks().to_numpy(zero_copy_only=False) % 16
+        )
+        return pa.table(
+            {
+                "ts": ms,
+                "seq": t["event_id"],
+                "name": pa.array(np.full(n, "m", dtype=object), type=pa.string()),
+                # exact integer CENTS: the corpus values are 2-decimal,
+                # so cents sums are exact int64-in-f64 in ANY addition
+                # order — the distributed partial merge and DuckDB's
+                # decimal sum then agree bit-for-bit (the raw-float form
+                # hash-flipped 52/3600 rows at sf0.1 on 6-digit rounding
+                # boundaries)
+                "value": pa.array(np.rint(
+                    t["value"].combine_chunks().to_numpy(
+                        zero_copy_only=False) * 100.0
+                )),
+                "l_event": t["event_type"],
+                "l_u16": pa.array(u16.astype(str), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_samples, batch_format="pyarrow")
+
+
+def q_dq_agg_div_1h(sf_dir: str) -> pd.DataFrame:
+    expr = parse_expr(
+        "sum(sum_over_time(m[1h])) by (event)"
+        " / on(event) sum(count_over_time(m[1h])) by (event)"
+    )
+    ctx = DistributedContext(
+        _events_samples_ds(sf_dir), ["event", "u16"],
+        HOUR_MS, HOUR_MS, num_buckets=8,
+    )
+    vs = evaluate_distributed(expr, ctx)
+    out = vs.df[["tick", "l_event", "value"]].rename(
+        columns={"l_event": "event_type", "value": "avg_value"}
+    ).copy()
+    # value = cents_sum / n (one correctly-rounded division of exact
+    # integers); /100 then HALF-AWAY rounding to mirror SQL ROUND —
+    # numpy's half-even disagrees on dyadic ties like 41.0228125
+    out["avg_value"] = _round_half_away(out["avg_value"].to_numpy() / 100.0)
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
+def q_dq_subquery_sum_1h(sf_dir: str) -> pd.DataFrame:
+    expr = parse_expr(
+        "sum_over_time(sum(sum_over_time(m[1m])) by (event)[1h:1m])",
+        extensions=True,
+    )
+    ctx = DistributedContext(
+        _events_samples_ds(sf_dir), ["event", "u16"],
+        MINUTE_MS, MINUTE_MS, num_buckets=8, extensions=True,
+    )
+    vs = evaluate_distributed(expr, ctx)
+    out = vs.df[["tick", "l_event", "value"]].rename(
+        columns={"l_event": "event_type", "value": "sum_1h"}
+    ).copy()
+    out["sum_1h"] = _round_half_away(out["sum_1h"].to_numpy() / 100.0)
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
+QUERIES = {
+    "dq_agg_div_1h": q_dq_agg_div_1h,
+    "dq_subquery_sum_1h": q_dq_subquery_sum_1h,
+}
+
+ORACLES = {
+    # Q1 tick rule in SQL: first = min(ts) + min(d, interval) - 1 and a
+    # sample at ts lands on tick = first + ceil((ts - first)/W)*W — the
+    # same formula the 1s logs oracles use.
+    "dq_agg_div_1h": """
+        WITH s AS (
+            SELECT epoch_ms(ts) AS ts_ms, event_type, value FROM events
+        ),
+        p AS (SELECT MIN(ts_ms) + 3600000 - 1 AS first FROM s),
+        t AS (
+            SELECT s.*,
+                   p.first + ((s.ts_ms - p.first + 3599999) // 3600000)
+                             * 3600000 AS tick
+            FROM s, p
+        )
+        SELECT tick, event_type,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS DOUBLE)
+                     / COUNT(*) / 100, 6) AS avg_value
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dq_subquery_sum_1h": """
+        WITH s AS (
+            SELECT epoch_ms(ts) AS ts_ms, event_type, value FROM events
+        ),
+        p AS (SELECT MIN(ts_ms) + 60000 - 1 AS ifirst FROM s),
+        inner_pts AS (
+            SELECT p.ifirst + ((s.ts_ms - p.ifirst + 59999) // 60000)
+                              * 60000 AS itick,
+                   s.event_type,
+                   SUM(CAST(s.value AS DECIMAL(12,2)) * 100) AS v
+            FROM s, p GROUP BY 1, 2
+        ),
+        b AS (SELECT MIN(itick) AS t_lo, MAX(itick) AS t_hi FROM inner_pts),
+        -- generate_series only takes constants as a table function, so
+        -- build the outer grid from the scalar-list form and unnest
+        g AS (
+            SELECT b.t_lo + 59999 + 60000 * u.k AS otick
+            FROM b, (
+                SELECT unnest(generate_series(
+                    0,
+                    (SELECT CAST((t_hi + 3600000 - 1 - (t_lo + 59999))
+                                 // 60000 AS BIGINT) FROM b)
+                )) AS k
+            ) u
+        )
+        SELECT g.otick AS tick, i.event_type,
+               ROUND(CAST(SUM(i.v) AS DOUBLE) / 100, 6) AS sum_1h
+        FROM g JOIN inner_pts i
+          ON i.itick > g.otick - 3600000 AND i.itick <= g.otick
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}

@@ -233,3 +233,185 @@ def test_distributed_ext_over_time_raises_typed_error(ray_session, samples_df):
                 extensions=True,
             ),
         )
+
+
+@pytest.fixture(scope="module")
+def aligned_df():
+    """m and k share t_min/t_max exactly → identical tick grids, so
+    vector-vector matching produces real joint rows (the generic fixture
+    yields disjoint grids and trivially-empty joins)."""
+    rng = np.random.default_rng(23)
+    n = 3000
+    ts = 1_700_000_000_000 + np.sort(rng.integers(1, 20_000, n)).astype(np.int64)
+    names = rng.choice(["m", "k"], n)
+    # pin both ends for both names
+    ts[0] = ts[1] = 1_700_000_000_000
+    names[0], names[1] = "m", "k"
+    ts[-1] = ts[-2] = ts[-1]
+    names[-1], names[-2] = "m", "k"
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "seq": np.arange(n, dtype=np.int64),
+            "name": names,
+            "value": rng.integers(1, 100, n).astype(np.float64),
+            "l_lab": rng.choice(["a", "b", "c"], n),
+            "l_job": rng.choice(["x", "y"], n),
+        }
+    )
+
+
+JOIN_QUERIES = [
+    "sum(m) by (lab) + on(lab) min(k) by (lab)",
+    "sum(m) by (lab) / on(lab) count(k) by (lab)",
+    "sum(m) by (lab, job) * ignoring(job) sum(k) by (lab)"
+    if False else "sum(m) by (lab) - on(lab) sum(k) by (lab)",
+    "sum(m) by (lab) > on(lab) sum(k) by (lab)",
+    "sum(m) by (lab) >= bool on(lab) sum(k) by (lab)",
+    "sum_over_time(m[3s]) + on(lab, job) sum_over_time(k[3s])",
+    "avg(m) by (job) + on(job) max(k) by (job)",
+]
+
+
+@pytest.mark.parametrize("q", JOIN_QUERIES)
+def test_distributed_join_equals_local_on_aligned_grids(
+    ray_session, aligned_df, q
+):
+    """The exchange-based one-to-one matching (VERDICT r3 #4) must equal
+    the local hash join on grids where matches actually happen."""
+    expr = parse_expr(q)
+    local = evaluate(
+        expr,
+        EvalContext(samples=aligned_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(aligned_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL, num_buckets=8),
+    )
+    assert np.array_equal(local.ticks, dist.ticks)
+    a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    assert len(a) == len(b), (q, len(a), len(b))
+    assert len(a) > 0, f"degenerate test: {q} matched nothing"
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(dtype=float),
+                       b["value"].to_numpy(dtype=float)), q
+    # emission order parity (ord is the reference's BTreeMap order)
+    ao = local.df.reset_index(drop=True)
+    bo = dist.df.reset_index(drop=True)
+    assert (ao["ord"].to_numpy() == bo["ord"].to_numpy()).all(), q
+
+
+def test_distributed_join_collision_raises_through_exchange(
+    ray_session, aligned_df
+):
+    """Q10: duplicate RHS match-signature must raise VectorMatchingError
+    from inside the exchange reduce (two k-series collapse onto one lab
+    when matching on(lab) without aggregating the rhs)."""
+    from pq_ray.query.engine import VectorMatchingError
+
+    expr = parse_expr("sum(m) by (lab) + on(lab) k")
+    with pytest.raises(VectorMatchingError):
+        evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(aligned_df).repartition(4),
+                               ["job", "lab"], INTERVAL, INTERVAL,
+                               num_buckets=4),
+        )
+
+
+SUBQ_QUERIES = [
+    "sum_over_time(sum_over_time(m[2s])[6s:2s])",
+    "max_over_time(sum(m) by (lab)[4s:1s])",
+    "rate(sum_over_time(m[2s])[6s:2s])",
+    "avg_over_time(m[4s:1s])",
+]
+
+
+@pytest.mark.parametrize("q", SUBQ_QUERIES)
+def test_distributed_subquery_equals_local(ray_session, samples_df, q):
+    """VERDICT r3 #9: <expr>[range:step] consumed by an over-time fn
+    lowers to a distributed rewindow of the inner step grid."""
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=samples_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(samples_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL,
+                           num_buckets=8, extensions=True),
+    )
+    assert np.array_equal(local.ticks, dist.ticks), q
+    a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    assert len(a) == len(b), (q, len(a), len(b))
+    assert len(a) > 0, f"degenerate test: {q}"
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(dtype=float),
+                       b["value"].to_numpy(dtype=float)), q
+
+
+@pytest.mark.parametrize(
+    "q", ["stddev_over_time(m[4s])", "stdvar_over_time(m[3s])",
+          "present_over_time(m[2s])"]
+)
+def test_distributed_mergeable_ext_over_time_equals_local(
+    ray_session, samples_df, q
+):
+    """stddev/stdvar/present ride the s2-extended mergeable partial
+    (single-pass E[x2]-E[x]2 vs the local two-pass — equal to float
+    tolerance, exact on this integer-valued fixture)."""
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=samples_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(samples_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL,
+                           num_buckets=8, extensions=True),
+    )
+    a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, q
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(dtype=float),
+                       b["value"].to_numpy(dtype=float)), q
+
+
+def test_distributed_combinators_stay_in_ray(ray_session, aligned_df):
+    """VERDICT r3 #4 structural check: for an aggregate / join / scalar
+    pipeline, NO intermediate stream materializes on the driver — only
+    the final result does (to_pandas called exactly once on a points
+    Dataset; the selector's tiny label/ts summary pass is exempt)."""
+    import unittest.mock as mock
+
+    import ray.data as rdm
+
+    expr = parse_expr("sum(m) by (lab) / on(lab) count(k) by (lab) * 2")
+    calls = []
+    orig = rdm.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = orig(self, *a, **k)
+        calls.append(sorted(df.columns.tolist()))
+        return df
+
+    with mock.patch.object(rdm.Dataset, "to_pandas", spy):
+        evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(aligned_df).repartition(4),
+                               ["job", "lab"], INTERVAL, INTERVAL,
+                               num_buckets=4),
+        )
+    point_collects = [c for c in calls if "value" in c and "osig" in c]
+    summary_collects = [c for c in calls if "_ts_min" in c]
+    assert len(point_collects) == 1, calls  # the final result only
+    assert len(summary_collects) == 2  # one tiny pass per selector leaf

@@ -1,0 +1,30 @@
+"""Driver-facing distributed-query pipelines (pipelines/dq.py): the
+exchange-based combinators against their DuckDB oracles at sf0.001."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"create view events as select * from read_parquet('{SF}/events.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", ["dq_agg_div_1h", "dq_subquery_sum_1h"])
+def test_dq_oracle_parity(ray_session, con, name):
+    from pq_ray.pipelines.dq import ORACLES, QUERIES
+
+    got = QUERIES[name](SF)
+    exp = con.sql(ORACLES[name]).df()
+    assert len(got) == len(exp) and len(got) > 0
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert (a == b.astype(a.dtype)).all(), c  # exact (cents plan)
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
