@@ -8,12 +8,72 @@ CORRECTNESS_r{N}.json).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in pq_ray) calls ``ray.init()`` / ``ray.shutdown()``.
+
+ORDERING MATTERS: CORRECTNESS_r03 recorded exactly the first 50 entries
+of this dict in insertion order and silently dropped the rest (the
+tpch/logs/curation/media queries — the whole join surface — went
+unrecorded because they registered last).  queries() therefore emits an
+explicit priority order: the previously-unrecorded pipelines and the
+new distributed-combinator proofs first, then every oracle-hashable
+query, with redundant variants and rows-only sketches in the tail
+(each tail operator keeps pytest coverage and appears in the builder's
+own full-surface sf0.1 replay, jobs/correctness_draw.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+
+# First 50 = one row per distinct operator family, every one
+# oracle-hashable except media_features (no SQL for binary payload
+# feature extraction, by design).  Tail = redundant green variants
+# (token_bpe, dedup_keep, ann_topk_multi, embed_neardup — their ops are
+# represented in-window by a sibling) and the rows-only sketches whose
+# bounds are pytest-pinned (simhash/fingerprints/lang/ewma/ann_ivf).
+_ORDER = [
+    # join surface + log ingestion + curation + multimodal (unrecorded in r03)
+    "tpch_q1", "tpch_rev_by_nation", "tpch_building_orders",
+    "tpch_quiet_customers",
+    "logs_sum_by_event_1s", "logs_logfmt_sum_1s",
+    "curate_corpus",
+    "media_features",
+    # distributed query combinators (round 4: VERDICT r3 #4/#9)
+    "dq_agg_div_1h", "dq_subquery_sum_1h",
+    # events rollup family
+    "events_rollup_1m", "events_rollup_1h_cascade", "events_first_last_1h",
+    "events_rate_1h", "events_props_k", "events_gapfill_1m",
+    "events_hour_profile",
+    # extended time-series ops
+    "events_distinct_1h", "events_hll_1h", "events_interp_1m",
+    "events_asof_purchase_view", "events_topusers_1h", "events_topusers_mg",
+    "events_quantile_1h", "events_quantile_sample_1h", "events_sessions",
+    "events_regr_1h", "events_changes_1h", "events_irate_1h",
+    "events_dod_delta", "events_spikes_1m",
+    # pq tick-grid queries
+    "pq_sum_by_event_1m", "pq_stddev_by_event_1h",
+    "pq_quantile09_by_event_1h", "pq_max_by_event_1h", "pq_topk3_1h",
+    "pq_count_over_time_5m",
+    # training-data ops
+    "dedup_exact", "jaccard_pairs", "minhash_pairs", "token_stats",
+    "ann_topk", "ann_ivf_multi", "embed_neardup_lsh", "embed_clusters",
+    "dedup_clusters", "repetition_filter", "stratified_sample",
+    "vocab_topk", "tfidf_topterm",
+    # ---- position 51+: recorded only if the driver takes >50 ----
+    "embed_neardup", "token_bpe", "dedup_keep", "ann_topk_multi",
+    "ann_ivf", "events_ewma_1m", "simhash", "simhash_pairs",
+    "lang_quality", "fingerprints",
+]
+
+
+def _modules():
+    from pq_ray.pipelines import (
+        curation, dq, events, logs, multimodal, pq_queries, relational,
+        training, tsops,
+    )
+
+    return [relational, logs, curation, multimodal, dq, events, tsops,
+            pq_queries, training]
 
 
 def entry() -> Any:
@@ -42,97 +102,29 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
-    from pq_ray.pipelines import events
-
-    out: dict[str, Callable[[str], Any]] = {}
-    out.update(events.QUERIES)
-    try:
-        from pq_ray.pipelines import tsops
-
-        out.update(tsops.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import training
-
-        out.update(training.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import pq_queries
-
-        out.update(pq_queries.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import multimodal
-
-        out.update(multimodal.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import logs
-
-        out.update(logs.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import relational
-
-        out.update(relational.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import curation
-
-        out.update(curation.QUERIES)
-    except ImportError:
-        pass
+    """One entry per implemented operator/pipeline from SURVEY.md §2,
+    in the explicit priority order above."""
+    merged: dict[str, Callable[[str], Any]] = {}
+    for mod in _modules():
+        merged.update(mod.QUERIES)
+    missing = [n for n in _ORDER if n not in merged]
+    assert not missing, f"_ORDER names without an implementation: {missing}"
+    out = {n: merged[n] for n in _ORDER}
+    # safety net: anything registered but not in _ORDER still ships (at
+    # the end) rather than silently vanishing from the driver surface
+    for n, fn in merged.items():
+        out.setdefault(n, fn)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted for genuinely
-    non-SQL-expressible ops — the driver then records a rows-only check)."""
-    from pq_ray.pipelines import events
-
-    out: dict[str, str] = {}
-    out.update(events.ORACLES)
-    try:
-        from pq_ray.pipelines import tsops
-
-        out.update(tsops.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import training
-
-        out.update(training.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import pq_queries
-
-        out.update(pq_queries.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import logs
-
-        out.update(logs.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import relational
-
-        out.update(relational.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from pq_ray.pipelines import curation
-
-        out.update(curation.ORACLES)
-    except ImportError:
-        pass
+    non-SQL-expressible ops — the driver then records a rows-only
+    check), in the same priority order as queries()."""
+    merged: dict[str, str] = {}
+    for mod in _modules():
+        merged.update(getattr(mod, "ORACLES", {}))
+    out = {n: merged[n] for n in _ORDER if n in merged}
+    for n, sql in merged.items():
+        out.setdefault(n, sql)
     return out
