@@ -79,25 +79,23 @@ def _t0(samples) -> int | None:
     return None if m is None else int(m)
 
 
-def _instant_rollup(samples, t0: int | None, interval: int) -> pd.DataFrame:
-    """Per (tick, series): the instant-vector value (latest sample in
-    (tick-interval, tick]) — last_v of the offset-aligned window partial.
+def _instant_points_ds(samples, t0: int, interval: int):
+    """Per (tick, series) instant-vector points as a DATASET (VERDICT r3
+    #5): the value is the latest sample in (tick-interval, tick] —
+    last_v of the offset-aligned window partial.  Labels re-attach in a
+    map stage from the tiny broadcast series_id → (event_type, user_mod)
+    map, and each row gets a hash(tick) bucket so a per-tick finalize
+    kernel can run INSIDE the next exchange's reduce — the driver never
+    materializes the ticks x series points table.
 
     tick = t0 + I - 1 + floor((ts - t0)/I)*I — every sample belongs to
     exactly one tick when lookback == interval."""
-    from ..stages.rollup import AGG_COLS, rollup_numeric
-
-    if t0 is None:  # empty selector match → empty tick grid (reference)
-        return pd.DataFrame(
-            columns=["series_id", "window_ts", *AGG_COLS,
-                     "event_type", "user_mod", "tick"]
-        )
+    from ..stages.rollup import rollup_numeric
 
     pts_ds = rollup_numeric(samples, interval, offset_ms=t0 % interval, num_buckets=16)
-    # labels re-attached from the tiny (event_type, user_mod) map —
-    # recoverable from series_id because _samples hashes the combo
-    # dedupe INSIDE each batch (pyarrow group_by): the driver collects at
-    # most |blocks| x |series| rows, never the label columns of every sample
+    # the label map is |series|-bounded: _samples dedupes INSIDE each
+    # batch (pyarrow group_by), so the driver collects at most
+    # |blocks| x |series| rows, never per-sample label columns
     label_rows = (
         samples.map_batches(
             lambda t: t.select(["series_id", "event_type", "user_mod"])
@@ -107,62 +105,172 @@ def _instant_rollup(samples, t0: int | None, interval: int) -> pd.DataFrame:
         )
         .to_pandas()
         .drop_duplicates("series_id")
+        .sort_values("series_id")
     )
-    pts = pts_ds.to_pandas().merge(label_rows, on="series_id", sort=False)
-    # pq tick = inclusive window end on the grid anchored at t0:
-    # window start = t0 + k*I (offset t0 % I), tick = start + I - 1
-    pts["tick"] = pts["window_ts"].to_numpy() + interval - 1
-    return pts
+    sids = label_rows["series_id"].to_numpy(dtype=np.uint64)
+    ets = label_rows["event_type"].to_numpy(dtype=object)
+    ums = label_rows["user_mod"].to_numpy(dtype=object)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "tick": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "user_mod": pa.array([], type=pa.string()),
+                    "last_v": pa.array([], type=pa.float64()),
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(sids, sid)
+        # pq tick = inclusive window end on the grid anchored at t0
+        tick = (
+            t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+            + interval - 1
+        )
+        h = tick.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                "tick": pa.array(tick),
+                "event_type": pa.array(ets[idx], type=pa.string()),
+                "user_mod": pa.array(ums[idx], type=pa.string()),
+                "last_v": t["last_v"],
+                "bucket": pa.array(
+                    ((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32)
+                ),
+            }
+        )
+
+    return pts_ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _tick_finalize(samples, t0: int | None, interval: int, reduce_fn,
+                   empty: pd.DataFrame, sort_cols: list[str]) -> pd.DataFrame:
+    """Instant points → ONE tick-keyed exchange whose reduce runs the
+    per-tick aggregation kernel → small final table on the driver."""
+    from ..stages.exchange import hash_exchange
+
+    if t0 is None:  # empty selector match → empty output (reference)
+        return empty
+    pts = _instant_points_ds(samples, t0, interval)
+    out = hash_exchange(pts, "bucket", 16, reduce_fn).to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(sort_cols).reset_index(drop=True)
+
+
+def _group_starts(tick: np.ndarray, codes: np.ndarray):
+    starts = np.concatenate(
+        ([0], np.nonzero((tick[1:] != tick[:-1]) | (codes[1:] != codes[:-1]))[0] + 1)
+    )
+    counts = np.diff(np.concatenate((starts, [len(tick)])))
+    return starts, counts
 
 
 def q_pq_sum_by_event_1m(sf_dir: str) -> pd.DataFrame:
-    """pq: ``sum(value) by (event_type)`` @ interval=lookback=1m."""
+    """pq: ``sum(value) by (event_type)`` @ interval=lookback=1m.
+    The per-tick sum runs inside the exchange reduce (pyarrow hash
+    aggregate); round6 of a 2-decimal sum is tie-free."""
     samples = _samples(sf_dir)
-    t0 = _t0(samples)
-    pts = _instant_rollup(samples, t0, MINUTE)
-    out = (
-        pts.groupby(["tick", "event_type"], sort=True)["last_v"]
-        .sum()
-        .round(6)
-        .reset_index()
-        .rename(columns={"last_v": "sum_value"})
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        cols = ["tick", "event_type", "last_v"]
+        if t.num_rows == 0:
+            return pa.table(
+                {"tick": pa.array([], type=pa.int64()),
+                 "event_type": pa.array([], type=pa.string()),
+                 "sum_value": pa.array([], type=pa.float64())}
+            )
+        g = t.select(cols).group_by(["tick", "event_type"]).aggregate(
+            [("last_v", "sum")]
+        )
+        # np.round, not pc.round: pyarrow's scale-rint-divide lands on a
+        # different double than DuckDB ROUND for values like 166.86
+        # (diff ~1e-14 — enough to flip the driver's exact value-hash)
+        sums = np.round(
+            g["last_v_sum"].combine_chunks().to_numpy(zero_copy_only=False), 6
+        )
+        return pa.table(
+            {"tick": g["tick"], "event_type": g["event_type"],
+             "sum_value": pa.array(sums)}
+        )
+
+    empty = pd.DataFrame(
+        {"tick": pd.Series(dtype=np.int64),
+         "event_type": pd.Series(dtype=object),
+         "sum_value": pd.Series(dtype=np.float64)}
     )
-    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+    return _tick_finalize(samples, _t0(samples), MINUTE, reduce_fn, empty,
+                          ["tick", "event_type"])
 
 
 def q_pq_max_by_event_1h(sf_dir: str) -> pd.DataFrame:
-    """pq: ``max(value) by (event_type)`` @ interval=lookback=1h."""
+    """pq: ``max(value) by (event_type)`` @ interval=lookback=1h —
+    per-tick max inside the exchange reduce."""
     samples = _samples(sf_dir)
-    t0 = _t0(samples)
-    pts = _instant_rollup(samples, t0, HOUR)
-    out = (
-        pts.groupby(["tick", "event_type"], sort=True)["last_v"]
-        .max()
-        .reset_index()
-        .rename(columns={"last_v": "max_value"})
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"tick": pa.array([], type=pa.int64()),
+                 "event_type": pa.array([], type=pa.string()),
+                 "max_value": pa.array([], type=pa.float64())}
+            )
+        g = t.select(["tick", "event_type", "last_v"]).group_by(
+            ["tick", "event_type"]
+        ).aggregate([("last_v", "max")])
+        return pa.table(
+            {"tick": g["tick"], "event_type": g["event_type"],
+             "max_value": g["last_v_max"]}
+        )
+
+    empty = pd.DataFrame(
+        {"tick": pd.Series(dtype=np.int64),
+         "event_type": pd.Series(dtype=object),
+         "max_value": pd.Series(dtype=np.float64)}
     )
-    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+    return _tick_finalize(samples, _t0(samples), HOUR, reduce_fn, empty,
+                          ["tick", "event_type"])
 
 
 def q_pq_topk3_1h(sf_dir: str) -> pd.DataFrame:
     """pq: ``topk(3, value)`` @ 1h — per tick the 3 series with the
-    highest instant values (deterministic tie-break by label order)."""
+    highest instant values (deterministic tie-break by label order).
+    The rank cut runs inside the exchange reduce (a bucket holds every
+    series of its ticks), so the driver receives 3 rows per tick."""
     samples = _samples(sf_dir)
-    t0 = _t0(samples)
-    pts = _instant_rollup(samples, t0, HOUR)
-    out = (
-        pts.sort_values(
-            ["tick", "last_v", "event_type", "user_mod"],
-            ascending=[True, False, True, True],
-            kind="stable",
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"tick": pa.array([], type=pa.int64()),
+                 "event_type": pa.array([], type=pa.string()),
+                 "user_mod": pa.array([], type=pa.string()),
+                 "value": pa.array([], type=pa.float64())}
+            )
+        pdf = t.to_pandas()
+        out = (
+            pdf.sort_values(
+                ["tick", "last_v", "event_type", "user_mod"],
+                ascending=[True, False, True, True],
+                kind="stable",
+            )
+            .groupby("tick", sort=False)
+            .head(3)
+        )[["tick", "event_type", "user_mod", "last_v"]].rename(
+            columns={"last_v": "value"}
         )
-        .groupby("tick", sort=True)
-        .head(3)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    empty = pd.DataFrame(
+        {"tick": pd.Series(dtype=np.int64),
+         "event_type": pd.Series(dtype=object),
+         "user_mod": pd.Series(dtype=object),
+         "value": pd.Series(dtype=np.float64)}
     )
-    out = out[["tick", "event_type", "user_mod", "last_v"]].rename(
-        columns={"last_v": "value"}
-    )
-    return out.sort_values(["tick", "event_type", "user_mod"]).reset_index(drop=True)
+    return _tick_finalize(samples, _t0(samples), HOUR, reduce_fn, empty,
+                          ["tick", "event_type", "user_mod"])
 
 
 def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
@@ -252,72 +360,86 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
 def q_pq_stddev_by_event_1h(sf_dir: str) -> pd.DataFrame:
     """pq EXTENSION: ``stddev(value) by (event_type)`` @ 1h — population
     stddev across the per-series instant values (the reference parses
-    stddev then panics; semantics per PromQL, engine extensions=True)."""
+    stddev then panics; semantics per PromQL, engine extensions=True).
+    The sqrt(E[v^2]-E[v]^2) kernel runs inside the exchange reduce."""
     samples = _samples(sf_dir)
-    t0 = _t0(samples)
-    pts = _instant_rollup(samples, t0, HOUR)
 
-    # vectorized population stddev: sqrt(E[v^2] - E[v]^2) from grouped
-    # sum/sumsq/count — no per-group Python lambda
-    v = pts["last_v"].to_numpy(dtype=np.float64)
-    g = (
-        pd.DataFrame(
-            {"tick": pts["tick"], "event_type": pts["event_type"],
-             "s": v, "ss": v * v, "n": 1}
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"tick": pa.array([], type=pa.int64()),
+                 "event_type": pa.array([], type=pa.string()),
+                 "stddev_value": pa.array([], type=pa.float64())}
+            )
+        tick = t["tick"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = t["event_type"].combine_chunks()
+        codes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        v = t["last_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, tick))
+        t_s, c_s, v_s = tick[order], codes[order], v[order]
+        starts, counts = _group_starts(t_s, c_s)
+        n = counts.astype(np.float64)
+        s1 = np.add.reduceat(v_s, starts)
+        s2 = np.add.reduceat(v_s * v_s, starts)
+        var = np.maximum(s2 / n - (s1 / n) ** 2, 0.0)
+        return pa.table(
+            {
+                "tick": pa.array(t_s[starts]),
+                "event_type": et.take(pa.array(order[starts])),
+                "stddev_value": pa.array(np.round(np.sqrt(var), 6)),
+            }
         )
-        .groupby(["tick", "event_type"], sort=True)
-        .sum()
+
+    empty = pd.DataFrame(
+        {"tick": pd.Series(dtype=np.int64),
+         "event_type": pd.Series(dtype=object),
+         "stddev_value": pd.Series(dtype=np.float64)}
     )
-    mean = g["s"] / g["n"]
-    out = pd.DataFrame(
-        {
-            "stddev_value": np.sqrt(
-                np.maximum(g["ss"] / g["n"] - mean * mean, 0.0)
-            ).round(6)
-        },
-        index=g.index,
-    ).reset_index()
-    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+    return _tick_finalize(samples, _t0(samples), HOUR, reduce_fn, empty,
+                          ["tick", "event_type"])
 
 
 def q_pq_quantile09_by_event_1h(sf_dir: str) -> pd.DataFrame:
     """pq EXTENSION: ``quantile(0.9, value) by (event_type)`` @ 1h —
-    PromQL linear interpolation (equals SQL quantile_cont)."""
+    PromQL linear interpolation (equals SQL quantile_cont); the sorted
+    rank-interpolation kernel runs inside the exchange reduce."""
     samples = _samples(sf_dir)
-    t0 = _t0(samples)
-    pts = _instant_rollup(samples, t0, HOUR)
-    # vectorized PromQL quantile (linear interpolation on sorted values,
-    # matching engine._promql_quantile): sort by (group, value), then
-    # per-segment rank arithmetic — no per-group Python lambda
     phi = 0.9
-    if pts.empty:
-        return pd.DataFrame(
-            {"tick": pd.Series(dtype=np.int64),
-             "event_type": pd.Series(dtype=object),
-             "q90_value": pd.Series(dtype=np.float64)}
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"tick": pa.array([], type=pa.int64()),
+                 "event_type": pa.array([], type=pa.string()),
+                 "q90_value": pa.array([], type=pa.float64())}
+            )
+        tick = t["tick"].combine_chunks().to_numpy(zero_copy_only=False)
+        et = t["event_type"].combine_chunks()
+        codes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        v = t["last_v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, codes, tick))
+        t_s, c_s, v_s = tick[order], codes[order], v[order]
+        starts, counts = _group_starts(t_s, c_s)
+        rank = phi * (counts - 1)
+        lo = np.floor(rank).astype(np.int64)
+        hi = np.minimum(lo + 1, counts - 1)
+        frac = rank - lo
+        q = v_s[starts + lo] * (1 - frac) + v_s[starts + hi] * frac
+        return pa.table(
+            {
+                "tick": pa.array(t_s[starts]),
+                "event_type": et.take(pa.array(order[starts])),
+                "q90_value": pa.array(np.round(q, 6)),
+            }
         )
-    et_codes, et_uniques = pd.factorize(pts["event_type"], sort=False)
-    tick = pts["tick"].to_numpy(dtype=np.int64)
-    v = pts["last_v"].to_numpy(dtype=np.float64)
-    order = np.lexsort((v, et_codes, tick))
-    t_s, c_s, v_s = tick[order], et_codes[order], v[order]
-    starts = np.concatenate(
-        ([0], np.nonzero((t_s[1:] != t_s[:-1]) | (c_s[1:] != c_s[:-1]))[0] + 1)
+
+    empty = pd.DataFrame(
+        {"tick": pd.Series(dtype=np.int64),
+         "event_type": pd.Series(dtype=object),
+         "q90_value": pd.Series(dtype=np.float64)}
     )
-    counts = np.diff(np.concatenate((starts, [len(v_s)])))
-    rank = phi * (counts - 1)
-    lo = np.floor(rank).astype(np.int64)
-    hi = np.minimum(lo + 1, counts - 1)
-    frac = rank - lo
-    q = v_s[starts + lo] * (1 - frac) + v_s[starts + hi] * frac
-    out = pd.DataFrame(
-        {
-            "tick": t_s[starts],
-            "event_type": et_uniques[c_s[starts]],
-            "q90_value": np.round(q, 6),
-        }
-    )
-    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+    return _tick_finalize(samples, _t0(samples), HOUR, reduce_fn, empty,
+                          ["tick", "event_type"])
 
 
 _TICK_SQL = """
