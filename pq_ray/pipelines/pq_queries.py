@@ -29,7 +29,6 @@ import ray.data as rd
 
 from ..model import stable_hash64
 from ..sources.readers import small_input_blocks
-from ..stages.rollup import CombinePartials, PartialAggBatch, _add_bucket
 
 MINUTE = 60_000
 HOUR = 3_600_000

@@ -15,15 +15,16 @@ newest-first ``.last()`` quirk, SURVEY.md Q7), and the PromQL-style
 which is what makes the continuous-aggregate cascade possible without
 re-reading raw data.
 
-Physical plan per rollup (two stages, ONE shuffle):
+Physical plan per rollup (two stages, ONE shuffle), Arrow end-to-end:
   1. ``map_batches``: assign windows + partial-aggregate *within the
-     batch* (vectorized pandas groupby) → shrinks the stream by
-     ~rows/(series x windows-per-batch) before any data moves.
-  2. ``groupby(bucket).map_groups``: hash-bucket on
-     ``(series_id, window_ts)`` — note the window in the key: a hot
-     series' windows spread across buckets, the explicit skew-splitting
-     the north rule asks for — then a vectorized pandas combine inside
-     each bucket.
+     batch* (numpy lexsort+reduceat over zero-copy Arrow columns) →
+     shrinks the stream by ~rows/(series x windows-per-batch) before
+     any data moves; labels attach positionally (one ``take``), not by
+     merge.
+  2. the parallel hash exchange on ``(series_id, window_ts)`` — note
+     the window in the key: a hot series' windows spread across buckets,
+     the explicit skew-splitting the north rule asks for — with the same
+     numpy combine inside each bucket's reduce.
 
 Windows here are *floor-aligned*: ``window_ts = floor((ts - offset)/W)*W
 + offset`` labels the inclusive window start, ``[start, start+W)``.  The
@@ -49,14 +50,20 @@ def window_floor(ts: np.ndarray, interval_ms: int, offset_ms: int = 0) -> np.nda
 
 
 def np_partial_agg(
-    sid: np.ndarray, window: np.ndarray, ts: np.ndarray, val: np.ndarray
-) -> dict[str, np.ndarray]:
+    sid: np.ndarray, window: np.ndarray, ts: np.ndarray, val: np.ndarray,
+    return_take: bool = False,
+):
     """Vectorized partial aggregation: one output row per (sid, window).
 
-    numpy lexsort + reduceat — ~3x faster than the pandas groupby path
-    and allocation-free of Python objects; tie-break on (ts, value)
-    matches PartialAggBatch exactly.  This is the hot kernel of the
-    decode->rollup path (runs per batch, fused into the decode actor).
+    numpy lexsort + reduceat — ~3x faster than a pandas groupby and
+    allocation-free of Python objects; tie-break on (ts, value).  This
+    is the hot kernel of the decode->rollup path (runs per batch, fused
+    into the decode actor).
+
+    ``return_take=True`` additionally returns, per output row, the index
+    of one input row of that group — the positional label attach for the
+    Arrow-native rollup (labels are a function of series_id, so any
+    group member's labels serve).
     """
     order = np.lexsort((val, ts, window, sid))
     s_sid = sid[order]
@@ -67,7 +74,7 @@ def np_partial_agg(
     starts = np.concatenate(([0], boundary))
     n = len(s_v)
     counts = np.diff(np.concatenate((starts, [n])))
-    return {
+    out = {
         "series_id": s_sid[starts],
         "window_ts": s_w[starts],
         "sum": np.add.reduceat(s_v, starts),
@@ -79,12 +86,17 @@ def np_partial_agg(
         "last_ts": s_ts[starts + counts - 1],
         "last_v": s_v[starts + counts - 1],
     }
+    if return_take:
+        return out, order[starts]
+    return out
 
 
-def np_combine_partials(cols: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+def np_combine_partials(cols: dict[str, np.ndarray], return_take: bool = False):
     """Vectorized merge of partial rows sharing (series_id, window_ts) —
-    the combine side of the shuffle, numpy counterpart of
-    CombinePartials (tie-break on (first_ts, first_v)/(last_ts, last_v))."""
+    the combine side of the shuffle (tie-break on
+    (first_ts, first_v)/(last_ts, last_v)).
+    ``return_take=True`` also returns one input-row index per group for
+    positional label attach."""
     sid = cols["series_id"]
     w = cols["window_ts"]
     order = np.lexsort((cols["first_v"], cols["first_ts"], w, sid))
@@ -111,93 +123,48 @@ def np_combine_partials(cols: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     ends = starts + counts - 1
     out["last_ts"] = cols["last_ts"][order2][ends]
     out["last_v"] = cols["last_v"][order2][ends]
+    if return_take:
+        return out, order[starts]
     return out
 
 
-class PartialAggBatch:
-    """map_batches stage: samples batch → per-(series, window) partials.
-
-    Stateless and deterministic (pure function of the batch), so Ray task
-    retries regenerate identical partials — required for exact resume.
-    """
-
-    def __init__(
-        self,
-        interval_ms: int,
-        offset_ms: int = 0,
-        label_cols: list[str] | None = None,
-        ts_col: str = "ts",
-        value_col: str = "value",
-    ):
-        self.interval_ms = interval_ms
-        self.offset_ms = offset_ms
-        self.label_cols = DEFAULT_LABEL_COLS if label_cols is None else label_cols
-        self.ts_col = ts_col
-        self.value_col = value_col
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ts = df[self.ts_col].to_numpy()
-        df = df.assign(window_ts=window_floor(ts, self.interval_ms, self.offset_ms))
-        # NaN parity with np_partial_agg: positional first/last and
-        # NaN-propagating sum/min/max (pandas groupby agg would skip NaN).
-        agg = np_partial_agg(
-            df["series_id"].to_numpy(),
-            df["window_ts"].to_numpy(),
-            df[self.ts_col].to_numpy(),
-            df[self.value_col].to_numpy(dtype=np.float64),
-        )
-        out = pd.DataFrame(agg)
-        if self.label_cols:
-            # labels are a function of series_id — attach from per-batch
-            # distinct rows (positional, NaN-safe)
-            labels = df[["series_id", *self.label_cols]].drop_duplicates("series_id")
-            out = out.merge(labels, on="series_id", sort=False)
-        out["count"] = out["count"].astype(np.int64)
-        return out[
-            ["series_id", "window_ts", *self.label_cols, *AGG_COLS]
-        ].reset_index(drop=True)
-
-
-class CombinePartials:
-    """Merge partial rows sharing (series_id, window_ts) — runs inside a
-    bucket group; also used unchanged for tier re-aggregation."""
-
-    def __init__(self, label_cols: list[str] | None = None):
-        self.label_cols = DEFAULT_LABEL_COLS if label_cols is None else label_cols
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        if "bucket" in df.columns:
-            df = df.drop(columns=["bucket"])
-        # NaN parity with np_combine_partials: positional first/last and
-        # NaN-propagating merges (pandas groupby agg would skip NaN).
-        cols = {c: df[c].to_numpy() for c in ["series_id", "window_ts", *AGG_COLS]}
-        out = pd.DataFrame(np_combine_partials(cols))
-        if self.label_cols:
-            labels = df[["series_id", *self.label_cols]].drop_duplicates("series_id")
-            out = out.merge(labels, on="series_id", sort=False)
-        out["count"] = out["count"].astype(np.int64)
-        return out[
-            ["series_id", "window_ts", *self.label_cols, *AGG_COLS]
-        ].reset_index(drop=True)
-
-
-def _add_bucket(df: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
-    # Cheap integer mix of (series_id, window_ts); Fibonacci-style multiply
-    # spreads sequential windows of one series across buckets (skew split).
-    h = df["series_id"].to_numpy(dtype=np.uint64) ^ (
-        df["window_ts"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+def _np_bucket(sid: np.ndarray, window: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = sid.astype(np.uint64) ^ (
+        window.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     )
-    df = df.copy()
-    df["bucket"] = ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
-    return df
+    return ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+
+
+
+def _labeled_table(
+    out: dict[str, np.ndarray], take: np.ndarray, src: pa.Table,
+    label_cols: list[str], bucket: np.ndarray | None = None,
+) -> pa.Table:
+    """Assemble the labeled points table Arrow-natively: numeric columns
+    from the combine dict, label columns via one positional ``take``
+    from the source batch (labels are a function of series_id)."""
+    tbl: dict[str, object] = {
+        "series_id": pa.array(out["series_id"], type=pa.uint64()),
+        "window_ts": pa.array(out["window_ts"]),
+    }
+    idx = pa.array(take)
+    for c in label_cols:
+        tbl[c] = src[c].combine_chunks().take(idx)
+    for c in AGG_COLS:
+        tbl[c] = pa.array(out[c])
+    if bucket is not None:
+        tbl["bucket"] = pa.array(bucket)
+    return pa.table(tbl)
 
 
 def _labeled_reduce_fn(label_cols: list[str] | None):
     """Per-bucket Arrow reduce for the labeled exchange: numeric combine
     via np_combine_partials + positional label re-attach (labels are a
-    function of series_id, deduped inside the bucket)."""
-    combiner = CombinePartials(label_cols)
-    out_cols = ["series_id", "window_ts", *combiner.label_cols, *AGG_COLS]
+    function of series_id, taken from any group member) — no pandas
+    round-trip (VERDICT r3 #6)."""
+    lcols = DEFAULT_LABEL_COLS if label_cols is None else label_cols
+    out_cols = ["series_id", "window_ts", *lcols, *AGG_COLS]
+    numeric = ["series_id", "window_ts", *AGG_COLS]
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -205,7 +172,12 @@ def _labeled_reduce_fn(label_cols: list[str] | None):
             return (t.drop_columns(drop) if drop else t).select(
                 [c for c in out_cols if c in t.schema.names]
             )
-        return pa.Table.from_pandas(combiner(t.to_pandas()), preserve_index=False)
+        cols = {
+            c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            for c in numeric
+        }
+        out, take = np_combine_partials(cols, return_take=True)
+        return _labeled_table(out, take, t, lcols)
 
     return reduce_fn
 
@@ -224,22 +196,55 @@ def rollup(
     One all-to-all exchange (the parallel hash exchange — Ray Data's
     sort-groupby carries a flat multi-second critical path, measured in
     BASELINE.md); everything else is embarrassingly parallel map_batches.
-    Blocks enter the exchange as Arrow (pandas blocks pickle >2x slower).
+    Blocks stay Arrow end-to-end — the former pandas partial/combine
+    round-trip cost arrow→pandas→arrow twice per exchange (VERDICT r3
+    #6); labels attach positionally, never via a merge.
     ``num_buckets`` bounds peak per-task memory: each bucket must fit a
     worker heap (~rows/buckets).
     """
     from .exchange import hash_exchange
 
-    partial_fn = PartialAggBatch(interval_ms, offset_ms, label_cols)
+    lcols = DEFAULT_LABEL_COLS if label_cols is None else label_cols
 
-    def partial_arrow(df: pd.DataFrame) -> pa.Table:
-        out = _add_bucket(partial_fn(df), num_buckets)
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def partial_arrow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    **{
+                        c: pa.array(
+                            [],
+                            type=t.schema.field(c).type
+                            if c in t.schema.names else pa.string(),
+                        )
+                        for c in lcols
+                    },
+                    **{
+                        c: pa.array(
+                            [], type=pa.int64() if c in
+                            ("count", "first_ts", "last_ts") else pa.float64()
+                        )
+                        for c in AGG_COLS
+                    },
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        window = window_floor(ts, interval_ms, offset_ms)
+        out, take = np_partial_agg(
+            sid.astype(np.uint64), window, ts, val.astype(np.float64),
+            return_take=True,
+        )
+        bucket = _np_bucket(out["series_id"], out["window_ts"], num_buckets)
+        return _labeled_table(out, take, t, lcols, bucket)
 
     bucketed = ds.map_batches(
-        partial_arrow, batch_format="pandas", batch_size=batch_size
+        partial_arrow, batch_format="pyarrow", batch_size=batch_size
     )
-    return hash_exchange(bucketed, "bucket", num_buckets, _labeled_reduce_fn(label_cols))
+    return hash_exchange(bucketed, "bucket", num_buckets, _labeled_reduce_fn(lcols))
 
 
 def cascade(
@@ -255,22 +260,32 @@ def cascade(
     Exact: partials are mergeable, so 1h-from-1m equals 1h-from-raw
     bit-for-bit (tested in tests/test_cascade.py).  Reads only the finer
     tier's (already small) points — never raw samples.  Same Arrow hash
-    exchange as rollup().
+    exchange as rollup(), Arrow blocks end-to-end.
     """
     from .exchange import hash_exchange
 
-    def rewindow(df: pd.DataFrame) -> pa.Table:
-        df = df.copy()
-        df["window_ts"] = window_floor(
-            df["window_ts"].to_numpy(), coarser_interval_ms, offset_ms
-        )
-        return pa.Table.from_pandas(
-            _add_bucket(df, num_buckets), preserve_index=False
-        )
+    lcols = DEFAULT_LABEL_COLS if label_cols is None else label_cols
 
-    rewindowed = points_ds.map_batches(rewindow, batch_format="pandas")
+    def rewindow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = window_floor(
+            t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False),
+            coarser_interval_ms, offset_ms,
+        )
+        i = t.schema.get_field_index("window_ts")
+        t = t.set_column(i, "window_ts", pa.array(w))
+        bucket = pa.array(_np_bucket(sid, w, num_buckets))
+        if "bucket" in t.schema.names:
+            t = t.set_column(t.schema.get_field_index("bucket"), "bucket", bucket)
+        else:
+            t = t.append_column("bucket", bucket)
+        return t
+
+    rewindowed = points_ds.map_batches(rewindow, batch_format="pyarrow")
     return hash_exchange(
-        rewindowed, "bucket", num_buckets, _labeled_reduce_fn(label_cols)
+        rewindowed, "bucket", num_buckets, _labeled_reduce_fn(lcols)
     )
 
 
