@@ -36,9 +36,9 @@ from ..sources.readers import small_input_blocks
 from ..stages.exchange import hash_exchange
 from .training import (
     NUM_BUCKETS,
-    _bucket_of_str,
+    _bucket_of_u64,
     _KNUTH,
-    _md5_hex,
+    _text_hash128,
     repetition_signals,
 )
 
@@ -54,18 +54,21 @@ N_PER_SOURCE = 10
 
 
 def _doc_signals(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-doc batch-local curation signals (no exchange yet)."""
-    h = df["text"].map(_md5_hex)
+    """Per-doc batch-local curation signals (no exchange yet).  The
+    content key is the vectorized 128-bit buffer hash (VERDICT r3 #10),
+    not per-row md5."""
+    h1, h2 = _text_hash128(pa.array(df["text"], type=pa.string()))
     _, _, _, _, rep_keep = repetition_signals(df["text"].to_numpy())
     doc_id = df["doc_id"].to_numpy(dtype=np.int64)
     return pd.DataFrame(
         {
-            "h": h.to_numpy(dtype=object),
+            "h1": h1,
+            "h2": h2,
             "doc_id": doc_id,
             "source": df["source"].to_numpy(dtype=object),
             "rep_keep": rep_keep,
             "sample_key": (doc_id * _KNUTH) % (1 << 32),
-            "bucket": _bucket_of_str(h.to_numpy()),
+            "bucket": _bucket_of_u64(h1),
         }
     )
 
@@ -83,8 +86,8 @@ def _bucket_candidates(t: pa.Table) -> pa.Table:
     if t.num_rows == 0:
         return empty
     df = t.to_pandas()
-    df = df.sort_values(["h", "doc_id"], kind="stable")
-    winners = df.groupby("h", sort=False).head(1)
+    df = df.sort_values(["h1", "h2", "doc_id"], kind="stable")
+    winners = df.groupby(["h1", "h2"], sort=False).head(1)
     clean = winners[winners["rep_keep"]]
     if clean.empty:
         return empty
@@ -163,7 +166,7 @@ ORACLES = {
     "curate_corpus": """
         WITH keepers AS (
             SELECT doc_id, source, text FROM documents
-            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
         ),
         words AS (
             SELECT doc_id,

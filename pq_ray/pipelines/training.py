@@ -32,7 +32,6 @@ string-shingle oracle up to negligible (<1e-9) collision probability.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -66,14 +65,6 @@ def _read_docs(sf_dir: str):
         path, columns=["doc_id", "text"],
         override_num_blocks=small_input_blocks(path),
     )
-
-
-def _md5_hex(s: str) -> str:
-    return hashlib.md5(s.encode("utf-8")).hexdigest()
-
-
-def _hash64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 def _bucket_of_str(values, num=NUM_BUCKETS) -> np.ndarray:
@@ -130,46 +121,77 @@ def _doc_shingles(texts) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+_HASH_EMPTY = pa.table(
+    {
+        "h1": pa.array([], type=pa.uint64()),
+        "h2": pa.array([], type=pa.uint64()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "bucket": pa.array([], type=pa.int32()),
+    }
+)
+
+
+def _add_text_hash(t: pa.Table) -> pa.Table:
+    """Arrow map stage: (doc_id, text) → (h1, h2, doc_id, bucket); the
+    128-bit content key hashes off the string buffers, no per-row
+    Python and no text on the wire."""
+    if t.num_rows == 0:
+        return _HASH_EMPTY
+    h1, h2 = _text_hash128(t["text"])
+    return pa.table(
+        {
+            "h1": pa.array(h1, type=pa.uint64()),
+            "h2": pa.array(h2, type=pa.uint64()),
+            "doc_id": t["doc_id"],
+            "bucket": pa.array(_bucket_of_u64(h1)),
+        }
+    )
+
+
+def _hash_groups(t: pa.Table):
+    """Sorted (h1, h2, doc_id) views + per-group segment starts/counts."""
+    h1 = t["h1"].combine_chunks().to_numpy(zero_copy_only=False)
+    h2 = t["h2"].combine_chunks().to_numpy(zero_copy_only=False)
+    did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, h2, h1))
+    s1, s2, sd = h1[order], h2[order], did[order]
+    boundary = np.nonzero((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]))[0] + 1
+    starts = np.concatenate(([0], boundary))
+    counts = np.diff(np.concatenate((starts, [len(sd)])))
+    return sd, starts, counts
+
+
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: one surviving doc (min doc_id) per distinct text.
 
-    Plan: content-hash per row → hash-bucket shuffle → per-bucket
-    vectorized groupby.  At 100 TB the only data moved is
-    (hash, doc_id) pairs, never text.
+    Plan: vectorized 128-bit content hash per batch (off the Arrow
+    string buffers — no per-row Python) → hash-bucket shuffle →
+    per-bucket lexsort groupby.  At 100 TB the only data moved is
+    (hash, doc_id) triples, never text.  The oracle groups by the text
+    itself, so the engine's hash choice is an internal detail.
     """
     ds = _read_docs(sf_dir)
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["text"].map(_md5_hex)
-        return pd.DataFrame(
-            {
-                "h": h,
-                "doc_id": df["doc_id"],
-                "bucket": _bucket_of_str(h),
-            }
+    def winners(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "n_dups": pa.array([], type=pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        sd, starts, counts = _hash_groups(t)
+        return pa.table(
+            {"doc_id": pa.array(sd[starts]),
+             "n_dups": pa.array(counts.astype(np.int64))}
         )
 
-    def winners(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("h", sort=False).agg(
-            doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
-        )
-        return g.reset_index()
-
-    win_empty = pa.table(
-        {
-            "h": pa.array([], type=pa.string()),
-            "doc_id": pa.array([], type=pa.int64()),
-            "n_dups": pa.array([], type=pa.int64()),
-        }
-    )
     out = hash_exchange(
-        ds.map_batches(_arrow_map(add_hash), batch_format="pandas"),
+        ds.map_batches(_add_text_hash, batch_format="pyarrow"),
         "bucket",
         NUM_BUCKETS,
-        _pandas_reduce(winners, win_empty),
+        winners,
     ).to_pandas()
-    out["n_dups"] = out["n_dups"].astype(np.int64)
-    return out.sort_values("doc_id").reset_index(drop=True)[["h", "doc_id", "n_dups"]]
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "n_dups"]]
 
 
 def q_dedup_keep(sf_dir: str) -> pd.DataFrame:
@@ -181,24 +203,22 @@ def q_dedup_keep(sf_dir: str) -> pd.DataFrame:
     inside the bucket (all rows of a content hash co-locate)."""
     ds = _read_docs(sf_dir)
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["text"].map(_md5_hex)
-        return pd.DataFrame(
-            {"h": h, "doc_id": df["doc_id"], "bucket": _bucket_of_str(h)}
+    def flag(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "keep": pa.array([], type=pa.bool_())}
         )
+        if t.num_rows == 0:
+            return empty
+        sd, starts, counts = _hash_groups(t)
+        keep = sd == np.repeat(sd[starts], counts)  # min doc_id is first
+        return pa.table({"doc_id": pa.array(sd), "keep": pa.array(keep)})
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df["doc_id"] == df.groupby("h", sort=False)["doc_id"].transform("min")
-        return pd.DataFrame({"doc_id": df["doc_id"], "keep": keep})
-
-    empty = pa.table(
-        {"doc_id": pa.array([], type=pa.int64()), "keep": pa.array([], type=pa.bool_())}
-    )
     out = hash_exchange(
-        ds.map_batches(_arrow_map(add_hash), batch_format="pandas"),
+        ds.map_batches(_add_text_hash, batch_format="pyarrow"),
         "bucket",
         NUM_BUCKETS,
-        _pandas_reduce(flag, empty),
+        flag,
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -980,24 +1000,30 @@ def q_lang_quality(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _phi_pow(e: np.ndarray) -> np.ndarray:
-    """_PHI ** e elementwise in uint64 (mod 2^64): exponentiation by
+def _pow_u64(base: np.uint64, e: np.ndarray) -> np.ndarray:
+    """base ** e elementwise in uint64 (mod 2^64): exponentiation by
     squaring, vectorized over the whole exponent array."""
     result = np.ones(len(e), dtype=np.uint64)
-    base = _PHI
+    b = np.uint64(base)
     e = e.astype(np.uint64).copy()
     while (e > 0).any():
         odd = (e & np.uint64(1)) == 1
-        result[odd] *= base
-        base = base * base
+        result[odd] *= b
+        b = b * b
         e >>= np.uint64(1)
     return result
 
 
-def _poly_hash_segments(vals: np.ndarray, seg_counts: np.ndarray) -> np.ndarray:
-    """Per-segment polynomial hash sum(v_i * PHI^(n-1-i)) in uint64 —
+def _phi_pow(e: np.ndarray) -> np.ndarray:
+    return _pow_u64(_PHI, e)
+
+
+def _poly_hash_segments(
+    vals: np.ndarray, seg_counts: np.ndarray, base: np.uint64 = _PHI
+) -> np.ndarray:
+    """Per-segment polynomial hash sum(v_i * base^(n-1-i)) in uint64 —
     the vectorized replacement for a per-doc fold/md5 (equals folding
-    h = h*PHI ^ 0 + v left-to-right in the additive variant)."""
+    h = h*base ^ 0 + v left-to-right in the additive variant)."""
     n = len(seg_counts)
     out = np.zeros(n, dtype=np.uint64)
     if len(vals) == 0:
@@ -1005,11 +1031,32 @@ def _poly_hash_segments(vals: np.ndarray, seg_counts: np.ndarray) -> np.ndarray:
     seg_starts = np.concatenate(([0], np.cumsum(seg_counts)[:-1]))
     pos = np.arange(len(vals), dtype=np.int64) - np.repeat(seg_starts, seg_counts)
     exp = np.repeat(seg_counts, seg_counts) - 1 - pos
-    terms = vals.astype(np.uint64) * _phi_pow(exp)
+    terms = vals.astype(np.uint64) * _pow_u64(base, exp)
     nz = seg_counts > 0
     sums = np.add.reduceat(terms, seg_starts[nz])
     out[nz] = sums
     return out
+
+
+def _text_hash128(col) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit polynomial hashes of every string's UTF-8
+    bytes, computed straight off the Arrow string buffers (offsets +
+    data) — the vectorized replacement for per-row hashlib.md5 in the
+    exact-dedup map stage (VERDICT r3 #10).  Used as a 128-bit combined
+    key: collision probability ~ N^2 / 2^128."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    vals = data[offs[0] : offs[-1]]
+    counts = offs[1:] - offs[:-1]
+    lmix = counts.astype(np.uint64)
+    h1 = _poly_hash_segments(vals, counts, _PHI) ^ (lmix * _PHI2)
+    h2 = _poly_hash_segments(vals, counts, _PHI2) ^ (lmix * _PHI)
+    return h1, h2
 
 
 def q_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pd.DataFrame:
@@ -1258,12 +1305,12 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": """
-        SELECT md5(text) AS h, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
-        FROM documents GROUP BY md5(text) ORDER BY doc_id
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY text ORDER BY doc_id
     """,
     "dedup_keep": """
         SELECT doc_id,
-               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+               doc_id = MIN(doc_id) OVER (PARTITION BY text) AS keep
         FROM documents ORDER BY doc_id
     """,
     "token_stats": """
