@@ -28,9 +28,10 @@ from typing import Any
 # First 50 = one row per distinct operator family, every one
 # oracle-hashable except media_features (no SQL for binary payload
 # feature extraction, by design).  Tail = redundant green variants
-# (token_bpe, dedup_keep, ann_topk_multi, embed_neardup — their ops are
-# represented in-window by a sibling) and the rows-only sketches whose
-# bounds are pytest-pinned (simhash/fingerprints/lang/ewma/ann_ivf).
+# (embed_clusters, token_bpe, dedup_keep, ann_topk_multi, embed_neardup
+# — their op families are represented in-window by a sibling) and the
+# rows-only sketches whose bounds are pytest-pinned
+# (simhash/fingerprints/ewma/ann_ivf).
 _ORDER = [
     # join surface + log ingestion + curation + multimodal (unrecorded in r03)
     "tpch_q1", "tpch_rev_by_nation", "tpch_building_orders",
@@ -56,13 +57,13 @@ _ORDER = [
     "pq_count_over_time_5m",
     # training-data ops
     "dedup_exact", "jaccard_pairs", "minhash_pairs", "token_stats",
-    "ann_topk", "ann_ivf_multi", "embed_neardup_lsh", "embed_clusters",
+    "lang_quality", "ann_topk", "ann_ivf_multi", "embed_neardup_lsh",
     "dedup_clusters", "repetition_filter", "stratified_sample",
     "vocab_topk", "tfidf_topterm",
     # ---- position 51+: recorded only if the driver takes >50 ----
-    "embed_neardup", "token_bpe", "dedup_keep", "ann_topk_multi",
-    "ann_ivf", "events_ewma_1m", "simhash", "simhash_pairs",
-    "lang_quality", "fingerprints",
+    "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
+    "ann_topk_multi", "ann_ivf", "events_ewma_1m", "simhash",
+    "simhash_pairs", "fingerprints",
 ]
 
 

@@ -110,12 +110,19 @@ def _time_query(fn) -> float:
 
 
 def run_queries() -> dict:
-    from pq_ray.pipelines import curation, events, relational, tsops
+    from pq_ray.pipelines import curation, dq, events, pq_queries, relational, tsops
 
     out = {name: _time_query(fn) for name, fn in events.QUERIES.items()}
     out.update({name: _time_query(fn) for name, fn in tsops.QUERIES.items()})
     out.update({name: _time_query(fn) for name, fn in relational.QUERIES.items()})
     out.update({name: _time_query(fn) for name, fn in curation.QUERIES.items()})
+    # round 4: distributed query combinators + the exchange-finalized
+    # pq tick-grid pair most changed by VERDICT r3 #5
+    out.update({name: _time_query(fn) for name, fn in dq.QUERIES.items()})
+    out.update({
+        name: _time_query(pq_queries.QUERIES[name])
+        for name in ("pq_topk3_1h", "pq_count_over_time_5m")
+    })
     return out
 
 

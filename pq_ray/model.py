@@ -258,3 +258,15 @@ def splitmix64(x) -> "np.ndarray":
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
+
+
+def round_half_away(x, nd: int = 6):
+    """SQL ROUND semantics (half away from zero), vectorized.  numpy and
+    pandas round half-to-even, and the two rules disagree exactly on the
+    dyadic-rational decimal ties (….5625, ….8125 …) that rational
+    arithmetic over small integers produces — which flips the driver's
+    exact value-hash against a DuckDB oracle."""
+    import numpy as np
+
+    f = 10.0 ** nd
+    return np.copysign(np.floor(np.abs(x) * f + 0.5) / f, x)

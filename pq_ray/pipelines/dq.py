@@ -40,12 +40,7 @@ HOUR_MS = 3_600_000
 MINUTE_MS = 60_000
 
 
-def _round_half_away(x: np.ndarray, nd: int = 6) -> np.ndarray:
-    """SQL ROUND semantics (half away from zero) — numpy/pandas round
-    half-to-even and the two disagree exactly on the dyadic-rational
-    ties an integer-cents division produces."""
-    f = 10.0 ** nd
-    return np.copysign(np.floor(np.abs(x) * f + 0.5) / f, x)
+from ..model import round_half_away as _round_half_away
 
 
 def _events_samples_ds(sf_dir: str):
