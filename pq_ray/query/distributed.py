@@ -80,6 +80,12 @@ class DistributedContext:
         self.start_at = start_at
         self.num_buckets = num_buckets
         self.extensions = extensions
+        # CSE memo: identical selector leaves (same matchers, range,
+        # offset, interval) share ONE partials exchange per evaluation —
+        # e.g. sum(sum_over_time(m[1h])) / sum(count_over_time(m[1h]))
+        # reads and shuffles the samples once, since every over-time
+        # kernel finalizes off the same mergeable partial struct.
+        self._partials_memo: dict = {}
 
 
 def _matcher_mask(t: pa.Table, matchers) -> np.ndarray:
@@ -118,12 +124,31 @@ def _matcher_mask(t: pa.Table, matchers) -> np.ndarray:
     return mask
 
 
+def _selector_key(sel: VectorSelector, ctx: DistributedContext):
+    d = sel.range_ms if sel.range_ms is not None else ctx.lookback
+    matchers = tuple(
+        (m.label, m.op, m.value) for m in sel.all_matchers()
+    )
+    return (matchers, d, getattr(sel, "offset_ms", 0), ctx.interval)
+
+
 def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
     """Filter + window-explode + per-(series, tick) partial reduce in Ray.
 
-    Returns (ticks, pandas points df with columns tick, sig, labels…,
-    partial agg columns) or None when nothing matched.
+    Returns (ticks, partials Dataset, distinct labelset df, cols) or
+    None when nothing matched.  Memoized per (matchers, range, offset,
+    interval) on the context — the exchange outputs are materialized
+    object refs, so a second kernel over the same selector reuses them.
     """
+    key = _selector_key(sel, ctx)
+    if key in ctx._partials_memo:
+        return ctx._partials_memo[key]
+    res = _selector_partials_impl(sel, ctx)
+    ctx._partials_memo[key] = res
+    return res
+
+
+def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext):
     interval = ctx.interval
     d = sel.range_ms if sel.range_ms is not None else ctx.lookback
     matchers = sel.all_matchers()
