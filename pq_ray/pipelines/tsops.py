@@ -366,8 +366,12 @@ def q_interp_1m(sf_dir: str) -> pd.DataFrame:
         # the final output: rounding first makes exact-decimal ties at
         # the 6th digit likely (interpolation at rational fractions of
         # two 6-decimal values), and numpy half-to-even vs SQL
-        # half-away-from-zero would then disagree by 1e-6
-        avg = out["sum"] / out["count"]
+        # half-away-from-zero would then disagree by 1e-6.
+        # sums arrive as exact integer CENTS (see the samples map), so
+        # the average is one correctly-rounded division on both sides —
+        # a float-cents sum's addition-order ulp could otherwise cross a
+        # rounding boundary vs the oracle (seen at sf0.1)
+        avg = out["sum"] / out["count"] / 100.0
         # dense spine (same arithmetic as events.q_gapfill_1m)
         starts = np.concatenate(([0], np.nonzero(sid[1:] != sid[:-1])[0] + 1))
         ends = np.concatenate((starts[1:], [len(sid)]))
@@ -403,7 +407,16 @@ def q_interp_1m(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    samples = read_events(sf_dir).map_batches(_to_samples, batch_format="pyarrow")
+    def to_cents(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("value")
+        cents = np.rint(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+        )
+        return t.set_column(i, "value", pa.array(cents))
+
+    samples = read_events(sf_dir).map_batches(
+        _to_samples, batch_format="pyarrow"
+    ).map_batches(to_cents, batch_format="pyarrow")
     dense = rollup_numeric(
         samples, MINUTE_MS, num_buckets=8, key="series", post_reduce=fill
     ).to_pandas()
@@ -528,7 +541,12 @@ ORACLES = {
     "events_interp_1m": """
         WITH w AS (
             SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
-                   SUM(value) / COUNT(*) AS avg_value
+                   -- exact-cents average: the engine sums 2-decimal
+                   -- values as integer cents (order-independent exact)
+                   -- and divides once — mirror that so both sides hold
+                   -- the identical double before interpolating
+                   CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS DOUBLE)
+                       / COUNT(*) / 100 AS avg_value
             FROM events GROUP BY 1, 2
         ),
         bounds AS (
