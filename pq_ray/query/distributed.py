@@ -132,23 +132,31 @@ def _selector_key(sel: VectorSelector, ctx: DistributedContext):
     return (matchers, d, getattr(sel, "offset_ms", 0), ctx.interval)
 
 
-def _selector_partials(sel: VectorSelector, ctx: DistributedContext):
+def _selector_partials(sel: VectorSelector, ctx: DistributedContext,
+                       want_last2: bool = False):
     """Filter + window-explode + per-(series, tick) partial reduce in Ray.
 
     Returns (ticks, partials Dataset, distinct labelset df, cols) or
     None when nothing matched.  Memoized per (matchers, range, offset,
-    interval) on the context — the exchange outputs are materialized
-    object refs, so a second kernel over the same selector reuses them.
+    interval, want_last2) on the context — the exchange outputs are
+    materialized object refs, so a second kernel over the same selector
+    reuses them.  ``want_last2`` adds the time-ordered newest-2 sample
+    columns (ts/seq/value pairs) the irate/idelta kernels need — a
+    mergeable "top-2 by (ts, seq)" partial.
     """
-    key = _selector_key(sel, ctx)
+    key = (*_selector_key(sel, ctx), want_last2)
     if key in ctx._partials_memo:
         return ctx._partials_memo[key]
-    res = _selector_partials_impl(sel, ctx)
+    res = _selector_partials_impl(sel, ctx, want_last2)
     ctx._partials_memo[key] = res
     return res
 
 
-def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext):
+_TS_MISSING = np.iinfo(np.int64).min
+
+
+def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
+                            want_last2: bool = False):
     interval = ctx.interval
     d = sel.range_ms if sel.range_ms is not None else ctx.lookback
     matchers = sel.all_matchers()
@@ -226,22 +234,26 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext):
     }
 
     def _empty_partials() -> pa.Table:
-        return pa.table(
-            {
-                "sid": pa.array([], type=pa.uint64()),
-                "tick": pa.array([], type=pa.int64()),
-                "sum": pa.array([], type=pa.float64()),
-                "count": pa.array([], type=pa.int64()),
-                "min": pa.array([], type=pa.float64()),
-                "max": pa.array([], type=pa.float64()),
-                "s2": pa.array([], type=pa.float64()),
-                "first_key": pa.array([], type=pa.int64()),
-                "first_v": pa.array([], type=pa.float64()),
-                "last_key": pa.array([], type=pa.int64()),
-                "last_v": pa.array([], type=pa.float64()),
-                "bucket": pa.array([], type=pa.int32()),
-            }
-        )
+        base = {
+            "sid": pa.array([], type=pa.uint64()),
+            "tick": pa.array([], type=pa.int64()),
+            "sum": pa.array([], type=pa.float64()),
+            "count": pa.array([], type=pa.int64()),
+            "min": pa.array([], type=pa.float64()),
+            "max": pa.array([], type=pa.float64()),
+            "s2": pa.array([], type=pa.float64()),
+            "first_key": pa.array([], type=pa.int64()),
+            "first_v": pa.array([], type=pa.float64()),
+            "last_key": pa.array([], type=pa.int64()),
+            "last_v": pa.array([], type=pa.float64()),
+        }
+        if want_last2:
+            for pfx in ("i1", "i2"):
+                base[f"{pfx}_ts"] = pa.array([], type=pa.int64())
+                base[f"{pfx}_seq"] = pa.array([], type=pa.int64())
+                base[f"{pfx}_v"] = pa.array([], type=pa.float64())
+        base["bucket"] = pa.array([], type=pa.int32())
+        return pa.table(base)
 
     def _batch_sids(t: pa.Table, n: int) -> np.ndarray:
         """Vectorized series-id per row: pack per-column dictionary codes
@@ -320,25 +332,49 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext):
             s_tick[starts].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         )
         bucket = ((h >> np.uint64(17)) % np.uint64(ctx.num_buckets)).astype(np.int32)
-        return pa.table(
-            {
-                "sid": pa.array(s_sid[starts], type=pa.uint64()),
-                "tick": pa.array(s_tick[starts], type=pa.int64()),
-                "sum": pa.array(np.add.reduceat(s_val, starts)),
-                "count": pa.array(counts.astype(np.int64)),
-                "min": pa.array(mn),
-                "max": pa.array(mx),
-                "s2": pa.array(np.add.reduceat(s_val * s_val, starts)),
-                "first_key": pa.array(s_seq[starts], type=pa.int64()),
-                "first_v": pa.array(s_val[starts]),
-                "last_key": pa.array(s_seq[ends], type=pa.int64()),
-                "last_v": pa.array(s_val[ends]),
-                "bucket": pa.array(bucket),
-            }
-        )
+        tbl = {
+            "sid": pa.array(s_sid[starts], type=pa.uint64()),
+            "tick": pa.array(s_tick[starts], type=pa.int64()),
+            "sum": pa.array(np.add.reduceat(s_val, starts)),
+            "count": pa.array(counts.astype(np.int64)),
+            "min": pa.array(mn),
+            "max": pa.array(mx),
+            "s2": pa.array(np.add.reduceat(s_val * s_val, starts)),
+            "first_key": pa.array(s_seq[starts], type=pa.int64()),
+            "first_v": pa.array(s_val[starts]),
+            "last_key": pa.array(s_seq[ends], type=pa.int64()),
+            "last_v": pa.array(s_val[ends]),
+        }
+        if want_last2:
+            # chronological newest-2 (ts, seq order — the EXT kernels
+            # are time-ordered, unlike the arrival-ordered first/last)
+            ts_r = np.repeat(ts, reps)
+            order_t = np.lexsort((seq_r, ts_r, tick, sid_r))
+            t_ts, t_seq = ts_r[order_t], seq_r[order_t]
+            t_val = val_r[order_t]
+            i1 = ends  # same group layout: boundaries identical
+            prev = ends - 1
+            has2 = counts >= 2
+            i2_ts = np.where(has2, t_ts[np.maximum(prev, 0)], _TS_MISSING)
+            tbl["i1_ts"] = pa.array(t_ts[i1], type=pa.int64())
+            tbl["i1_seq"] = pa.array(t_seq[i1], type=pa.int64())
+            tbl["i1_v"] = pa.array(t_val[i1])
+            tbl["i2_ts"] = pa.array(i2_ts, type=pa.int64())
+            tbl["i2_seq"] = pa.array(
+                np.where(has2, t_seq[np.maximum(prev, 0)], np.int64(0)),
+                type=pa.int64(),
+            )
+            tbl["i2_v"] = pa.array(
+                np.where(has2, t_val[np.maximum(prev, 0)], np.nan)
+            )
+        tbl["bucket"] = pa.array(bucket)
+        return pa.table(tbl)
 
     numeric = ["sid", "tick", "sum", "count", "min", "max", "s2",
                "first_key", "first_v", "last_key", "last_v"]
+    if want_last2:
+        numeric = numeric + ["i1_ts", "i1_seq", "i1_v",
+                             "i2_ts", "i2_seq", "i2_v"]
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -364,6 +400,39 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext):
         order2 = np.lexsort((c["last_key"], c["tick"], c["sid"]))
         out["last_key"] = c["last_key"][order2][ends]
         out["last_v"] = c["last_v"][order2][ends]
+        if want_last2:
+            # top-2 of the union of per-partial top-2s: flatten each
+            # partial row into <=2 (ts, seq, v) candidates, sort within
+            # (sid, tick) chronologically, take the newest two
+            n = len(c["sid"])
+            csid = np.concatenate((c["sid"], c["sid"]))
+            ctick = np.concatenate((c["tick"], c["tick"]))
+            cts = np.concatenate((c["i1_ts"], c["i2_ts"]))
+            cseq = np.concatenate((c["i1_seq"], c["i2_seq"]))
+            cv = np.concatenate((c["i1_v"], c["i2_v"]))
+            valid = cts != _TS_MISSING
+            csid, ctick, cts, cseq, cv = (
+                csid[valid], ctick[valid], cts[valid], cseq[valid], cv[valid]
+            )
+            o = np.lexsort((cseq, cts, ctick, csid))
+            gsid, gtick = csid[o], ctick[o]
+            gb = np.nonzero(
+                (gsid[1:] != gsid[:-1]) | (gtick[1:] != gtick[:-1])
+            )[0] + 1
+            gstarts = np.concatenate(([0], gb))
+            gcounts = np.diff(np.concatenate((gstarts, [len(gsid)])))
+            gends = gstarts + gcounts - 1
+            # candidate groups align 1:1 with `out` rows: both ascend
+            # (sid, tick) and every partial row contributes an i1
+            sts, sseq, sv = cts[o], cseq[o], cv[o]
+            has2 = gcounts >= 2
+            prev = np.maximum(gends - 1, 0)
+            out["i1_ts"] = sts[gends]
+            out["i1_seq"] = sseq[gends]
+            out["i1_v"] = sv[gends]
+            out["i2_ts"] = np.where(has2, sts[prev], _TS_MISSING)
+            out["i2_seq"] = np.where(has2, sseq[prev], np.int64(0))
+            out["i2_v"] = np.where(has2, sv[prev], np.nan)
         tbl = {k: pa.array(v) for k, v in out.items()}
         tbl["sid"] = pa.array(out["sid"], type=pa.uint64())
         return pa.table(tbl)
@@ -449,6 +518,10 @@ _PARTIAL_KERNELS = {
 }
 _EXT_PARTIAL_KERNELS = {"stddev_over_time", "stdvar_over_time",
                         "present_over_time"}
+# extension kernels that additionally need the chronological newest-2
+# sample columns (want_last2 partials); they may DROP rows (<2 samples
+# or zero dt), so the finalize applies their keep-mask
+_EXT_LAST2_KERNELS = {"irate", "idelta"}
 
 
 def _kernel_values(kernel: str | None, c: dict, range_ms: int | None) -> np.ndarray:
@@ -494,7 +567,8 @@ def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
     Returns a DistVectorStream (points stay in Ray; the kernel finalize
     and label/signature attach run as a map stage on the exchange
     output, with the tiny per-series lookup captured by value)."""
-    res = _selector_partials(sel, ctx)
+    want_last2 = kernel in _EXT_LAST2_KERNELS
+    res = _selector_partials(sel, ctx, want_last2)
     if res is None:
         return _empty_vector("instant", ctx.label_cols)
     ticks, pts_ds, distinct, cols = res
@@ -524,6 +598,8 @@ def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
     }
     schema = _points_schema(label_cols)
     numeric = ["sum", "count", "min", "max", "s2", "first_v", "last_v"]
+    if want_last2:
+        numeric = numeric + ["i1_ts", "i1_v", "i2_ts", "i2_v"]
 
     def finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -531,8 +607,27 @@ def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
         sid = t["sid"].combine_chunks().to_numpy(zero_copy_only=False)
         c = {k: t[k].combine_chunks().to_numpy(zero_copy_only=False)
              for k in numeric}
-        value = _kernel_values(kernel, c, rng_ms)
-        idx = np.searchsorted(sids, sid)
+        if want_last2:
+            # irate/idelta: last two chronological samples; <2 samples
+            # or zero dt -> no output row (engine.py eval_function)
+            dv = c["i1_v"] - c["i2_v"]
+            dt = (c["i1_ts"] - c["i2_ts"]) / 1000.0
+            keep = (c["i2_ts"] != _TS_MISSING) & (dt > 0)
+            if kernel == "irate":
+                with np.errstate(invalid="ignore"):
+                    reset = c["i1_v"] < c["i2_v"]
+                dv = np.where(reset, c["i1_v"], dv)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    value = dv / dt
+            else:
+                value = dv
+            sid = sid[keep]
+            t = t.filter(pa.array(keep))
+            value = value[keep]
+            idx = np.searchsorted(sids, sid)
+        else:
+            value = _kernel_values(kernel, c, rng_ms)
+            idx = np.searchsorted(sids, sid)
         sig = sig_arr[idx]
         arrays = {
             "tick": pa.array(
@@ -1111,13 +1206,20 @@ def _eval_dist(node, ctx: DistributedContext):
 
     if isinstance(node, FunctionCall):
         mergeable = node.name in OVER_TIME_FNS or (
-            ctx.extensions and node.name in _EXT_PARTIAL_KERNELS
+            ctx.extensions
+            and node.name in (_EXT_PARTIAL_KERNELS | _EXT_LAST2_KERNELS)
         )
         if mergeable:
             (arg,) = node.args
             if isinstance(arg, Subquery):
                 if not ctx.extensions:
                     raise QueryError("subqueries are an extension (extensions=True)")
+                if node.name in _EXT_LAST2_KERNELS:
+                    raise QueryError(
+                        f"{node.name} over a subquery is a local-engine "
+                        "extension (the rewindow partial carries first/"
+                        "last only)"
+                    )
                 return _dist_subquery_overtime(node.name, arg, ctx)
             if not isinstance(arg, VectorSelector) or arg.range_ms is None:
                 raise QueryError(f"{node.name} expects a range selector argument")

@@ -415,3 +415,28 @@ def test_distributed_combinators_stay_in_ray(ray_session, aligned_df):
     summary_collects = [c for c in calls if "_ts_min" in c]
     assert len(point_collects) == 1, calls  # the final result only
     assert len(summary_collects) == 2  # one tiny pass per selector leaf
+
+
+@pytest.mark.parametrize("q", ["irate(m[4s])", "idelta(m[3s])"])
+def test_distributed_irate_idelta_equals_local(ray_session, samples_df, q):
+    """irate/idelta ride a mergeable chronological newest-2 partial
+    (want_last2) instead of raising; rows with <2 samples or zero dt
+    drop exactly like the local kernel."""
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=samples_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(samples_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL,
+                           num_buckets=8, extensions=True),
+    )
+    a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(dtype=float),
+                       b["value"].to_numpy(dtype=float), equal_nan=True), q
