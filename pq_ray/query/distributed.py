@@ -51,7 +51,6 @@ from .engine import (
     _empty_vector,
     _rank_within_tick,
     compute_sig,
-    evaluate as evaluate_local,
 )
 from .engine import OVER_TIME_FNS
 

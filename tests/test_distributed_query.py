@@ -440,3 +440,52 @@ def test_distributed_irate_idelta_equals_local(ray_session, samples_df, q):
     assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
     assert np.allclose(a["value"].to_numpy(dtype=float),
                        b["value"].to_numpy(dtype=float), equal_nan=True), q
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_distributed_combinators_fuzz_nan_and_missing_labels(ray_session, seed):
+    """Fuzz the exchange-based combinators on streams with NaN values
+    and missing (None) labels — the shapes most likely to diverge from
+    the local fold semantics (NaN-propagating sums, NaN-skipping
+    min/max, absent-label signatures)."""
+    rng = np.random.default_rng(seed)
+    n = 2500
+    ts = 1_700_000_000_000 + np.sort(rng.integers(0, 12_000, n)).astype(np.int64)
+    values = rng.integers(0, 50, n).astype(np.float64)
+    values[rng.random(n) < 0.03] = np.nan
+    df = pd.DataFrame(
+        {
+            "ts": ts,
+            "seq": np.arange(n, dtype=np.int64),
+            "name": rng.choice(["m", "k"], n),
+            "value": values,
+            "l_lab": rng.choice(["a", "b"], n),
+            "l_job": rng.choice(["x", None], n),
+        }
+    )
+    for q in (
+        "sum(m) by (lab)",
+        "min(m) without (job)",
+        "max_over_time(m[3s])",
+        "count(m) by (job)",
+        "sum_over_time(m[2s]) + on(lab, job) sum_over_time(m[2s])",
+        "avg(m)",
+    ):
+        expr = parse_expr(q)
+        local = evaluate(
+            expr,
+            EvalContext(samples=df, label_cols=["job", "lab"], interval=1000,
+                        lookback=1000),
+        )
+        dist = evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(df).repartition(5),
+                               ["job", "lab"], 1000, 1000, num_buckets=4),
+        )
+        a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+        b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+        assert len(a) == len(b), (seed, q, len(a), len(b))
+        assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), (seed, q)
+        assert np.allclose(a["value"].to_numpy(dtype=float),
+                           b["value"].to_numpy(dtype=float),
+                           equal_nan=True), (seed, q)
