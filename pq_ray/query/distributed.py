@@ -802,6 +802,311 @@ def _dist_aggregate(node, child: DistVectorStream,
     return DistVectorStream(child.ticks, agg_ds, gcols)
 
 
+def _agg_gcols(node, label_cols: list[str]) -> list[str]:
+    if node.modifier is None:
+        return []
+    kind, names = node.modifier
+    if kind == "by":
+        return sorted(c for c in label_cols if c in names)
+    return sorted(c for c in label_cols if c not in names)
+
+
+def _value_order_key(v: np.ndarray, descending: bool) -> np.ndarray:
+    """uint64 keys whose ascending order equals pandas
+    ``sort_values(["value", ...], ascending=[not descending, ...])``:
+    NaN always sorts LAST (max key, ties fall to the next sort key) and
+    -0.0 keys equal to 0.0 — both verified against pandas."""
+    v = np.where(v == 0.0, 0.0, v)  # collapse -0.0 to 0.0
+    u = v.view(np.uint64)
+    sign = u >> np.uint64(63)
+    key = np.where(sign == 1, ~u, u | np.uint64(0x8000000000000000))
+    if descending:
+        key = ~key
+    key[np.isnan(v)] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    return key
+
+
+def _dist_topk(node, child: DistVectorStream,
+               ctx: DistributedContext) -> DistVectorStream:
+    """topk/bottomk by/without as ONE exchange keyed (tick, group sig)
+    with a mergeable partial: each batch pre-trims to its local top-k
+    per group, the reduce re-ranks the ≤ k·|partials| survivors and
+    keeps k.  Output rows keep their FULL original labels + __name__
+    (aggregate.rs:100-165); emission order = (gsig, value-order, sig),
+    the local engine's deterministic (value, sig) order inside
+    gsig-sorted groups (SURVEY Q9) — carried as the osig byte key."""
+    op = node.op
+    k = int(node.argument)
+    label_cols = child.label_cols
+    gcols = _agg_gcols(node, label_cols)
+    num_buckets = ctx.num_buckets
+    schema = _points_schema(label_cols)
+    part_schema = pa.schema(
+        [
+            ("tick", pa.int64()),
+            ("gsig", pa.binary()),
+            ("value", pa.float64()),
+            ("name", pa.string()),
+            *[(L(c), pa.string()) for c in label_cols],
+            ("sig", pa.binary()),
+            ("osig", pa.binary()),
+            ("bucket", pa.int32()),
+        ]
+    )
+    desc = op == "topk"
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty or k <= 0:
+            return part_schema.empty_table()
+        df = df.reset_index(drop=True)
+        gsig = compute_sig(df, gcols, name_col=False)
+        vkey = _value_order_key(df["value"].to_numpy(np.float64), desc)
+        kb = vkey.astype(">u8").tobytes()
+        sig = df["sig"].to_numpy(dtype=object)
+        osig = np.fromiter(
+            (gsig[i] + b"\x00" + kb[8 * i : 8 * i + 8] + sig[i]
+             for i in range(len(df))),
+            dtype=object, count=len(df),
+        )
+        df = df.assign(_gsig=gsig, _osig=osig)
+        df = df.sort_values(["tick", "_osig"], kind="stable")
+        pos = df.groupby(["tick", "_gsig"], sort=False).cumcount()
+        df = df[pos.to_numpy() < k]
+        gsel = df["_gsig"].to_numpy(dtype=object)
+        arrays = {
+            "tick": pa.array(df["tick"].to_numpy(np.int64)),
+            "gsig": pa.array(gsel, type=pa.binary()),
+            "value": pa.array(df["value"].to_numpy(np.float64)),
+            "name": pa.array(df["name"].to_numpy(dtype=object),
+                             type=pa.string()),
+            **{
+                L(c): pa.array(df[L(c)].to_numpy(dtype=object),
+                               type=pa.string())
+                for c in label_cols
+            },
+            "sig": pa.array(df["sig"].to_numpy(dtype=object),
+                            type=pa.binary()),
+            "osig": pa.array(df["_osig"].to_numpy(dtype=object),
+                             type=pa.binary()),
+            "bucket": pa.array(_tick_bucket(
+                _gsig_hashes(gsel), df["tick"].to_numpy(np.int64),
+                num_buckets,
+            )),
+        }
+        return pa.table(arrays).cast(part_schema)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        pdf = t.to_pandas()
+        # osig embeds (gsig, value-order key, sig): one sort ranks every
+        # group; a duplicate (tick, sig) row across partials is the same
+        # series twice and cannot occur post-rollup
+        pdf = pdf.sort_values(["tick", "osig"], kind="stable")
+        pos = pdf.groupby(["tick", "gsig"], sort=False).cumcount()
+        pdf = pdf[pos.to_numpy() < k]
+        arrays = {
+            "tick": pa.array(pdf["tick"].to_numpy(np.int64)),
+            "value": pa.array(pdf["value"].to_numpy(np.float64)),
+            "name": pa.array(pdf["name"].to_numpy(dtype=object),
+                             type=pa.string()),
+            **{
+                L(c): pa.array(pdf[L(c)].to_numpy(dtype=object),
+                               type=pa.string())
+                for c in label_cols
+            },
+            "sig": pa.array(pdf["sig"].to_numpy(dtype=object),
+                            type=pa.binary()),
+            "osig": pa.array(pdf["osig"].to_numpy(dtype=object),
+                             type=pa.binary()),
+        }
+        return pa.table(arrays).cast(schema)
+
+    out_ds = hash_exchange(
+        child.ds.map_batches(partial, batch_format="pandas"),
+        "bucket", num_buckets, reduce_fn,
+    )
+    return DistVectorStream(child.ticks, out_ds, label_cols)
+
+
+def _dist_quantile(node, child: DistVectorStream,
+                   ctx: DistributedContext) -> DistVectorStream:
+    """quantile(phi, v) by/without (EXTENSION) — exact per-(tick, group)
+    quantile.  No mergeable partial exists for exact quantiles, so the
+    member rows pass through the exchange keyed (tick, gsig) un-combined
+    (the volume is the post-rollup points stream the aggregate exchange
+    ships anyway) and the reduce — which sees every member of its keys —
+    runs the PromQL linear-interpolation kernel per group."""
+    from .engine import _promql_quantile
+
+    phi = float(node.argument)
+    gcols = _agg_gcols(node, child.label_cols)
+    num_buckets = ctx.num_buckets
+    schema = _points_schema(gcols)
+    part_schema = pa.schema(
+        [
+            ("tick", pa.int64()),
+            ("gsig", pa.binary()),
+            ("value", pa.float64()),
+            *[(L(c), pa.string()) for c in gcols],
+            ("bucket", pa.int32()),
+        ]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.reset_index(drop=True)
+        gsig = compute_sig(df, gcols, name_col=False)
+        tick = df["tick"].to_numpy(np.int64)
+        arrays = {
+            "tick": pa.array(tick),
+            "gsig": pa.array(gsig, type=pa.binary()),
+            "value": pa.array(df["value"].to_numpy(np.float64)),
+            **{
+                L(c): pa.array(df[L(c)].to_numpy(dtype=object),
+                               type=pa.string())
+                for c in gcols
+            },
+            "bucket": pa.array(
+                _tick_bucket(_gsig_hashes(gsig), tick, num_buckets)
+            ),
+        }
+        return pa.table(arrays).cast(part_schema)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        pdf = t.to_pandas()
+        pdf = pdf.sort_values(["tick", "gsig"], kind="stable")
+        tick = pdf["tick"].to_numpy(np.int64)
+        gsig = pdf["gsig"].to_numpy(dtype=object)
+        vals = pdf["value"].to_numpy(np.float64)
+        boundary = np.nonzero(
+            (tick[1:] != tick[:-1]) | (gsig[1:] != gsig[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], boundary))
+        counts = np.diff(np.concatenate((starts, [len(vals)])))
+        val = np.array(
+            [_promql_quantile(phi, vals[s : s + c])
+             for s, c in zip(starts, counts)]
+        )
+        sig = gsig[starts]
+        arrays = {
+            "tick": pa.array(tick[starts], type=pa.int64()),
+            "value": pa.array(val, type=pa.float64()),
+            "name": pa.array([None] * len(starts), type=pa.string()),
+            **{
+                L(c): pa.array(
+                    pdf[L(c)].to_numpy(dtype=object)[starts],
+                    type=pa.string(),
+                )
+                for c in gcols
+            },
+            "sig": pa.array(sig, type=pa.binary()),
+            "osig": pa.array(sig, type=pa.binary()),
+        }
+        return pa.table(arrays).cast(schema)
+
+    out_ds = hash_exchange(
+        child.ds.map_batches(partial, batch_format="pandas"),
+        "bucket", num_buckets, reduce_fn,
+    )
+    return DistVectorStream(child.ticks, out_ds, gcols)
+
+
+def _dist_count_values(node, child: DistVectorStream,
+                       ctx: DistributedContext) -> DistVectorStream:
+    """count_values("<label>", v) by/without (EXTENSION) as ONE exchange
+    keyed (tick, gsig) with a mergeable (tick, gsig, value-repr) → count
+    partial; the reduce sums counts and attaches the PromQL float repr
+    as the new label (engine.py _eval_count_values semantics)."""
+    from ..model import rust_f64_str
+
+    label = str(node.argument)
+    gcols = _agg_gcols(node, child.label_cols)
+    out_cols = sorted(set(gcols) | {label})
+    num_buckets = ctx.num_buckets
+    schema = _points_schema(out_cols)
+    part_schema = pa.schema(
+        [
+            ("tick", pa.int64()),
+            ("gsig", pa.binary()),
+            ("vrepr", pa.string()),
+            ("n", pa.int64()),
+            *[(L(c), pa.string()) for c in gcols],
+            ("bucket", pa.int32()),
+        ]
+    )
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return part_schema.empty_table()
+        df = df.reset_index(drop=True)
+        df["_gsig"] = compute_sig(df, gcols, name_col=False)
+        codes, uniq = pd.factorize(df["value"].to_numpy(np.float64))
+        reprs = np.array([rust_f64_str(u) for u in uniq], dtype=object)
+        df["_vrepr"] = reprs[codes]
+        g = (
+            df.groupby(["tick", "_gsig", "_vrepr"], sort=False)
+            .agg(n=("value", "size"),
+                 **{L(c): (L(c), "first") for c in gcols})
+            .reset_index()
+        )
+        gsig = g["_gsig"].to_numpy(dtype=object)
+        tick = g["tick"].to_numpy(np.int64)
+        arrays = {
+            "tick": pa.array(tick),
+            "gsig": pa.array(gsig, type=pa.binary()),
+            "vrepr": pa.array(g["_vrepr"].to_numpy(dtype=object),
+                              type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            **{
+                L(c): pa.array(g[L(c)].to_numpy(dtype=object),
+                               type=pa.string())
+                for c in gcols
+            },
+            "bucket": pa.array(
+                _tick_bucket(_gsig_hashes(gsig), tick, num_buckets)
+            ),
+        }
+        return pa.table(arrays).cast(part_schema)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        pdf = t.to_pandas()
+        g = (
+            pdf.groupby(["tick", "gsig", "vrepr"], sort=False)
+            .agg(n=("n", "sum"),
+                 **{L(c): (L(c), "first") for c in gcols})
+            .reset_index()
+        )
+        # the value-repr label overwrites a same-named group label
+        # (engine.py _eval_count_values does the same via assignment)
+        g[L(label)] = g["vrepr"]
+        sig = compute_sig(g, out_cols, name_col=False)
+        arrays = {
+            "tick": pa.array(g["tick"].to_numpy(np.int64)),
+            "value": pa.array(g["n"].to_numpy(np.float64)),
+            "name": pa.array([None] * len(g), type=pa.string()),
+            **{
+                L(c): pa.array(g[L(c)].to_numpy(dtype=object),
+                               type=pa.string())
+                for c in out_cols
+            },
+            "sig": pa.array(sig, type=pa.binary()),
+            "osig": pa.array(sig, type=pa.binary()),
+        }
+        return pa.table(arrays).cast(schema)
+
+    out_ds = hash_exchange(
+        child.ds.map_batches(partial, batch_format="pandas"),
+        "bucket", num_buckets, reduce_fn,
+    )
+    return DistVectorStream(child.ticks, out_ds, out_cols)
+
+
 def _dist_scalar_vector(op: str, dvs: DistVectorStream, scalar: float,
                         vector_on_left: bool,
                         bool_modifier: bool) -> DistVectorStream:
@@ -979,6 +1284,248 @@ def _dist_binary(node, lhs: DistVectorStream, rhs: DistVectorStream,
                             type=pa.binary()),
             "osig": pa.array(merged["osig"].to_numpy(dtype=object),
                              type=pa.binary()),
+        }
+        return pa.table(arrays).cast(schema)
+
+    out_ds = hash_exchange(packed, "bucket", num_buckets, reduce_fn)
+    return DistVectorStream(ticks, out_ds, out_label_cols)
+
+
+def _pack_match_side(side: int, mcols: list[str], carry_cols: list[str],
+                     union_schema: pa.Schema, joint_arr: np.ndarray,
+                     num_buckets: int):
+    """Batch fn tagging one operand of a set/grouped match for the
+    side-tagged union exchange: key = (tick, match sig), osig = the
+    row's own sig + side byte (left-before-right on byte-equal sigs,
+    matching the local concat order)."""
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return union_schema.empty_table()
+        df = df[df["tick"].isin(joint_arr)].reset_index(drop=True)
+        if df.empty:
+            return union_schema.empty_table()
+        n = len(df)
+        msig = compute_sig(df, mcols, name_col=False)
+        gh = _gsig_hashes(msig)
+        tick = df["tick"].to_numpy(dtype=np.int64)
+        sig = df["sig"].to_numpy(dtype=object)
+        tag = bytes([side])
+        nulls = np.array([None] * n, dtype=object)
+        arrays = {
+            "tick": pa.array(tick, type=pa.int64()),
+            "msig": pa.array(msig, type=pa.binary()),
+            "value": pa.array(df["value"].to_numpy(np.float64)),
+            "name": pa.array(df["name"].to_numpy(dtype=object),
+                             type=pa.string()),
+            "sig": pa.array(sig, type=pa.binary()),
+            "osig": pa.array(
+                np.fromiter((s + tag for s in sig), dtype=object, count=n),
+                type=pa.binary(),
+            ),
+            **{
+                L(c): pa.array(
+                    df[L(c)].to_numpy(dtype=object)
+                    if L(c) in df.columns else nulls,
+                    type=pa.string(),
+                )
+                for c in carry_cols
+            },
+            "side": pa.array(np.full(n, side, dtype=np.int8)),
+            "bucket": pa.array(_tick_bucket(gh, tick, num_buckets)),
+        }
+        return pa.table(arrays).cast(union_schema)
+
+    return fn
+
+
+def _match_union_schema(carry_cols: list[str]) -> pa.Schema:
+    return pa.schema(
+        [
+            ("tick", pa.int64()),
+            ("msig", pa.binary()),
+            ("value", pa.float64()),
+            ("name", pa.string()),
+            ("sig", pa.binary()),
+            ("osig", pa.binary()),
+            *[(L(c), pa.string()) for c in carry_cols],
+            ("side", pa.int8()),
+            ("bucket", pa.int32()),
+        ]
+    )
+
+
+def _dist_logical(node, lhs: DistVectorStream, rhs: DistVectorStream,
+                  ctx: DistributedContext) -> DistVectorStream:
+    """and / unless / or (EXTENSION) as ONE side-tagged union exchange
+    keyed (tick, match sig): each reduce sees every row of its keys, so
+    the set semantics (semi / anti / union-preferring-left) apply
+    bucket-locally and exactly (engine.py _eval_logical)."""
+    from .engine import _match_cols, _zip_ticks
+
+    op = node.op
+    ticks, joint = _zip_ticks(lhs.ticks, rhs.ticks)
+    lcols = _match_cols(lhs.label_cols, node.matching)
+    rcols = _match_cols(rhs.label_cols, node.matching)
+    out_label_cols = (
+        list(lhs.label_cols) if op in ("and", "unless")
+        else sorted(set(lhs.label_cols) | set(rhs.label_cols))
+    )
+    schema = _points_schema(out_label_cols)
+    num_buckets = ctx.num_buckets
+    union_schema = _match_union_schema(out_label_cols)
+    joint_arr = np.asarray(joint, dtype=np.int64)
+
+    packed = lhs.ds.map_batches(
+        _pack_match_side(0, lcols, out_label_cols, union_schema, joint_arr,
+                         num_buckets),
+        batch_format="pandas",
+    ).union(
+        rhs.ds.map_batches(
+            _pack_match_side(1, rcols, out_label_cols, union_schema,
+                             joint_arr, num_buckets),
+            batch_format="pandas",
+        )
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        pdf = t.to_pandas()
+        ldf = pdf[pdf["side"] == 0]
+        rdf = pdf[pdf["side"] == 1]
+        if op == "and":
+            rkeys = rdf[["tick", "msig"]].drop_duplicates()
+            out = ldf.merge(rkeys, on=["tick", "msig"], how="inner",
+                            sort=False)
+        elif op == "unless":
+            rkeys = rdf[["tick", "msig"]].drop_duplicates()
+            out = ldf.merge(rkeys, on=["tick", "msig"], how="left",
+                            indicator=True, sort=False)
+            out = out[out["_merge"] == "left_only"].drop(columns=["_merge"])
+        else:  # or
+            lkeys = ldf[["tick", "msig"]].drop_duplicates()
+            extra = rdf.merge(lkeys, on=["tick", "msig"], how="left",
+                              indicator=True, sort=False)
+            extra = extra[extra["_merge"] == "left_only"].drop(
+                columns=["_merge"])
+            out = pd.concat([ldf, extra], ignore_index=True)
+        if out.empty:
+            return schema.empty_table()
+        arrays = {
+            "tick": pa.array(out["tick"].to_numpy(np.int64)),
+            "value": pa.array(out["value"].to_numpy(np.float64)),
+            "name": pa.array(out["name"].to_numpy(dtype=object),
+                             type=pa.string()),
+            **{
+                L(c): pa.array(out[L(c)].to_numpy(dtype=object),
+                               type=pa.string())
+                for c in out_label_cols
+            },
+            "sig": pa.array(out["sig"].to_numpy(dtype=object),
+                            type=pa.binary()),
+            "osig": pa.array(out["osig"].to_numpy(dtype=object),
+                             type=pa.binary()),
+        }
+        return pa.table(arrays).cast(schema)
+
+    out_ds = hash_exchange(packed, "bucket", num_buckets, reduce_fn)
+    return DistVectorStream(ticks, out_ds, out_label_cols)
+
+
+def _dist_grouped_binary(node, lhs: DistVectorStream, rhs: DistVectorStream,
+                         ctx: DistributedContext) -> DistVectorStream:
+    """group_left / group_right many-to-one matching (EXTENSION) as the
+    same side-tagged union exchange keyed (tick, match sig).  Every row
+    of a key lands in one reduce, so the one-side uniqueness check is
+    globally exact bucket-locally (engine.py _eval_grouped_binary)."""
+    from .engine import (VectorMatchingError, _match_cols, _scalar_op,
+                         _zip_ticks)
+
+    kind, extra_labels = node.grouping
+    extra_labels = list(extra_labels or ())
+    many, one = (lhs, rhs) if kind == "left" else (rhs, lhs)
+    ticks, joint = _zip_ticks(lhs.ticks, rhs.ticks)
+    mcols = _match_cols(many.label_cols, node.matching)
+    ocols = _match_cols(one.label_cols, node.matching)
+    out_label_cols = sorted(set(many.label_cols) | set(extra_labels))
+    one_label_cols = set(one.label_cols)
+    is_cmp = node.kind == "comparison"
+    keep_name = is_cmp and not node.bool_modifier
+    schema = _points_schema(out_label_cols)
+    num_buckets = ctx.num_buckets
+    # both sides carry the union label columns: the many side its own,
+    # the one side only the extra labels copied into the output
+    union_schema = _match_union_schema(out_label_cols)
+    joint_arr = np.asarray(joint, dtype=np.int64)
+
+    many_carry = [c for c in out_label_cols]
+    one_carry = [c for c in out_label_cols]
+    packed = many.ds.map_batches(
+        _pack_match_side(0, mcols, many_carry, union_schema, joint_arr,
+                         num_buckets),
+        batch_format="pandas",
+    ).union(
+        one.ds.map_batches(
+            _pack_match_side(1, ocols, one_carry, union_schema, joint_arr,
+                             num_buckets),
+            batch_format="pandas",
+        )
+    )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        pdf = t.to_pandas()
+        mdf = pdf[pdf["side"] == 0]
+        odf = pdf[pdf["side"] == 1]
+        if odf.duplicated(["tick", "msig"]).any():
+            raise VectorMatchingError(
+                "found series collision for matching labels on the one side"
+            )
+        ocols_take = ["tick", "msig", "value"] + [
+            L(c) for c in extra_labels
+        ]
+        merged = mdf.merge(
+            odf[ocols_take].rename(
+                columns={"value": "ovalue",
+                         **{L(c): f"x_{c}" for c in extra_labels}}
+            ),
+            on=["tick", "msig"], how="inner", sort=False,
+        )
+        if merged.empty:
+            return schema.empty_table()
+        mv = merged["value"].to_numpy(dtype=np.float64)
+        ov = merged["ovalue"].to_numpy(dtype=np.float64)
+        lv, rv = (mv, ov) if kind == "left" else (ov, mv)
+        res = np.asarray(_scalar_op(node.op, lv, rv), dtype=np.float64)
+        if is_cmp and not node.bool_modifier:
+            merged = merged[np.abs(res - 1.0) < F64_EPSILON]
+        else:
+            merged = merged.copy()
+            merged["value"] = res
+            merged["name"] = None
+        if merged.empty:
+            return schema.empty_table()
+        merged = merged.reset_index(drop=True)
+        for c in extra_labels:
+            # copy from the one side only where it HAS the label
+            # (engine.py keeps the many side's value otherwise)
+            if c in one_label_cols:
+                merged[L(c)] = merged[f"x_{c}"]
+        sig = compute_sig(merged, out_label_cols, name_col=keep_name)
+        arrays = {
+            "tick": pa.array(merged["tick"].to_numpy(np.int64)),
+            "value": pa.array(merged["value"].to_numpy(np.float64)),
+            "name": pa.array(merged["name"].to_numpy(dtype=object),
+                             type=pa.string()),
+            **{
+                L(c): pa.array(merged[L(c)].to_numpy(dtype=object),
+                               type=pa.string())
+                for c in out_label_cols
+            },
+            "sig": pa.array(sig, type=pa.binary()),
+            "osig": pa.array(sig, type=pa.binary()),
         }
         return pa.table(arrays).cast(schema)
 
@@ -1186,11 +1733,12 @@ def sig_codes(sig: np.ndarray) -> np.ndarray:
 
 def _eval_dist(node, ctx: DistributedContext):
     """Evaluate to a DistVectorStream where the shape allows (selector /
-    over-time leaves, sum-family aggregates, one-to-one binary matching,
-    scalar ops, unary, over-time-of-subquery); fall back to collecting
-    the children and reusing the local combinators for everything else
-    (topk/bottomk/quantile/count_values, logical + grouped matching,
-    extension instant functions)."""
+    over-time leaves, every aggregation operator incl. topk/bottomk/
+    quantile/count_values, one-to-one AND logical AND grouped binary
+    matching, scalar ops, unary, over-time-of-subquery); fall back to
+    collecting the children and reusing the local combinators only for
+    extension instant functions (sort/absent/label_* — driver-sized
+    reshapes of an already-final vector)."""
     from . import engine as eng
     from .ast import Aggregate, Binary, NumberLiteral, Parentheses, Subquery, Unary
     from .engine import EXT_OVER_TIME_FNS, EXTENSION_FNS
@@ -1260,10 +1808,25 @@ def _eval_dist(node, ctx: DistributedContext):
     if isinstance(node, Binary):
         left = _eval_dist(node.lhs, ctx)
         right = _eval_dist(node.rhs, ctx)
-        # gates the local engine applies before any evaluation
-        if node.kind == "logical" or node.grouping is not None or (
-            node.op == "atan2" and not ctx.extensions
-        ):
+        if node.kind == "logical":
+            if ctx.extensions and isinstance(left, DistVectorStream) \
+                    and isinstance(right, DistVectorStream):
+                return _dist_logical(node, left, right, ctx)
+            # local path owns the not-implemented / type errors
+            return eng.eval_binary(
+                node, _collect_if_dist(left), _collect_if_dist(right),
+                ctx.extensions,
+            )
+        if node.grouping is not None:
+            if ctx.extensions and isinstance(left, DistVectorStream) \
+                    and isinstance(right, DistVectorStream):
+                return _dist_grouped_binary(node, left, right, ctx)
+            return eng.eval_binary(
+                node, _collect_if_dist(left), _collect_if_dist(right),
+                ctx.extensions,
+            )
+        if node.op == "atan2" and not ctx.extensions:
+            # gate the local engine applies before any evaluation
             return eng.eval_binary(
                 node, _collect_if_dist(left), _collect_if_dist(right),
                 ctx.extensions,
@@ -1286,16 +1849,20 @@ def _eval_dist(node, ctx: DistributedContext):
 
     if isinstance(node, Aggregate):
         child = _eval_dist(node.expr, ctx)
-        op_ok = node.op in _DIST_AGG_OPS and (
-            ctx.extensions or node.op not in ("stddev", "stdvar")
-        )
         if node.op in ("stddev", "stdvar", "quantile", "count_values") \
                 and not ctx.extensions:
             raise QueryError(
                 f"aggregation operator {node.op!r} is not implemented yet"
             )
-        if isinstance(child, DistVectorStream) and op_ok:
-            return _dist_aggregate(node, child, ctx)
+        if isinstance(child, DistVectorStream):
+            if node.op in _DIST_AGG_OPS:
+                return _dist_aggregate(node, child, ctx)
+            if node.op in ("topk", "bottomk"):
+                return _dist_topk(node, child, ctx)
+            if node.op == "quantile":
+                return _dist_quantile(node, child, ctx)
+            if node.op == "count_values":
+                return _dist_count_values(node, child, ctx)
         return eng.eval_aggregate(node, _collect_if_dist(child), ctx.extensions)
 
     raise QueryError(f"cannot evaluate node {node!r}")

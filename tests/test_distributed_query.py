@@ -489,3 +489,198 @@ def test_distributed_combinators_fuzz_nan_and_missing_labels(ray_session, seed):
         assert np.allclose(a["value"].to_numpy(dtype=float),
                            b["value"].to_numpy(dtype=float),
                            equal_nan=True), (seed, q)
+
+
+# ---------------------------------------------------------------------------
+# round-4: the formerly-local combinator shapes now run in the exchange
+# (topk/bottomk, quantile/count_values, logical set ops, grouped matching)
+# ---------------------------------------------------------------------------
+
+RANKED_QUERIES = [
+    "topk(2, m) by (lab)",
+    "topk(1, m)",
+    "bottomk(2, m) by (job)",
+    "bottomk(3, m)",
+    "topk(2, sum(m) by (lab, job)) by (lab)",
+]
+
+
+@pytest.mark.parametrize("q", RANKED_QUERIES)
+def test_distributed_topk_equals_local_with_order(ray_session, aligned_df, q):
+    """topk/bottomk run as a mergeable pre-trimmed exchange; values,
+    signatures AND emission order (Q9 value-then-signature inside
+    gsig-sorted groups) must match the local engine."""
+    expr = parse_expr(q)
+    local = evaluate(
+        expr,
+        EvalContext(samples=aligned_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(aligned_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL, num_buckets=8),
+    )
+    a = local.df.reset_index(drop=True)
+    b = dist.df.reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["tick"].to_numpy() == b["tick"].to_numpy()).all(), q
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert (a["ord"].to_numpy() == b["ord"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(float), b["value"].to_numpy(float)), q
+    an = a["name"].where(a["name"].notna(), None)
+    bn = b["name"].where(b["name"].notna(), None)
+    assert list(an) == list(bn), q  # topk keeps __name__
+
+
+EXT_AGG_QUERIES = [
+    "quantile(0.9, m) by (lab)",
+    "quantile(0.5, m)",
+    'count_values("v", sum(m) by (lab, job)) by (lab)',
+    'count_values("v", m)',
+    "stddev(m) by (job)",
+    "stdvar(m)",
+]
+
+
+@pytest.mark.parametrize("q", EXT_AGG_QUERIES)
+def test_distributed_ext_aggregates_equal_local(ray_session, aligned_df, q):
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=aligned_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(aligned_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL, num_buckets=8,
+                           extensions=True),
+    )
+    a = local.df.reset_index(drop=True)
+    b = dist.df.reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert (a["ord"].to_numpy() == b["ord"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(float), b["value"].to_numpy(float),
+                       equal_nan=True), q
+
+
+LOGICAL_QUERIES = [
+    "m and k",
+    "m and on(lab) sum(k) by (lab)",
+    "m unless on(lab, job) (k > 90)",
+    "m unless on(lab) (sum(k) by (lab) >= 100)",
+    "m or k",
+    'sum(m) by (lab) or sum(k) by (lab, job)',
+    "(m > 50) and (k < 40)" if False else "m > 50 and on(lab, job) k",
+]
+
+
+@pytest.mark.parametrize("q", LOGICAL_QUERIES)
+def test_distributed_logical_equals_local(ray_session, aligned_df, q):
+    """and/unless/or run as a side-tagged union exchange; rows, values,
+    signatures and emission order must match the local set semantics."""
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=aligned_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(aligned_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL, num_buckets=8,
+                           extensions=True),
+    )
+    a = local.df.reset_index(drop=True)
+    b = dist.df.reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["tick"].to_numpy() == b["tick"].to_numpy()).all(), q
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert (a["ord"].to_numpy() == b["ord"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(float), b["value"].to_numpy(float)), q
+    an = a["name"].where(a["name"].notna(), None)
+    bn = b["name"].where(b["name"].notna(), None)
+    assert list(an) == list(bn), q  # logical ops keep lhs names
+
+
+GROUPED_QUERIES = [
+    "sum(m) by (lab, job) + on(lab) group_left sum(k) by (lab)",
+    "sum(m) by (lab, job) / on(lab) group_left avg(k) by (lab)",
+    "sum(k) by (lab) - on(lab) group_right sum(m) by (lab, job)",
+    "sum(m) by (lab, job) > on(lab) group_left avg(k) by (lab)",
+    "sum(m) by (lab, job) >= bool on(lab) group_left sum(k) by (lab)",
+    # extra label copied from the one side (which lacks it -> many keeps own)
+    "sum(m) by (lab, job) * on(lab) group_left(job) sum(k) by (lab)",
+]
+
+
+@pytest.mark.parametrize("q", GROUPED_QUERIES)
+def test_distributed_grouped_matching_equals_local(ray_session, aligned_df, q):
+    """group_left/group_right run in the same side-tagged exchange with
+    the one-side uniqueness check applied per reduce (globally exact:
+    a key lands in exactly one bucket)."""
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=aligned_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(aligned_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL, num_buckets=8,
+                           extensions=True),
+    )
+    a = local.df.reset_index(drop=True)
+    b = dist.df.reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert (a["ord"].to_numpy() == b["ord"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(float), b["value"].to_numpy(float)), q
+
+
+def test_distributed_grouped_one_side_collision_raises(ray_session, aligned_df):
+    """The one side must be unique per (tick, match sig) — a raw k
+    vector matched on(lab) collides (multiple k series per lab)."""
+    from pq_ray.query.engine import VectorMatchingError
+
+    expr = parse_expr("sum(m) by (lab, job) + on(lab) group_left k",
+                      extensions=True)
+    with pytest.raises(VectorMatchingError, match="one side"):
+        evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(aligned_df).repartition(4),
+                               ["job", "lab"], INTERVAL, INTERVAL,
+                               num_buckets=4, extensions=True),
+        )
+
+
+def test_distributed_ranked_and_logical_stay_in_ray(ray_session, aligned_df):
+    """Structural: topk -> logical -> grouped pipeline materializes on
+    the driver exactly once (the final result)."""
+    import unittest.mock as mock
+
+    import ray.data as rdm
+
+    expr = parse_expr(
+        "topk(2, m) by (lab) and on(lab, job) k", extensions=True
+    )
+    calls = []
+    orig = rdm.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = orig(self, *a, **k)
+        calls.append(sorted(df.columns.tolist()))
+        return df
+
+    with mock.patch.object(rdm.Dataset, "to_pandas", spy):
+        evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(aligned_df).repartition(4),
+                               ["job", "lab"], INTERVAL, INTERVAL,
+                               num_buckets=4, extensions=True),
+        )
+    point_collects = [c for c in calls if "value" in c and "osig" in c]
+    assert len(point_collects) == 1, calls
