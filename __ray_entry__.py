@@ -39,16 +39,18 @@ _ORDER = [
     "logs_sum_by_event_1s", "logs_logfmt_sum_1s",
     "curate_corpus",
     "media_features",
-    # distributed query combinators (round 4: VERDICT r3 #4/#9)
+    # distributed query combinators (round 4: VERDICT r3 #4/#9; the
+    # topk/logical/grouped proofs land the formerly-local shapes)
     "dq_agg_div_1h", "dq_subquery_sum_1h",
+    "dq_topk2_1h", "dq_unless_avg_1h", "dq_group_share_1h",
     # events rollup family
     "events_rollup_1m", "events_rollup_1h_cascade", "events_first_last_1h",
     "events_rate_1h", "events_props_k", "events_gapfill_1m",
     "events_hour_profile",
     # extended time-series ops
-    "events_distinct_1h", "events_hll_1h", "events_interp_1m",
-    "events_asof_purchase_view", "events_topusers_1h", "events_topusers_mg",
-    "events_quantile_1h", "events_quantile_sample_1h", "events_sessions",
+    "events_distinct_1h", "events_interp_1m",
+    "events_asof_purchase_view", "events_topusers_1h",
+    "events_quantile_1h", "events_sessions",
     "events_regr_1h", "events_changes_1h", "events_irate_1h",
     "events_dod_delta", "events_spikes_1m",
     # pq tick-grid queries
@@ -61,6 +63,9 @@ _ORDER = [
     "dedup_clusters", "repetition_filter", "stratified_sample",
     "vocab_topk", "tfidf_topterm",
     # ---- position 51+: recorded only if the driver takes >50 ----
+    # (hll / topusers_mg / quantile_sample are oracle-hashable sketch
+    # siblings whose EXACT counterparts hold the in-window family slot)
+    "events_hll_1h", "events_topusers_mg", "events_quantile_sample_1h",
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "events_ewma_1m", "simhash",
     "simhash_pairs", "fingerprints",

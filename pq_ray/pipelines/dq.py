@@ -122,10 +122,113 @@ def q_dq_subquery_sum_1h(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
 
 
+def q_dq_topk2_1h(sf_dir: str) -> pd.DataFrame:
+    """Distributed topk proof (round 4): ``topk(2, sum by(event, u16)
+    (sum_over_time(m[1h]))) by (event)`` — the per-(tick, event) top-2
+    device buckets by hourly sum run as the pre-trimmed topk exchange
+    (`_dist_topk`), never on the driver.  Values are exact integer
+    cents, so the SQL ROW_NUMBER tie-break (value DESC, u16 ASC — the
+    engine's (value, signature) order, since only u16 varies within a
+    group) reproduces the selection bit-for-bit."""
+    expr = parse_expr(
+        "topk(2, sum(sum_over_time(m[1h])) by (event, u16)) by (event)"
+    )
+    ctx = DistributedContext(
+        _events_samples_ds(sf_dir), ["event", "u16"],
+        HOUR_MS, HOUR_MS, num_buckets=8,
+    )
+    vs = evaluate_distributed(expr, ctx)
+    out = vs.df[["tick", "l_event", "l_u16", "value"]].rename(
+        columns={"l_event": "event_type", "l_u16": "u16",
+                 "value": "top_value"}
+    ).copy()
+    out["top_value"] = out["top_value"].to_numpy() / 100.0
+    return out.sort_values(["tick", "event_type", "u16"]).reset_index(drop=True)
+
+
+def q_dq_unless_avg_1h(sf_dir: str) -> pd.DataFrame:
+    """Distributed logical-op proof (round 4): ``sum_over_time(m[1h])
+    unless on(event, u16) (avg_over_time(m[1h]) > 5000)`` — keep the
+    (event, device-bucket) cells whose hourly average is <= 50.00.
+    The anti-join runs as the side-tagged union exchange
+    (`_dist_logical`); both sides share ONE selector partials exchange
+    (CSE).  avg = exact-cents sum / count is the identical float64
+    division on both sides, so the > comparison splits identically."""
+    expr = parse_expr(
+        "sum_over_time(m[1h])"
+        " unless on(event, u16) (avg_over_time(m[1h]) > 5000)",
+        extensions=True,
+    )
+    ctx = DistributedContext(
+        _events_samples_ds(sf_dir), ["event", "u16"],
+        HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+    )
+    vs = evaluate_distributed(expr, ctx)
+    out = vs.df[["tick", "l_event", "l_u16", "value"]].rename(
+        columns={"l_event": "event_type", "l_u16": "u16",
+                 "value": "sum_low"}
+    ).copy()
+    out["sum_low"] = out["sum_low"].to_numpy() / 100.0
+    return out.sort_values(["tick", "event_type", "u16"]).reset_index(drop=True)
+
+
+def q_dq_group_share_1h(sf_dir: str) -> pd.DataFrame:
+    """Distributed grouped-matching proof (round 4): ``sum by(event,
+    u16) (...) / on(event) group_left sum by(event) (...)`` — each
+    device bucket's share of its event's hourly total, a true
+    many-to-one match run in the side-tagged exchange
+    (`_dist_grouped_binary`) with the one-side uniqueness check applied
+    per reduce.  Both operands are exact integer cents; the share is
+    ONE float division of the same ints on both sides, then the shared
+    SQL-ROUND half-away rounding."""
+    expr = parse_expr(
+        "sum(sum_over_time(m[1h])) by (event, u16)"
+        " / on(event) group_left sum(sum_over_time(m[1h])) by (event)",
+        extensions=True,
+    )
+    ctx = DistributedContext(
+        _events_samples_ds(sf_dir), ["event", "u16"],
+        HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+    )
+    vs = evaluate_distributed(expr, ctx)
+    out = vs.df[["tick", "l_event", "l_u16", "value"]].rename(
+        columns={"l_event": "event_type", "l_u16": "u16",
+                 "value": "share"}
+    ).copy()
+    out["share"] = _round_half_away(out["share"].to_numpy())
+    return out.sort_values(["tick", "event_type", "u16"]).reset_index(drop=True)
+
+
 QUERIES = {
     "dq_agg_div_1h": q_dq_agg_div_1h,
     "dq_subquery_sum_1h": q_dq_subquery_sum_1h,
+    "dq_topk2_1h": q_dq_topk2_1h,
+    "dq_unless_avg_1h": q_dq_unless_avg_1h,
+    "dq_group_share_1h": q_dq_group_share_1h,
 }
+
+# shared hourly-grid CTE prefix (Q1 tick rule + exact-cents cell sums
+# per (tick, event_type, u16)) for the three combinator proofs
+_CELLS_1H = """
+    WITH s AS (
+        SELECT epoch_ms(ts) AS ts_ms, event_type,
+               CAST(user_id % 16 AS VARCHAR) AS u16, value
+        FROM events
+    ),
+    p AS (SELECT MIN(ts_ms) + 3600000 - 1 AS first FROM s),
+    t AS (
+        SELECT s.*,
+               p.first + ((s.ts_ms - p.first + 3599999) // 3600000)
+                         * 3600000 AS tick
+        FROM s, p
+    ),
+    c AS (
+        SELECT tick, event_type, u16,
+               SUM(CAST(value AS DECIMAL(12,2)) * 100) AS cents,
+               COUNT(*) AS n
+        FROM t GROUP BY 1, 2, 3
+    )
+"""
 
 ORACLES = {
     # Q1 tick rule in SQL: first = min(ts) + min(d, interval) - 1 and a
@@ -177,5 +280,35 @@ ORACLES = {
         FROM g JOIN inner_pts i
           ON i.itick > g.otick - 3600000 AND i.itick <= g.otick
         GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dq_topk2_1h": _CELLS_1H + """
+        , r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY tick, event_type
+                ORDER BY cents DESC, u16 ASC
+            ) AS rn
+            FROM c
+        )
+        SELECT tick, event_type, u16,
+               CAST(cents AS DOUBLE) / 100 AS top_value
+        FROM r WHERE rn <= 2 ORDER BY 1, 2, 3
+    """,
+    "dq_unless_avg_1h": _CELLS_1H + """
+        SELECT tick, event_type, u16,
+               CAST(cents AS DOUBLE) / 100 AS sum_low
+        FROM c
+        WHERE NOT (CAST(cents AS DOUBLE) / n > 5000)
+        ORDER BY 1, 2, 3
+    """,
+    "dq_group_share_1h": _CELLS_1H + """
+        , e AS (
+            SELECT tick, event_type, SUM(cents) AS tot
+            FROM c GROUP BY 1, 2
+        )
+        SELECT c.tick, c.event_type, c.u16,
+               ROUND(CAST(c.cents AS DOUBLE) / CAST(e.tot AS DOUBLE), 6)
+                   AS share
+        FROM c JOIN e USING (tick, event_type)
+        ORDER BY 1, 2, 3
     """,
 }
