@@ -612,32 +612,35 @@ def run_cascade(
 
             from ..state.gorilla import VALUE_COLS
 
+            # fixed output schema: pandas infers per-bucket dtypes
+            # (a uint64×int64 merge upcasts series_id to float64 on
+            # some buckets), and Ray's executor warns on RefBundle
+            # schema drift — cast every bucket to this one schema
+            chunk_schema = pa.schema(
+                [
+                    ("series_id", pa.uint64()),
+                    ("name", pa.string()),
+                    ("source", pa.string()),
+                    ("shard", pa.int32()),
+                    ("t0", pa.int64()),
+                    ("n", pa.int64()),
+                    ("ts_dod", pa.binary()),
+                    *[(f"g_{c}", pa.binary()) for c in VALUE_COLS],
+                    ("tier_ms", pa.int64()),
+                ]
+            )
             if tb.num_rows == 0:
-                return pa.table(
-                    {
-                        "series_id": pa.array([], type=pa.uint64()),
-                        "name": pa.array([], type=pa.string()),
-                        "source": pa.array([], type=pa.string()),
-                        "shard": pa.array([], type=pa.int32()),
-                        "t0": pa.array([], type=pa.int64()),
-                        "n": pa.array([], type=pa.int64()),
-                        "ts_dod": pa.array([], type=pa.binary()),
-                        **{
-                            f"g_{c}": pa.array([], type=pa.binary())
-                            for c in VALUE_COLS
-                        },
-                        "tier_ms": pa.array([], type=pa.int64()),
-                    }
-                )
+                return chunk_schema.empty_table()
             df = tb.to_pandas().merge(label_df, on="series_id", sort=False)
             outs = []
             for tms, g in df.groupby("tier_ms", sort=False):
                 enc = chunk_series(g.drop(columns=["bucket"]), DEFAULT_LABEL_COLS)
                 enc["tier_ms"] = tms
                 outs.append(enc)
-            return pa.Table.from_pandas(
+            out = pa.Table.from_pandas(
                 pd.concat(outs, ignore_index=True), preserve_index=False
             )
+            return out.select(chunk_schema.names).cast(chunk_schema)
 
         from ..stages.exchange import hash_exchange
 
