@@ -132,21 +132,33 @@ def _selector_key(sel: VectorSelector, ctx: DistributedContext):
 
 
 def _selector_partials(sel: VectorSelector, ctx: DistributedContext,
-                       want_last2: bool = False):
+                       want_last2: bool = False, want_fit: bool = False,
+                       sample_kernel: str | None = None,
+                       fn_args: tuple = ()):
     """Filter + window-explode + per-(series, tick) partial reduce in Ray.
 
     Returns (ticks, partials Dataset, distinct labelset df, cols) or
     None when nothing matched.  Memoized per (matchers, range, offset,
-    interval, want_last2) on the context — the exchange outputs are
-    materialized object refs, so a second kernel over the same selector
-    reuses them.  ``want_last2`` adds the time-ordered newest-2 sample
-    columns (ts/seq/value pairs) the irate/idelta kernels need — a
-    mergeable "top-2 by (ts, seq)" partial.
+    interval, want_last2, want_fit, sample_kernel, fn_args) on the
+    context — the exchange outputs are materialized object refs, so a
+    second kernel over the same selector reuses them.  ``want_last2``
+    adds the time-ordered newest-2 sample columns (ts/seq/value pairs)
+    the irate/idelta kernels need — a mergeable "top-2 by (ts, seq)"
+    partial.  ``want_fit`` adds the least-squares sums (sx, sxx, sxy
+    with x anchored at the tick) for deriv/predict_linear.
+    ``sample_kernel`` switches to the sample-stream plan: the explode
+    ships raw (sid, tick, ts, seq, value) rows and the exchange reduce
+    computes the sequence-dependent kernel (changes/resets/
+    quantile_over_time/holt_winters) per complete (sid, tick) group —
+    these kernels need the full chronological sample sequence, which no
+    mergeable partial can carry across arbitrarily interleaved blocks.
     """
-    key = (*_selector_key(sel, ctx), want_last2)
+    key = (*_selector_key(sel, ctx), want_last2, want_fit,
+           sample_kernel, fn_args)
     if key in ctx._partials_memo:
         return ctx._partials_memo[key]
-    res = _selector_partials_impl(sel, ctx, want_last2)
+    res = _selector_partials_impl(sel, ctx, want_last2, want_fit,
+                                  sample_kernel, fn_args)
     ctx._partials_memo[key] = res
     return res
 
@@ -155,7 +167,9 @@ _TS_MISSING = np.iinfo(np.int64).min
 
 
 def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
-                            want_last2: bool = False):
+                            want_last2: bool = False, want_fit: bool = False,
+                            sample_kernel: str | None = None,
+                            fn_args: tuple = ()):
     interval = ctx.interval
     d = sel.range_ms if sel.range_ms is not None else ctx.lookback
     matchers = sel.all_matchers()
@@ -251,8 +265,23 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
                 base[f"{pfx}_ts"] = pa.array([], type=pa.int64())
                 base[f"{pfx}_seq"] = pa.array([], type=pa.int64())
                 base[f"{pfx}_v"] = pa.array([], type=pa.float64())
+        if want_fit:
+            for c in ("sx", "sxx", "sxy"):
+                base[c] = pa.array([], type=pa.float64())
         base["bucket"] = pa.array([], type=pa.int32())
         return pa.table(base)
+
+    def _empty_samples() -> pa.Table:
+        return pa.table(
+            {
+                "sid": pa.array([], type=pa.uint64()),
+                "tick": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "seq": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.float64()),
+                "bucket": pa.array([], type=pa.int32()),
+            }
+        )
 
     def _batch_sids(t: pa.Table, n: int) -> np.ndarray:
         """Vectorized series-id per row: pack per-column dictionary codes
@@ -281,7 +310,7 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
     def explode_partial(t: pa.Table) -> pa.Table:
         n = t.num_rows
         if n == 0:
-            return _empty_partials()
+            return _empty_samples() if sample_kernel else _empty_partials()
         sid = _batch_sids(t, n)
         ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         seq = t["seq"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -299,7 +328,7 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
             # non-empty batch whose samples are all invisible on the tick
             # grid (range < interval or start_at past the batch) — mirror
             # eval_selector's total==0 branch with a typed empty
-            return _empty_partials()
+            return _empty_samples() if sample_kernel else _empty_partials()
         within = np.arange(total, dtype=np.int64) - np.repeat(
             np.concatenate(([0], np.cumsum(reps)[:-1])), reps
         )
@@ -307,6 +336,29 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
         sid_r = np.repeat(sid, reps)
         seq_r = np.repeat(seq, reps)
         val_r = np.repeat(val, reps)
+
+        if sample_kernel:
+            # sample-stream plan: no within-batch reduce — the kernel is
+            # sequence-dependent, so every exploded sample rides the
+            # exchange and meets its complete (sid, tick) group in the
+            # bucket reduce.  Wire volume = samples × (range/interval),
+            # the same matrix the local engine would pull to the driver,
+            # but spread across buckets.
+            ts_r = np.repeat(ts, reps)
+            h = sid_r ^ (tick.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            bkt = ((h >> np.uint64(17)) % np.uint64(ctx.num_buckets)).astype(
+                np.int32
+            )
+            return pa.table(
+                {
+                    "sid": pa.array(sid_r, type=pa.uint64()),
+                    "tick": pa.array(tick, type=pa.int64()),
+                    "ts": pa.array(ts_r, type=pa.int64()),
+                    "seq": pa.array(seq_r, type=pa.int64()),
+                    "value": pa.array(val_r, type=pa.float64()),
+                    "bucket": pa.array(bkt),
+                }
+            )
 
         # partial-reduce within the batch, keyed (sid, tick); the arrival
         # key is seq ALONE — the reference's deque is pure push order
@@ -366,6 +418,17 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
             tbl["i2_v"] = pa.array(
                 np.where(has2, t_val[np.maximum(prev, 0)], np.nan)
             )
+        if want_fit:
+            # least-squares sums for deriv/predict_linear, x anchored at
+            # the TICK (known per exploded row, so the sums merge across
+            # blocks); deriv's slope is shift-invariant and
+            # predict_linear anchors at the tick by definition
+            # (engine.py eval_function: ref_t = tick)
+            ts_r = np.repeat(ts, reps)
+            x = (ts_r[order] - s_tick) / 1000.0
+            tbl["sx"] = pa.array(np.add.reduceat(x, starts))
+            tbl["sxx"] = pa.array(np.add.reduceat(x * x, starts))
+            tbl["sxy"] = pa.array(np.add.reduceat(x * s_val, starts))
         tbl["bucket"] = pa.array(bucket)
         return pa.table(tbl)
 
@@ -374,6 +437,8 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
     if want_last2:
         numeric = numeric + ["i1_ts", "i1_seq", "i1_v",
                              "i2_ts", "i2_seq", "i2_v"]
+    if want_fit:
+        numeric = numeric + ["sx", "sxx", "sxy"]
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -399,6 +464,9 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
         order2 = np.lexsort((c["last_key"], c["tick"], c["sid"]))
         out["last_key"] = c["last_key"][order2][ends]
         out["last_v"] = c["last_v"][order2][ends]
+        if want_fit:
+            for k in ("sx", "sxx", "sxy"):
+                out[k] = np.add.reduceat(c[k][order], starts)
         if want_last2:
             # top-2 of the union of per-partial top-2s: flatten each
             # partial row into <=2 (ts, seq, v) candidates, sort within
@@ -436,11 +504,92 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
         tbl["sid"] = pa.array(out["sid"], type=pa.uint64())
         return pa.table(tbl)
 
+    def sample_reduce(t: pa.Table) -> pa.Table:
+        """Sequence-dependent kernel over complete (sid, tick) groups —
+        same numpy per-segment code as the local engine's eval_function
+        (engine.py:1255-1330), keyed by sid instead of sig."""
+        from .engine import _promql_quantile
+
+        empty = pa.table(
+            {
+                "sid": pa.array([], type=pa.uint64()),
+                "tick": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        c = {
+            k: t[k].combine_chunks().to_numpy(zero_copy_only=False)
+            for k in ("sid", "tick", "ts", "seq", "value")
+        }
+        # chronological within each (sid, tick) — the EXT kernels are
+        # time-ordered (engine.py: sort by tick, sig, ts, seq)
+        order = np.lexsort((c["seq"], c["ts"], c["tick"], c["sid"]))
+        sid, tick = c["sid"][order], c["tick"][order]
+        vals = c["value"][order]
+        boundary = (
+            np.nonzero((sid[1:] != sid[:-1]) | (tick[1:] != tick[:-1]))[0] + 1
+        )
+        starts = np.concatenate(([0], boundary))
+        counts = np.diff(np.concatenate((starts, [len(vals)])))
+        keep = None
+        if sample_kernel in ("changes", "resets"):
+            a, b = vals[:-1], vals[1:]
+            if sample_kernel == "changes":
+                # NaN→NaN is not a change; NaN↔x is (PromQL)
+                pair = (a != b) & ~(np.isnan(a) & np.isnan(b))
+            else:
+                with np.errstate(invalid="ignore"):
+                    pair = b < a  # counter reset
+            flags = np.concatenate(([0.0], pair.astype(np.float64)))
+            flags[starts] = 0.0  # pairs never span segment boundaries
+            val = np.add.reduceat(flags, starts)
+        elif sample_kernel == "quantile_over_time":
+            phi = fn_args[0]
+            val = np.array(
+                [
+                    _promql_quantile(phi, vals[st: st + cnt])
+                    for st, cnt in zip(starts, counts)
+                ]
+            )
+        elif sample_kernel == "holt_winters":
+            # double exponential smoothing — sequential by definition,
+            # but each (sid, tick) segment is independent, so the loop
+            # parallelizes across buckets
+            sf, tf = fn_args[0], fn_args[1]
+            keep = counts >= 2
+            val = np.full(len(starts), np.nan)
+            for i, (st, cnt) in enumerate(zip(starts, counts)):
+                if cnt < 2:
+                    continue
+                seg = vals[st: st + cnt]
+                s0, s1, bb = 0.0, seg[0], seg[1] - seg[0]
+                for j in range(1, cnt):
+                    xx = sf * seg[j]
+                    if j - 1 > 0:
+                        bb = tf * (s1 - s0) + (1.0 - tf) * bb
+                    yy = (1.0 - sf) * (s1 + bb)
+                    s0, s1 = s1, xx + yy
+                val[i] = s1
+        else:  # pragma: no cover — gated by _EXT_SAMPLE_KERNELS
+            raise QueryError(f"unsupported sample kernel {sample_kernel}")
+        gsid, gtick = sid[starts], tick[starts]
+        if keep is not None and not bool(keep.all()):
+            gsid, gtick, val = gsid[keep], gtick[keep], val[keep]
+        return pa.table(
+            {
+                "sid": pa.array(gsid, type=pa.uint64()),
+                "tick": pa.array(gtick, type=pa.int64()),
+                "value": pa.array(val, type=pa.float64()),
+            }
+        )
+
     pts_ds = hash_exchange(
         filtered.map_batches(explode_partial, batch_format="pyarrow"),
         "bucket",
         ctx.num_buckets,
-        reduce_fn,
+        sample_reduce if sample_kernel else reduce_fn,
     )
     return ticks, pts_ds, distinct, cols
 
@@ -521,6 +670,14 @@ _EXT_PARTIAL_KERNELS = {"stddev_over_time", "stdvar_over_time",
 # sample columns (want_last2 partials); they may DROP rows (<2 samples
 # or zero dt), so the finalize applies their keep-mask
 _EXT_LAST2_KERNELS = {"irate", "idelta"}
+# least-squares kernels riding the mergeable (sx, sxx, sxy) fit sums
+# (x anchored at the tick); they drop <2-sample windows
+_EXT_FIT_KERNELS = {"deriv", "predict_linear"}
+# sequence-dependent kernels: need the full chronological sample list
+# per window, so the selector ships exploded samples and the exchange
+# reduce computes the kernel per complete (sid, tick) group
+_EXT_SAMPLE_KERNELS = {"changes", "resets", "quantile_over_time",
+                       "holt_winters"}
 
 
 def _kernel_values(kernel: str | None, c: dict, range_ms: int | None) -> np.ndarray:
@@ -561,13 +718,18 @@ def _strip_name_sig(row, cols) -> bytes:
 
 
 def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
-                     kernel: str | None):
+                     kernel: str | None, fn_args: tuple = ()):
     """kernel=None → instant vector; else the *_over_time kernel name.
     Returns a DistVectorStream (points stay in Ray; the kernel finalize
     and label/signature attach run as a map stage on the exchange
-    output, with the tiny per-series lookup captured by value)."""
+    output, with the tiny per-series lookup captured by value).
+    ``fn_args`` carries the kernel's scalar arguments (quantile φ,
+    predict_linear horizon, holt_winters sf/tf)."""
     want_last2 = kernel in _EXT_LAST2_KERNELS
-    res = _selector_partials(sel, ctx, want_last2)
+    want_fit = kernel in _EXT_FIT_KERNELS
+    sample_kernel = kernel if kernel in _EXT_SAMPLE_KERNELS else None
+    res = _selector_partials(sel, ctx, want_last2, want_fit,
+                             sample_kernel, fn_args)
     if res is None:
         return _empty_vector("instant", ctx.label_cols)
     ticks, pts_ds, distinct, cols = res
@@ -596,9 +758,14 @@ def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
         for c in cols if c != "name"
     }
     schema = _points_schema(label_cols)
-    numeric = ["sum", "count", "min", "max", "s2", "first_v", "last_v"]
-    if want_last2:
-        numeric = numeric + ["i1_ts", "i1_v", "i2_ts", "i2_v"]
+    if sample_kernel:
+        numeric = ["value"]
+    else:
+        numeric = ["sum", "count", "min", "max", "s2", "first_v", "last_v"]
+        if want_last2:
+            numeric = numeric + ["i1_ts", "i1_v", "i2_ts", "i2_v"]
+        if want_fit:
+            numeric = numeric + ["sx", "sxx", "sxy"]
 
     def finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -606,7 +773,30 @@ def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
         sid = t["sid"].combine_chunks().to_numpy(zero_copy_only=False)
         c = {k: t[k].combine_chunks().to_numpy(zero_copy_only=False)
              for k in numeric}
-        if want_last2:
+        if sample_kernel:
+            # kernel already computed in the exchange reduce
+            value = c["value"]
+            idx = np.searchsorted(sids, sid)
+        elif want_fit:
+            # least squares y = a + b·x over the mergeable fit sums;
+            # <2-sample windows drop (engine.py eval_function keep-mask)
+            n = c["count"].astype(np.float64)
+            keep = c["count"] >= 2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                slope = (n * c["sxy"] - c["sx"] * c["sum"]) / (
+                    n * c["sxx"] - c["sx"] * c["sx"]
+                )
+                if kernel == "deriv":
+                    value = slope
+                else:  # predict_linear: x anchored at the tick, so the
+                    # intercept IS the value at eval time; predict at +t
+                    intercept = (c["sum"] - slope * c["sx"]) / n
+                    value = intercept + slope * fn_args[0]
+            sid = sid[keep]
+            t = t.filter(pa.array(keep))
+            value = value[keep]
+            idx = np.searchsorted(sids, sid)
+        elif want_last2:
             # irate/idelta: last two chronological samples; <2 samples
             # or zero dt -> no output row (engine.py eval_function)
             dv = c["i1_v"] - c["i2_v"]
@@ -1741,7 +1931,7 @@ def _eval_dist(node, ctx: DistributedContext):
     reshapes of an already-final vector)."""
     from . import engine as eng
     from .ast import Aggregate, Binary, NumberLiteral, Parentheses, Subquery, Unary
-    from .engine import EXT_OVER_TIME_FNS, EXTENSION_FNS
+    from .engine import EXTENSION_FNS
 
     if isinstance(node, VectorSelector):
         if node.range_ms is not None:
@@ -1754,29 +1944,52 @@ def _eval_dist(node, ctx: DistributedContext):
     if isinstance(node, FunctionCall):
         mergeable = node.name in OVER_TIME_FNS or (
             ctx.extensions
-            and node.name in (_EXT_PARTIAL_KERNELS | _EXT_LAST2_KERNELS)
+            and node.name in (_EXT_PARTIAL_KERNELS | _EXT_LAST2_KERNELS
+                              | _EXT_FIT_KERNELS | _EXT_SAMPLE_KERNELS)
         )
         if mergeable:
-            (arg,) = node.args
+            # split the range-vector arg from scalar args (quantile φ
+            # leads, predict_linear/holt_winters scalars trail — same
+            # slots the local engine reads via its `nums` list)
+            def _unwrap(a):
+                while isinstance(a, Parentheses):
+                    a = a.expr
+                return a
+
+            vec_args = [
+                a for a in node.args
+                if isinstance(_unwrap(a), (VectorSelector, Subquery))
+            ]
+            if len(vec_args) != 1:
+                raise QueryError(f"{node.name} expects a range selector argument")
+            arg = _unwrap(vec_args[0])
+            fn_args = []
+            for a in node.args:
+                if a is vec_args[0]:
+                    continue
+                if isinstance(a, (int, float)):  # parser emits raw floats
+                    fn_args.append(float(a))
+                    continue
+                s = _eval_dist(a, ctx)
+                if not isinstance(s, ScalarStream):
+                    raise QueryError(f"{node.name} expects scalar arguments")
+                fn_args.append(float(s.value))
+            fn_args = tuple(fn_args)
             if isinstance(arg, Subquery):
                 if not ctx.extensions:
                     raise QueryError("subqueries are an extension (extensions=True)")
-                if node.name in _EXT_LAST2_KERNELS:
+                if node.name in (_EXT_LAST2_KERNELS | _EXT_FIT_KERNELS
+                                 | _EXT_SAMPLE_KERNELS):
                     raise QueryError(
                         f"{node.name} over a subquery is a local-engine "
-                        "extension (the rewindow partial carries first/"
-                        "last only)"
+                        "extension (the rewindow partial carries "
+                        "mergeable sums only, not the inner sample "
+                        "sequence)"
                     )
                 return _dist_subquery_overtime(node.name, arg, ctx)
             if not isinstance(arg, VectorSelector) or arg.range_ms is None:
                 raise QueryError(f"{node.name} expects a range selector argument")
-            return _selector_stream(arg, ctx, node.name)
-        if ctx.extensions and node.name in EXT_OVER_TIME_FNS:
-            raise QueryError(
-                f"{node.name} is a local-engine extension: its per-window "
-                "kernel is not covered by the distributed mergeable-partial "
-                "schema (tsops.py implements the distributed forms)"
-            )
+            return _selector_stream(arg, ctx, node.name, fn_args)
         if ctx.extensions and node.name in EXTENSION_FNS:
             args = [
                 a if isinstance(a, (float, str)) else _collect_if_dist(

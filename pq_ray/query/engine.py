@@ -792,11 +792,13 @@ EXTENSION_FNS = {
 }
 
 # range-vector extension kernels: evaluated on the window segments via
-# the same reduceat machinery as the reference's *_over_time set.  These
-# are NOT pushed down by the distributed evaluator (their per-window
-# state isn't covered by its mergeable partial schema); the tsops
-# pipelines implement the distributed forms of the important ones
-# (events_irate_1h, events_changes_1h, events_regr_1h — tsops.py).
+# the same reduceat machinery as the reference's *_over_time set.  The
+# distributed evaluator pushes ALL of these down (distributed.py):
+# stddev/stdvar/present ride the s2 partial, irate/idelta the newest-2
+# partial, deriv/predict_linear the (sx, sxx, sxy) fit sums, and
+# changes/resets/quantile_over_time/holt_winters the sample-stream
+# exchange (full chronological sequence per (sid, tick) group).  Only
+# the over-a-SUBQUERY forms of the non-mergeable kernels stay local.
 EXT_OVER_TIME_FNS = {
     "stddev_over_time",
     "stdvar_over_time",

@@ -221,9 +221,12 @@ def test_distributed_instant_extensions_equal_local(ray_session, samples_df, q):
 
 
 def test_distributed_ext_over_time_raises_typed_error(ray_session, samples_df):
+    # sequence-dependent kernels OVER A SUBQUERY stay local-engine-only:
+    # the rewindow partial carries mergeable sums, not the inner sample
+    # sequence (changes over a plain range selector IS distributed now)
     from pq_ray.query.engine import QueryError
 
-    expr = parse_expr("deriv(m[2s])", extensions=True)
+    expr = parse_expr("changes((m)[4s:2s])", extensions=True)
     ds = rd.from_pandas(samples_df).repartition(4)
     with pytest.raises(QueryError, match="local-engine extension"):
         evaluate_distributed(
@@ -358,7 +361,14 @@ def test_distributed_subquery_equals_local(ray_session, samples_df, q):
 
 @pytest.mark.parametrize(
     "q", ["stddev_over_time(m[4s])", "stdvar_over_time(m[3s])",
-          "present_over_time(m[2s])"]
+          "present_over_time(m[2s])",
+          # fit-sum kernels (mergeable sx/sxx/sxy, x anchored at tick)
+          "deriv(m[4s])", "predict_linear(m[4s], 10)",
+          # sample-stream kernels (full chronological sequence meets its
+          # (sid, tick) group in the exchange reduce)
+          "changes(m[4s])", "resets(m[3s])",
+          "quantile_over_time(0.5, m[4s])", "quantile_over_time(0.9, m[5s])",
+          "holt_winters(m[5s], 0.5, 0.3)"]
 )
 def test_distributed_mergeable_ext_over_time_equals_local(
     ray_session, samples_df, q
