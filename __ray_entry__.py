@@ -40,9 +40,11 @@ _ORDER = [
     "curate_corpus",
     "media_features",
     # distributed query combinators (round 4: VERDICT r3 #4/#9; the
-    # topk/logical/grouped proofs land the formerly-local shapes)
+    # topk/logical/grouped proofs land the formerly-local shapes;
+    # changes/median prove the sample-stream kernel exchange)
     "dq_agg_div_1h", "dq_subquery_sum_1h",
     "dq_topk2_1h", "dq_unless_avg_1h", "dq_group_share_1h",
+    "dq_changes_1h", "dq_median_1h",
     # events rollup family
     "events_rollup_1m", "events_rollup_1h_cascade", "events_first_last_1h",
     "events_rate_1h", "events_props_k", "events_gapfill_1m",
@@ -55,16 +57,19 @@ _ORDER = [
     "events_dod_delta", "events_spikes_1m",
     # pq tick-grid queries
     "pq_sum_by_event_1m", "pq_stddev_by_event_1h",
-    "pq_quantile09_by_event_1h", "pq_max_by_event_1h", "pq_topk3_1h",
+    "pq_quantile09_by_event_1h", "pq_topk3_1h",
     "pq_count_over_time_5m",
     # training-data ops
     "dedup_exact", "jaccard_pairs", "minhash_pairs", "token_stats",
     "lang_quality", "ann_topk", "ann_ivf_multi", "embed_neardup_lsh",
     "dedup_clusters", "repetition_filter", "stratified_sample",
-    "vocab_topk", "tfidf_topterm",
+    "vocab_topk",
     # ---- position 51+: recorded only if the driver takes >50 ----
     # (hll / topusers_mg / quantile_sample are oracle-hashable sketch
-    # siblings whose EXACT counterparts hold the in-window family slot)
+    # siblings whose EXACT counterparts hold the in-window family slot;
+    # pq_max rides pq_sum's instant-rollup exchange, tfidf_topterm
+    # rides vocab_topk's document-frequency exchange)
+    "pq_max_by_event_1h", "tfidf_topterm",
     "events_hll_1h", "events_topusers_mg", "events_quantile_sample_1h",
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "events_ewma_1m", "simhash",

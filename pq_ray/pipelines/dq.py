@@ -199,12 +199,61 @@ def q_dq_group_share_1h(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["tick", "event_type", "u16"]).reset_index(drop=True)
 
 
+def q_dq_changes_1h(sf_dir: str) -> pd.DataFrame:
+    """Distributed sample-stream kernel proof (round 4): ``sum(
+    changes(m[1h])) by (event)`` — ``changes`` needs the full
+    chronological sample sequence per window, so the selector ships
+    exploded samples and the exchange reduce computes the pair-count
+    per complete (series, tick) group (`distributed.py::sample_reduce`);
+    the per-device counts then aggregate through the (tick, signature)
+    exchange.  Counts are exact integers, so the SQL LAG oracle matches
+    bit-for-bit (values compared as exact cents on both sides)."""
+    expr = parse_expr("sum(changes(m[1h])) by (event)", extensions=True)
+    ctx = DistributedContext(
+        _events_samples_ds(sf_dir), ["event", "u16"],
+        HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+    )
+    vs = evaluate_distributed(expr, ctx)
+    out = vs.df[["tick", "l_event", "value"]].rename(
+        columns={"l_event": "event_type", "value": "n_changes"}
+    ).copy()
+    out["n_changes"] = out["n_changes"].to_numpy().astype(np.int64)
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
+def q_dq_median_1h(sf_dir: str) -> pd.DataFrame:
+    """Distributed quantile_over_time proof (round 4): ``sum(
+    quantile_over_time(0.5, m[1h])) by (event)`` — another sample-
+    stream kernel: each (series, tick) group's full value list meets
+    its bucket reduce, PromQL interpolation runs there, and the
+    per-device medians aggregate in the combinator exchange.  At φ=0.5
+    on exact integer cents the interpolation is a midpoint of two ints
+    (exact in f64), sums of half-integers stay exact in any order, and
+    DuckDB's quantile_cont computes the same midpoint — bit-identical
+    before the shared /100 + ROUND."""
+    expr = parse_expr(
+        "sum(quantile_over_time(0.5, m[1h])) by (event)", extensions=True
+    )
+    ctx = DistributedContext(
+        _events_samples_ds(sf_dir), ["event", "u16"],
+        HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+    )
+    vs = evaluate_distributed(expr, ctx)
+    out = vs.df[["tick", "l_event", "value"]].rename(
+        columns={"l_event": "event_type", "value": "med_sum"}
+    ).copy()
+    out["med_sum"] = _round_half_away(out["med_sum"].to_numpy() / 100.0)
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
 QUERIES = {
     "dq_agg_div_1h": q_dq_agg_div_1h,
     "dq_subquery_sum_1h": q_dq_subquery_sum_1h,
     "dq_topk2_1h": q_dq_topk2_1h,
     "dq_unless_avg_1h": q_dq_unless_avg_1h,
     "dq_group_share_1h": q_dq_group_share_1h,
+    "dq_changes_1h": q_dq_changes_1h,
+    "dq_median_1h": q_dq_median_1h,
 }
 
 # shared hourly-grid CTE prefix (Q1 tick rule + exact-cents cell sums
@@ -310,5 +359,59 @@ ORACLES = {
                    AS share
         FROM c JOIN e USING (tick, event_type)
         ORDER BY 1, 2, 3
+    """,
+    # changes: LAG over the engine's chronological order (ts, then the
+    # arrival key seq = event_id); value compared as exact cents
+    "dq_changes_1h": """
+        WITH s AS (
+            SELECT epoch_ms(ts) AS ts_ms, event_id, event_type,
+                   CAST(user_id % 16 AS VARCHAR) AS u16,
+                   CAST(value AS DECIMAL(12,2)) * 100 AS cents
+            FROM events
+        ),
+        p AS (SELECT MIN(ts_ms) + 3600000 - 1 AS first FROM s),
+        t AS (
+            SELECT s.*,
+                   p.first + ((s.ts_ms - p.first + 3599999) // 3600000)
+                             * 3600000 AS tick
+            FROM s, p
+        ),
+        d AS (
+            SELECT tick, event_type,
+                   CASE WHEN LAG(cents) OVER w IS NOT NULL
+                             AND cents <> LAG(cents) OVER w
+                        THEN 1 ELSE 0 END AS chg
+            FROM t
+            WINDOW w AS (PARTITION BY tick, event_type, u16
+                         ORDER BY ts_ms, event_id)
+        )
+        SELECT tick, event_type, CAST(SUM(chg) AS BIGINT) AS n_changes
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # φ=0.5 quantile_cont = midpoint of two exact-int cents (exact in
+    # f64); SUM of half-integers is order-independent exact
+    "dq_median_1h": """
+        WITH s AS (
+            SELECT epoch_ms(ts) AS ts_ms, event_type,
+                   CAST(user_id % 16 AS VARCHAR) AS u16,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DOUBLE)
+                       AS cents
+            FROM events
+        ),
+        p AS (SELECT MIN(ts_ms) + 3600000 - 1 AS first FROM s),
+        t AS (
+            SELECT s.*,
+                   p.first + ((s.ts_ms - p.first + 3599999) // 3600000)
+                             * 3600000 AS tick
+            FROM s, p
+        ),
+        m AS (
+            SELECT tick, event_type, u16,
+                   quantile_cont(cents, 0.5) AS med
+            FROM t GROUP BY 1, 2, 3
+        )
+        SELECT tick, event_type,
+               ROUND(SUM(med) / 100, 6) AS med_sum
+        FROM m GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
