@@ -506,6 +506,57 @@ def test_distributed_combinators_fuzz_nan_and_missing_labels(ray_session, seed):
 # (topk/bottomk, quantile/count_values, logical set ops, grouped matching)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.parametrize("seed", [13, 57])
+def test_distributed_sample_and_fit_kernels_fuzz_nan(ray_session, seed):
+    """Fuzz the sample-stream (changes/resets/quantile/holt_winters)
+    and fit-sum (deriv/predict_linear) kernels over NaN values and
+    missing labels: NaN↔x IS a change, NaN→NaN is not; fit sums and
+    holt_winters recurrences propagate NaN identically on both paths."""
+    rng = np.random.default_rng(seed)
+    n = 2500
+    ts = 1_700_000_000_000 + np.sort(rng.integers(0, 12_000, n)).astype(np.int64)
+    values = rng.integers(0, 8, n).astype(np.float64)  # small range → ties
+    values[rng.random(n) < 0.04] = np.nan
+    df = pd.DataFrame(
+        {
+            "ts": ts,
+            "seq": np.arange(n, dtype=np.int64),
+            "name": rng.choice(["m", "k"], n),
+            "value": values,
+            "l_lab": rng.choice(["a", "b"], n),
+            "l_job": rng.choice(["x", None], n),
+        }
+    )
+    for q in (
+        "changes(m[3s])",
+        "resets(m[4s])",
+        "quantile_over_time(0.25, m[3s])",
+        "holt_winters(m[4s], 0.4, 0.2)",
+        "deriv(m[3s])",
+        "predict_linear(m[4s], 7)",
+        "sum(changes(m[2s])) by (lab)",
+    ):
+        expr = parse_expr(q, extensions=True)
+        local = evaluate(
+            expr,
+            EvalContext(samples=df, label_cols=["job", "lab"], interval=1000,
+                        lookback=1000, extensions=True),
+        )
+        dist = evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(df).repartition(5),
+                               ["job", "lab"], 1000, 1000, num_buckets=4,
+                               extensions=True),
+        )
+        a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+        b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+        assert len(a) == len(b) and len(a) > 0, (seed, q, len(a), len(b))
+        assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), (seed, q)
+        assert np.allclose(a["value"].to_numpy(dtype=float),
+                           b["value"].to_numpy(dtype=float),
+                           equal_nan=True), (seed, q)
+
+
 RANKED_QUERIES = [
     "topk(2, m) by (lab)",
     "topk(1, m)",
