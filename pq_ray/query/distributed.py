@@ -506,10 +506,8 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
 
     def sample_reduce(t: pa.Table) -> pa.Table:
         """Sequence-dependent kernel over complete (sid, tick) groups —
-        same numpy per-segment code as the local engine's eval_function
-        (engine.py:1255-1330), keyed by sid instead of sig."""
-        from .engine import _promql_quantile
-
+        the shared _sequence_kernel_values mirror of the local engine's
+        eval_function segment code, keyed by sid instead of sig."""
         empty = pa.table(
             {
                 "sid": pa.array([], type=pa.uint64()),
@@ -527,53 +525,16 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
         # time-ordered (engine.py: sort by tick, sig, ts, seq)
         order = np.lexsort((c["seq"], c["ts"], c["tick"], c["sid"]))
         sid, tick = c["sid"][order], c["tick"][order]
-        vals = c["value"][order]
+        vals, ts_s = c["value"][order], c["ts"][order]
         boundary = (
             np.nonzero((sid[1:] != sid[:-1]) | (tick[1:] != tick[:-1]))[0] + 1
         )
         starts = np.concatenate(([0], boundary))
         counts = np.diff(np.concatenate((starts, [len(vals)])))
-        keep = None
-        if sample_kernel in ("changes", "resets"):
-            a, b = vals[:-1], vals[1:]
-            if sample_kernel == "changes":
-                # NaN→NaN is not a change; NaN↔x is (PromQL)
-                pair = (a != b) & ~(np.isnan(a) & np.isnan(b))
-            else:
-                with np.errstate(invalid="ignore"):
-                    pair = b < a  # counter reset
-            flags = np.concatenate(([0.0], pair.astype(np.float64)))
-            flags[starts] = 0.0  # pairs never span segment boundaries
-            val = np.add.reduceat(flags, starts)
-        elif sample_kernel == "quantile_over_time":
-            phi = fn_args[0]
-            val = np.array(
-                [
-                    _promql_quantile(phi, vals[st: st + cnt])
-                    for st, cnt in zip(starts, counts)
-                ]
-            )
-        elif sample_kernel == "holt_winters":
-            # double exponential smoothing — sequential by definition,
-            # but each (sid, tick) segment is independent, so the loop
-            # parallelizes across buckets
-            sf, tf = fn_args[0], fn_args[1]
-            keep = counts >= 2
-            val = np.full(len(starts), np.nan)
-            for i, (st, cnt) in enumerate(zip(starts, counts)):
-                if cnt < 2:
-                    continue
-                seg = vals[st: st + cnt]
-                s0, s1, bb = 0.0, seg[0], seg[1] - seg[0]
-                for j in range(1, cnt):
-                    xx = sf * seg[j]
-                    if j - 1 > 0:
-                        bb = tf * (s1 - s0) + (1.0 - tf) * bb
-                    yy = (1.0 - sf) * (s1 + bb)
-                    s0, s1 = s1, xx + yy
-                val[i] = s1
-        else:  # pragma: no cover — gated by _EXT_SAMPLE_KERNELS
-            raise QueryError(f"unsupported sample kernel {sample_kernel}")
+        val, keep = _sequence_kernel_values(
+            sample_kernel, vals, ts_s, starts, counts, fn_args,
+            ref_t=tick[starts],
+        )
         gsid, gtick = sid[starts], tick[starts]
         if keep is not None and not bool(keep.all()):
             gsid, gtick, val = gsid[keep], gtick[keep], val[keep]
@@ -678,6 +639,85 @@ _EXT_FIT_KERNELS = {"deriv", "predict_linear"}
 # reduce computes the kernel per complete (sid, tick) group
 _EXT_SAMPLE_KERNELS = {"changes", "resets", "quantile_over_time",
                        "holt_winters"}
+
+
+def _sequence_kernel_values(kernel: str, vals: np.ndarray, ts: np.ndarray,
+                            starts: np.ndarray, counts: np.ndarray,
+                            fn_args: tuple, ref_t: np.ndarray | None = None):
+    """Per-segment sequence-dependent kernels over a chronological
+    (ts-then-arrival sorted) layout — the numpy mirror of the local
+    engine's eval_function segment code (engine.py:1255-1330), shared
+    by the selector sample-stream reduce and the subquery sample plan.
+    ``ref_t`` carries the per-segment x anchor for predict_linear (the
+    outer tick).  Returns (val, keep-mask-or-None)."""
+    from .engine import _promql_quantile
+
+    ends = starts + counts - 1
+    keep = None
+    if kernel in ("changes", "resets"):
+        a, b = vals[:-1], vals[1:]
+        if kernel == "changes":
+            # NaN→NaN is not a change; NaN↔x is (PromQL)
+            pair = (a != b) & ~(np.isnan(a) & np.isnan(b))
+        else:
+            with np.errstate(invalid="ignore"):
+                pair = b < a  # counter reset
+        flags = np.concatenate(([0.0], pair.astype(np.float64)))
+        flags[starts] = 0.0  # pairs never span segment boundaries
+        val = np.add.reduceat(flags, starts)
+    elif kernel == "quantile_over_time":
+        phi = fn_args[0]
+        val = np.array(
+            [_promql_quantile(phi, vals[st: st + cnt])
+             for st, cnt in zip(starts, counts)]
+        )
+    elif kernel == "holt_winters":
+        sf, tf = fn_args[0], fn_args[1]
+        keep = counts >= 2
+        val = np.full(len(starts), np.nan)
+        for i, (st, cnt) in enumerate(zip(starts, counts)):
+            if cnt < 2:
+                continue
+            seg = vals[st: st + cnt]
+            s0, s1, bb = 0.0, seg[0], seg[1] - seg[0]
+            for j in range(1, cnt):
+                xx = sf * seg[j]
+                if j - 1 > 0:
+                    bb = tf * (s1 - s0) + (1.0 - tf) * bb
+                yy = (1.0 - sf) * (s1 + bb)
+                s0, s1 = s1, xx + yy
+            val[i] = s1
+    elif kernel in ("irate", "idelta"):
+        # last two chronological samples; <2 samples or 0 dt → no row
+        keep = counts >= 2
+        prev = np.maximum(ends - 1, 0)
+        dv = vals[ends] - vals[prev]
+        dt = (ts[ends] - ts[prev]) / 1000.0
+        keep = keep & (dt > 0)
+        if kernel == "irate":
+            with np.errstate(invalid="ignore"):
+                reset = vals[ends] < vals[prev]
+            dv = np.where(reset, vals[ends], dv)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                val = dv / dt
+        else:
+            val = dv
+    elif kernel in ("deriv", "predict_linear"):
+        keep = counts >= 2
+        n = counts.astype(np.float64)
+        anchor = ts[starts] if kernel == "deriv" else ref_t
+        x = (ts - np.repeat(anchor, counts)) / 1000.0
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(vals, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        sxy = np.add.reduceat(x * vals, starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            intercept = (sy - slope * sx) / n
+            val = slope if kernel == "deriv" else intercept + slope * fn_args[0]
+    else:  # pragma: no cover — gated by the caller's kernel sets
+        raise QueryError(f"unsupported sequence kernel {kernel}")
+    return val, keep
 
 
 def _kernel_values(kernel: str | None, c: dict, range_ms: int | None) -> np.ndarray:
@@ -1732,7 +1772,8 @@ def _dist_grouped_binary(node, lhs: DistVectorStream, rhs: DistVectorStream,
 # ---------------------------------------------------------------------------
 
 
-def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext):
+def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
+                            fn_args: tuple = ()):
     inner_ctx = DistributedContext(
         ctx.ds, ctx.label_cols, sub.step_ms, ctx.lookback,
         start_at=ctx.start_at, num_buckets=ctx.num_buckets,
@@ -1776,6 +1817,120 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext):
 
     num_buckets = ctx.num_buckets
     schema = _points_schema(label_cols)
+
+    if fname in (_EXT_SAMPLE_KERNELS | _EXT_LAST2_KERNELS | _EXT_FIT_KERNELS):
+        # sample plan: these kernels need the window's chronological
+        # point sequence, which the mergeable rewindow partial can't
+        # carry — ship the exploded inner points (value + inner tick)
+        # and run the sequence kernel per complete (sig, outer-tick)
+        # group in the bucket reduce.  Inner points are post-rollup
+        # (ticks × series), so the exchange moves the same bounded
+        # stream the mergeable plan would.
+        samp_schema = pa.schema(
+            [
+                ("tick", pa.int64()),
+                ("sig", pa.binary()),
+                ("ts", pa.int64()),  # inner tick = chronological key
+                ("value", pa.float64()),
+                *[(L(c), pa.string()) for c in label_cols],
+                ("bucket", pa.int32()),
+            ]
+        )
+
+        def explode_rows(df: pd.DataFrame) -> pa.Table:
+            if df.empty:
+                return samp_schema.empty_table()
+            df = df.reset_index(drop=True)
+            ts = df["tick"].to_numpy(dtype=np.int64)
+            k_lo = np.maximum(
+                np.ceil((ts - first) / interval).astype(np.int64), 0
+            )
+            k_hi = np.minimum((ts + d - 1 - first) // interval, k_max)
+            reps = np.maximum(k_hi - k_lo + 1, 0)
+            keep = reps > 0
+            if not keep.any():
+                return samp_schema.empty_table()
+            df, ts, k_lo, reps = df[keep], ts[keep], k_lo[keep], reps[keep]
+            df = df.reset_index(drop=True)
+            total = int(reps.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            )
+            otick = first + (np.repeat(k_lo, reps) + within) * interval
+            idx = np.repeat(np.arange(len(df), dtype=np.int64), reps)
+            sig = df["sig"].to_numpy(dtype=object)[idx]
+            gh = _gsig_hashes(sig)
+            arrays = {
+                "tick": pa.array(otick, type=pa.int64()),
+                "sig": pa.array(sig, type=pa.binary()),
+                "ts": pa.array(np.repeat(ts, reps), type=pa.int64()),
+                "value": pa.array(
+                    np.repeat(df["value"].to_numpy(dtype=np.float64), reps)
+                ),
+                **{
+                    L(c): pa.array(
+                        (df[L(c)].to_numpy(dtype=object)
+                         if L(c) in df.columns
+                         else np.array([None] * len(df), dtype=object))[idx],
+                        type=pa.string(),
+                    )
+                    for c in label_cols
+                },
+                "bucket": pa.array(_tick_bucket(gh, otick, num_buckets)),
+            }
+            return pa.table(arrays).cast(samp_schema)
+
+        def kernel_reduce(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return schema.empty_table()
+            pdf = t.to_pandas()
+            sig = pdf["sig"].to_numpy(dtype=object)
+            tick = pdf["tick"].to_numpy(dtype=np.int64)
+            ts = pdf["ts"].to_numpy(dtype=np.int64)
+            order = np.lexsort((ts, sig_codes(sig), tick))
+            pdf = pdf.iloc[order].reset_index(drop=True)
+            sig, tick, ts = sig[order], tick[order], ts[order]
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            boundary = np.nonzero(
+                (tick[1:] != tick[:-1]) | (sig[1:] != sig[:-1])
+            )[0] + 1
+            starts = np.concatenate(([0], boundary))
+            counts = np.diff(np.concatenate((starts, [len(vals)])))
+            val, keepm = _sequence_kernel_values(
+                fname, vals, ts, starts, counts, fn_args,
+                ref_t=tick[starts],
+            )
+            heads = pdf.iloc[starts].reset_index(drop=True)
+            if keepm is not None and not bool(keepm.all()):
+                val = val[keepm]
+                heads = heads[keepm].reset_index(drop=True)
+            osig = compute_sig(heads, label_cols, name_col=False)
+            arrays = {
+                "tick": pa.array(
+                    heads["tick"].to_numpy(dtype=np.int64), type=pa.int64()
+                ),
+                "value": pa.array(val, type=pa.float64()),
+                "name": pa.array([None] * len(heads), type=pa.string()),
+                **{
+                    L(c2): pa.array(
+                        heads[L(c2)].to_numpy(dtype=object), type=pa.string()
+                    )
+                    for c2 in label_cols
+                },
+                "sig": pa.array(osig, type=pa.binary()),
+                # emission order follows the inner matrix order = FULL sig
+                "osig": pa.array(
+                    heads["sig"].to_numpy(dtype=object), type=pa.binary()
+                ),
+            }
+            return pa.table(arrays).cast(schema)
+
+        out_ds = hash_exchange(
+            inner.ds.map_batches(explode_rows, batch_format="pandas"),
+            "bucket", num_buckets, kernel_reduce,
+        )
+        return DistVectorStream(ticks, out_ds, label_cols)
+
     part_schema = pa.schema(
         [
             ("tick", pa.int64()),
@@ -1978,15 +2133,7 @@ def _eval_dist(node, ctx: DistributedContext):
             if isinstance(arg, Subquery):
                 if not ctx.extensions:
                     raise QueryError("subqueries are an extension (extensions=True)")
-                if node.name in (_EXT_LAST2_KERNELS | _EXT_FIT_KERNELS
-                                 | _EXT_SAMPLE_KERNELS):
-                    raise QueryError(
-                        f"{node.name} over a subquery is a local-engine "
-                        "extension (the rewindow partial carries "
-                        "mergeable sums only, not the inner sample "
-                        "sequence)"
-                    )
-                return _dist_subquery_overtime(node.name, arg, ctx)
+                return _dist_subquery_overtime(node.name, arg, ctx, fn_args)
             if not isinstance(arg, VectorSelector) or arg.range_ms is None:
                 raise QueryError(f"{node.name} expects a range selector argument")
             return _selector_stream(arg, ctx, node.name, fn_args)

@@ -220,22 +220,40 @@ def test_distributed_instant_extensions_equal_local(ray_session, samples_df, q):
     assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all()
 
 
-def test_distributed_ext_over_time_raises_typed_error(ray_session, samples_df):
-    # sequence-dependent kernels OVER A SUBQUERY stay local-engine-only:
-    # the rewindow partial carries mergeable sums, not the inner sample
-    # sequence (changes over a plain range selector IS distributed now)
-    from pq_ray.query.engine import QueryError
-
-    expr = parse_expr("changes((m)[4s:2s])", extensions=True)
-    ds = rd.from_pandas(samples_df).repartition(4)
-    with pytest.raises(QueryError, match="local-engine extension"):
-        evaluate_distributed(
-            expr,
-            DistributedContext(
-                ds, ["job", "lab"], INTERVAL, INTERVAL, num_buckets=4,
-                extensions=True,
-            ),
-        )
+@pytest.mark.parametrize("q", [
+    # the subquery SAMPLE plan: sequence kernels over the inner step
+    # grid (exploded inner points meet their (sig, otick) group in the
+    # bucket reduce — no mergeable partial can carry the sequence)
+    "changes((m)[4s:2s])",
+    "resets((m)[6s:2s])",
+    "quantile_over_time(0.5, (m)[4s:2s])",
+    "irate((m)[4s:2s])",
+    "idelta((m)[6s:3s])",
+    "deriv((m)[4s:2s])",
+    "predict_linear((m)[4s:2s], 8)",
+    "holt_winters((m)[6s:2s], 0.5, 0.3)",
+])
+def test_distributed_sequence_kernels_over_subquery_equal_local(
+    ray_session, samples_df, q
+):
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=samples_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(samples_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL,
+                           num_buckets=8, extensions=True),
+    )
+    a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(dtype=float),
+                       b["value"].to_numpy(dtype=float), equal_nan=True), q
 
 
 @pytest.fixture(scope="module")
