@@ -45,14 +45,15 @@ _ORDER = [
     "dq_agg_div_1h", "dq_subquery_sum_1h",
     "dq_topk2_1h", "dq_unless_avg_1h", "dq_group_share_1h",
     "dq_changes_1h", "dq_median_1h",
-    # events rollup family
-    "events_rollup_1m", "events_rollup_1h_cascade", "events_first_last_1h",
+    # events rollup family (+ the Gorilla chunk-store read-path proof)
+    "events_rollup_1m", "events_rollup_1h_cascade",
+    "events_rollup_1h_gorilla", "events_first_last_1h",
     "events_rate_1h", "events_props_k", "events_gapfill_1m",
     "events_hour_profile",
     # extended time-series ops
     "events_distinct_1h", "events_interp_1m",
     "events_asof_purchase_view", "events_topusers_1h",
-    "events_quantile_1h", "events_sessions",
+    "events_sessions",
     "events_regr_1h", "events_changes_1h", "events_irate_1h",
     "events_dod_delta", "events_spikes_1m",
     # pq tick-grid queries
@@ -68,8 +69,9 @@ _ORDER = [
     # (hll / topusers_mg / quantile_sample are oracle-hashable sketch
     # siblings whose EXACT counterparts hold the in-window family slot;
     # pq_max rides pq_sum's instant-rollup exchange, tfidf_topterm
-    # rides vocab_topk's document-frequency exchange)
-    "pq_max_by_event_1h", "tfidf_topterm",
+    # rides vocab_topk's document-frequency exchange, events_quantile's
+    # family is held by dq_median_1h + pq_quantile09_by_event_1h)
+    "pq_max_by_event_1h", "tfidf_topterm", "events_quantile_1h",
     "events_hll_1h", "events_topusers_mg", "events_quantile_sample_1h",
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "events_ewma_1m", "simhash",

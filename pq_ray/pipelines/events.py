@@ -178,6 +178,63 @@ def q_rollup_1h_cascade(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["window_ts", "event_type"]).reset_index(drop=True)
 
 
+def q_rollup_1h_gorilla(sf_dir: str) -> pd.DataFrame:
+    """Chunk-store read path proof: the 1h rollup points pass through a
+    DISTRIBUTED Gorilla encode→decode round trip (delta-of-delta
+    timestamps + XOR values, state/gorilla.py) before producing the
+    same result as events_rollup_1h_cascade — hash-matching that query's
+    oracle proves queries can run off the compressed retention tier,
+    not just the points files.  Plan: series-keyed exchange (each chunk
+    must see its whole series) → encode_chunk/decode_chunk inside the
+    reduce → label re-attach from the broadcast map.  The codec is
+    bit-exact (tests/test_gorilla.py), so exactness rides the cascade
+    query's existing guarantees."""
+    from ..stages.exchange import hash_exchange
+    from ..state.gorilla import chunk_series, decode_chunk
+
+    value_cols = ["sum", "count", "min", "max"]
+    pts, label_df = rollup_events_numeric(sf_dir, HOUR_MS)
+
+    def tag(t: pa.Table) -> pa.Table:
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = ((sid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(17)) % np.uint64(8)
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    out_schema = pa.schema(
+        [
+            ("series_id", pa.uint64()),
+            ("window_ts", pa.int64()),
+            *[(c, pa.float64()) for c in value_cols],
+        ]
+    )
+
+    def encode_decode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.select(["series_id", "window_ts", *value_cols]).to_pandas()
+        chunks = chunk_series(df, [], value_cols)
+        outs = []
+        for _, row in chunks.iterrows():
+            pts_df = decode_chunk(row.to_dict(), value_cols)
+            pts_df.insert(0, "series_id", row["series_id"])
+            outs.append(pts_df)
+        res = pd.concat(outs, ignore_index=True)
+        return pa.Table.from_pandas(res, preserve_index=False).cast(out_schema)
+
+    sm = hash_exchange(
+        pts.map_batches(tag, batch_format="pyarrow"), "bucket", 8, encode_decode
+    )
+    df = sm.to_pandas().merge(label_df, on="series_id", sort=False)
+    out = df[["window_ts", "event_type", "sum", "count", "min", "max"]].copy()
+    out.columns = [
+        "window_ts", "event_type", "sum_value", "n", "min_value", "max_value"
+    ]
+    out["sum_value"] = out["sum_value"].round(6)
+    out["n"] = np.rint(out["n"].to_numpy()).astype(np.int64)
+    return out.sort_values(["window_ts", "event_type"]).reset_index(drop=True)
+
+
 def q_first_last_1h(sf_dir: str) -> pd.DataFrame:
     """first/last value per (1h window, event_type) by event time — the
     last_over_time / first_over_time kernels (incl. pq's Q7 'last is the
@@ -225,6 +282,19 @@ ORACLES = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    # identical to the cascade oracle — the engine side differs only by
+    # the bit-exact Gorilla encode→decode round trip in the exchange
+    "events_rollup_1h_gorilla": """
+        SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
+               event_type,
+               ROUND(SUM(value), 6) AS sum_value,
+               COUNT(*) AS n,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "events_first_last_1h": """
         SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ts,
                event_type,
@@ -248,6 +318,7 @@ ORACLES = {
 QUERIES = {
     "events_rollup_1m": q_rollup_1m,
     "events_rollup_1h_cascade": q_rollup_1h_cascade,
+    "events_rollup_1h_gorilla": q_rollup_1h_gorilla,
     "events_first_last_1h": q_first_last_1h,
     "events_rate_1h": q_rate_1h,
 }

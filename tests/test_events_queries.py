@@ -29,7 +29,8 @@ def _compare(got, exp):
 
 
 @pytest.mark.parametrize(
-    "name", ["events_props_k", "events_gapfill_1m", "events_hour_profile"]
+    "name", ["events_props_k", "events_gapfill_1m", "events_hour_profile",
+             "events_rollup_1h_gorilla"]
 )
 def test_oracle_parity(ray_session, con, name):
     from pq_ray.pipelines.events import ORACLES, QUERIES
