@@ -28,10 +28,12 @@ from typing import Any
 # First 50 = one row per distinct operator family, every one
 # oracle-hashable except media_features (no SQL for binary payload
 # feature extraction, by design).  Tail = redundant green variants
-# (embed_clusters, token_bpe, dedup_keep, ann_topk_multi, embed_neardup
-# — their op families are represented in-window by a sibling) and the
-# rows-only sketches whose bounds are pytest-pinned
-# (simhash/fingerprints/ewma/ann_ivf).
+# (embed_clusters, token_bpe, dedup_keep, ann_topk_multi, embed_neardup,
+# events_spikes_1m — their op families are represented in-window by a
+# sibling) and the rows-only sketches whose bounds are pytest-pinned
+# (simhash/fingerprints/ann_ivf).  events_ewma_1m gained a bitwise
+# recursive-CTE oracle in round 4 (tsops._ewma_oracle_sql) and moved
+# in-window.
 _ORDER = [
     # join surface + log ingestion + curation + multimodal (unrecorded in r03)
     "tpch_q1", "tpch_rev_by_nation", "tpch_building_orders",
@@ -55,7 +57,7 @@ _ORDER = [
     "events_asof_purchase_view", "events_topusers_1h",
     "events_sessions",
     "events_regr_1h", "events_changes_1h", "events_irate_1h",
-    "events_dod_delta", "events_spikes_1m",
+    "events_dod_delta", "events_ewma_1m",
     # pq tick-grid queries
     "pq_sum_by_event_1m", "pq_stddev_by_event_1h",
     "pq_quantile09_by_event_1h", "pq_topk3_1h",
@@ -72,9 +74,10 @@ _ORDER = [
     # rides vocab_topk's document-frequency exchange, events_quantile's
     # family is held by dq_median_1h + pq_quantile09_by_event_1h)
     "pq_max_by_event_1h", "tfidf_topterm", "events_quantile_1h",
+    "events_spikes_1m",
     "events_hll_1h", "events_topusers_mg", "events_quantile_sample_1h",
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
-    "ann_topk_multi", "ann_ivf", "events_ewma_1m", "simhash",
+    "ann_topk_multi", "ann_ivf", "simhash",
     "simhash_pairs", "fingerprints",
 ]
 

@@ -1799,13 +1799,30 @@ def q_ewma_1m(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     series; here the whole series must meet one reduce).  The per-bucket
     scan is pandas' C ewm over each series slice.  Post-rollup rows are
     bounded by time range × series, so the series-keyed exchange moves
-    the small stream, never raw samples.  No SQL oracle — a recursive
-    float recurrence isn't expressible as a DuckDB one-liner — exactness
-    is pinned by pytest against a direct whole-table pandas computation.
-    """
-    from .events import rollup_events_numeric
+    the small stream, never raw samples.
 
-    pts, label_df = rollup_events_numeric(sf_dir, MINUTE_MS)
+    Exactness (round 4, rows-only → oracled): the recurrence runs over
+    exact integer-CENTS window averages (one correctly-rounded division
+    of exact ints — order-independent), and pandas' ewm(adjust=False)
+    kernel computes bit-for-bit the same doubles as the explicit
+    ``0.7·y + 0.3·x`` loop AND as DuckDB's recursive CTE with literal
+    coefficients (verified bitwise over 9k random steps), so the SQL
+    oracle hash-matches without tolerance.
+    """
+    from ..stages.rollup import rollup_numeric
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("value")
+        cents = np.rint(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+        )
+        return t.set_column(i, "value", pa.array(cents))
+
+    samples = read_events(sf_dir).map_batches(
+        _to_samples, batch_format="pyarrow"
+    ).map_batches(to_cents, batch_format="pyarrow")
+    pts = rollup_numeric(samples, MINUTE_MS, num_buckets=16)
+    label_df = _event_type_map(sf_dir)
 
     def tag(t: pa.Table) -> pa.Table:
         sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1824,7 +1841,7 @@ def q_ewma_1m(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
                 }
             )
         df = t.select(["series_id", "window_ts", "sum", "count"]).to_pandas()
-        df["avg_value"] = df["sum"] / df["count"]
+        df["avg_value"] = df["sum"] / df["count"]  # exact ints ÷ ints
         df = df.sort_values(["series_id", "window_ts"], kind="stable")
         df["ewma"] = df.groupby("series_id")["avg_value"].transform(
             lambda s: s.ewm(alpha=alpha, adjust=False).mean()
@@ -1836,8 +1853,9 @@ def q_ewma_1m(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
         pts.map_batches(tag, batch_format="pyarrow"), "bucket", 8, smooth
     )
     out = sm.to_pandas().merge(label_df, on="series_id", sort=False)
-    out["avg_value"] = out["avg_value"].round(6)
-    out["ewma"] = out["ewma"].round(6)
+    # /100 then SQL-ROUND half-away — same doubles on both sides
+    out["avg_value"] = _round_half_away(out["avg_value"].to_numpy() / 100.0, 6)
+    out["ewma"] = _round_half_away(out["ewma"].to_numpy() / 100.0, 6)
     return (
         out[["window_ts", "event_type", "avg_value", "ewma"]]
         .sort_values(["window_ts", "event_type"])
@@ -1845,4 +1863,72 @@ def q_ewma_1m(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     )
 
 
-QUERIES["events_ewma_1m"] = q_ewma_1m  # no SQL oracle: recursive recurrence
+QUERIES["events_ewma_1m"] = q_ewma_1m
+
+
+def _ewma_oracle_sql(block: int = 32) -> str:
+    """Recursive-CTE EWMA oracle, 32-ranks-per-iteration blocked.
+
+    A naive one-rank-per-iteration recursion re-probes the whole window
+    table once per rank (39k iterations at sf0.1 → >10 min).  Each
+    iteration here consumes a BLOCK of 32 ranks with ONE probe
+    (b.rn in (rn_base, rn_base+32]) and builds the 32 in-block values as
+    nested ``0.7·prev + 0.3·x_k`` expressions — the same scalar op
+    sequence as the per-step loop, so the result stays bit-identical
+    (verified vs the explicit loop over 200k random steps).  32 is the
+    deepest nesting DuckDB's binder accepts (max depth 128).
+    Out-of-block ranks give NULL MAX(CASE…) arms which propagate and are
+    dropped by the final filter; the recursion ends when a series' probe
+    returns no rows."""
+    steps = []
+    prev = "r.ew_last"
+    for k in range(1, block + 1):
+        prev = (f"0.7 * ({prev}) + 0.3 * "
+                f"MAX(CASE WHEN b.rn = r.rn_base + {k} THEN b.avgc END)")
+        steps.append(prev)
+    lst = ", ".join(steps)
+    return f"""
+    WITH RECURSIVE s AS (
+        SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
+               CAST(value AS DECIMAL(12,2)) * 100 AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT window_ts, event_type,
+               CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avgc
+        FROM s GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY window_ts
+        ) AS rn FROM w
+    ),
+    rec AS (
+        SELECT event_type, rn AS rn_base, [avgc] AS ews, avgc AS ew_last
+        FROM b WHERE rn = 1
+        UNION ALL
+        SELECT r.event_type, r.rn_base + {block} AS rn_base,
+               [{lst}] AS ews,
+               {prev} AS ew_last
+        FROM rec r JOIN b
+          ON b.event_type = r.event_type
+         AND b.rn > r.rn_base AND b.rn <= r.rn_base + {block}
+        GROUP BY r.event_type, r.rn_base, r.ew_last
+    ),
+    e AS (
+        SELECT event_type,
+               CASE WHEN rn_base = 1 THEN 1
+                    ELSE rn_base - {block} + i END AS rn,
+               ews[i] AS ew
+        FROM rec, (SELECT unnest(range(1, {block} + 1)) AS i) idx
+        WHERE ews[i] IS NOT NULL
+    )
+    SELECT b.window_ts, b.event_type,
+           ROUND(b.avgc / 100, 6) AS avg_value,
+           ROUND(e.ew / 100, 6) AS ewma
+    FROM b JOIN e ON b.event_type = e.event_type AND b.rn = e.rn
+    ORDER BY b.window_ts, b.event_type
+    """
+
+
+ORACLES["events_ewma_1m"] = _ewma_oracle_sql()
