@@ -757,6 +757,74 @@ def _strip_name_sig(row, cols) -> bytes:
     return signature(dd)
 
 
+def _dist_elementwise(name: str, child: DistVectorStream,
+                      nums: list) -> DistVectorStream:
+    """Elementwise extension functions (math/trig/round/clamp*/time
+    components) as a MAP STAGE on the distributed points stream — the
+    local engine's _eval_ext_function applies the same value transform,
+    drops __name__, recomputes the signature without it and re-sorts by
+    the new sig; here the transform and sig rewrite run per batch in
+    Ray and the (tick, osig) collect order reproduces the local
+    emission.  Keeping these distributed means shapes like
+    ``sum(clamp(m, 0, 10)) by (lab)`` never materialize points on the
+    driver."""
+    from .engine import _MATH_FNS, _TIME_FNS
+
+    label_cols = child.label_cols
+    schema = _points_schema(label_cols)
+    lcols = [L(c) for c in label_cols]
+
+    def fx(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return schema.empty_table()
+        df = df.reset_index(drop=True)
+        v = df["value"].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if name == "round":
+                # PromQL round: nearest multiple of to_nearest (default
+                # 1), exact halves away from zero (engine.py mirror)
+                to_nearest = nums[0] if nums else 1.0
+                v = np.floor(v / to_nearest + 0.5) * to_nearest
+            elif name == "clamp":
+                v = np.clip(v, nums[0], nums[1])
+            elif name == "clamp_max":
+                v = np.minimum(v, nums[0])
+            elif name == "clamp_min":
+                v = np.maximum(v, nums[0])
+            elif name in _MATH_FNS:
+                v = _MATH_FNS[name](v)
+            else:  # time-component family over epoch-second values
+                finite = np.isfinite(v)
+                out = np.full(len(v), np.nan)
+                if finite.any():
+                    dt = pd.DatetimeIndex(
+                        pd.to_datetime(v[finite], unit="s", utc=True)
+                    )
+                    out[finite] = np.asarray(
+                        _TIME_FNS[name](dt), dtype=np.float64
+                    )
+                v = out
+        df["value"] = v
+        df["name"] = None  # PromQL: these all drop __name__
+        # stripped signature, computed once per UNIQUE input sig
+        firsts = df.drop_duplicates("sig")
+        mapping = {
+            row["sig"]: _strip_name_sig(row, ["name", *lcols])
+            for _, row in firsts.iterrows()
+        }
+        new_sig = df["sig"].map(mapping)
+        df["sig"] = new_sig
+        df["osig"] = new_sig  # emission order follows the NEW sig
+        return pa.Table.from_pandas(
+            df[schema.names], preserve_index=False
+        ).cast(schema)
+
+    return DistVectorStream(
+        child.ticks, child.ds.map_batches(fx, batch_format="pandas"),
+        label_cols,
+    )
+
+
 def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
                      kernel: str | None, fn_args: tuple = ()):
     """kernel=None → instant vector; else the *_over_time kernel name.
@@ -2138,6 +2206,34 @@ def _eval_dist(node, ctx: DistributedContext):
                 raise QueryError(f"{node.name} expects a range selector argument")
             return _selector_stream(arg, ctx, node.name, fn_args)
         if ctx.extensions and node.name in EXTENSION_FNS:
+            from .engine import _MATH_FNS, _TIME_FNS
+
+            elementwise = (
+                node.name in _MATH_FNS or node.name in _TIME_FNS
+                or node.name in ("round", "clamp", "clamp_max", "clamp_min")
+            )
+            if elementwise:
+                vec = _eval_dist(node.args[0], ctx)
+                if isinstance(vec, DistVectorStream):
+                    nums = []
+                    for a in node.args[1:]:
+                        if isinstance(a, (int, float)):
+                            nums.append(float(a))
+                        else:
+                            s = _eval_dist(a, ctx)
+                            if not isinstance(s, ScalarStream):
+                                raise QueryError(
+                                    f"{node.name} expects scalar arguments"
+                                )
+                            nums.append(float(s.value))
+                    return _dist_elementwise(node.name, vec, nums)
+                # non-distributable child (already a local VectorStream)
+                args = [vec] + [
+                    a if isinstance(a, (float, str))
+                    else _collect_if_dist(_eval_dist(a, ctx))
+                    for a in node.args[1:]
+                ]
+                return eng.eval_function(node, args, None, True)
             args = [
                 a if isinstance(a, (float, str)) else _collect_if_dist(
                     _eval_dist(a, ctx))

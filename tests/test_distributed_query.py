@@ -189,6 +189,13 @@ EXT_QUERIES = [
     "sum(m offset 2s) by (lab)",
     "max_over_time(m[3s] offset 2s)",
     "rate(m[4s] offset 1s)",
+    # composed: elementwise fns are now a distributed map stage, so the
+    # surrounding combinators keep the stream in Ray
+    "clamp(m, 10, 40)",
+    "clamp_min(m, 20)",
+    "sum(clamp(m, 0, 30)) by (lab)",
+    "topk(2, abs(m - 50)) by (lab)",
+    "clamp_max(sum_over_time(m[3s]), 100) / on(lab, job) count_over_time(m[3s])",
 ]
 
 
@@ -746,6 +753,34 @@ def test_distributed_ranked_and_logical_stay_in_ray(ray_session, aligned_df):
     expr = parse_expr(
         "topk(2, m) by (lab) and on(lab, job) k", extensions=True
     )
+    calls = []
+    orig = rdm.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = orig(self, *a, **k)
+        calls.append(sorted(df.columns.tolist()))
+        return df
+
+    with mock.patch.object(rdm.Dataset, "to_pandas", spy):
+        evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(aligned_df).repartition(4),
+                               ["job", "lab"], INTERVAL, INTERVAL,
+                               num_buckets=4, extensions=True),
+        )
+    point_collects = [c for c in calls if "value" in c and "osig" in c]
+    assert len(point_collects) == 1, calls
+
+
+def test_distributed_elementwise_fn_stays_in_ray(ray_session, aligned_df):
+    """Structural: an elementwise extension under an aggregate runs as a
+    map stage on the points stream — exactly one driver materialization
+    (the final aggregated vector), no point collection for the fn."""
+    import unittest.mock as mock
+
+    import ray.data as rdm
+
+    expr = parse_expr("sum(clamp(m, 0, 40)) by (lab)", extensions=True)
     calls = []
     orig = rdm.Dataset.to_pandas
 
