@@ -825,6 +825,98 @@ def _dist_elementwise(name: str, child: DistVectorStream,
     )
 
 
+def _dist_label_fn(name: str, child: DistVectorStream,
+                   args: list) -> DistVectorStream:
+    """label_replace / label_join as a distributed map stage — per-row
+    label rewrites (__name__ KEPT), the destination label may EXTEND the
+    stream's label set, signatures recomputed with the name column and
+    the (tick, osig) collect order reproducing the local re-sort.  Arg
+    validation (dst name, regex compile) happens eagerly on the driver,
+    matching the local engine's error surface."""
+    import re as _re
+
+    from .engine import compute_sig
+
+    if name == "label_replace":
+        dst, repl, src, pattern = (str(a) for a in args)
+        if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+            raise QueryError(f"label_replace: invalid destination label {dst!r}")
+        try:
+            rx = _re.compile(pattern)
+        except _re.error as e:
+            raise QueryError(f"label_replace: invalid regex: {e}") from None
+        py_repl = _re.sub(r"\$(\d+)", r"\\\1", repl)
+        py_repl = _re.sub(r"\$\{(\w+)\}", r"\\g<\1>", py_repl)
+    else:  # label_join
+        dst, sep = str(args[0]), str(args[1])
+        srcs = [str(a) for a in args[2:]]
+        if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", dst):
+            raise QueryError(f"label_join: invalid destination label {dst!r}")
+
+    label_cols = sorted(
+        set(child.label_cols) | ({dst} if dst != "__name__" else set())
+    )
+    schema = _points_schema(label_cols)
+
+    def fx(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return schema.empty_table()
+        df = df.reset_index(drop=True)
+        for c in label_cols:
+            if L(c) not in df.columns:
+                df[L(c)] = None
+
+        def _sval(col: str) -> pd.Series:
+            c = "name" if col == "__name__" else L(col)
+            if c not in df.columns:
+                return pd.Series([""] * len(df), index=df.index)
+            return df[c].map(
+                lambda x: ""
+                if x is None or (isinstance(x, float) and np.isnan(x))
+                else str(x)
+            )
+
+        dst_col = "name" if dst == "__name__" else L(dst)
+        if name == "label_replace":
+            src_col = "name" if src == "__name__" else L(src)
+            src_vals = df[src_col] if src_col in df.columns else pd.Series(
+                [None] * len(df), index=df.index
+            )
+            dst_existing = df[dst_col] if dst_col in df.columns else pd.Series(
+                [None] * len(df), index=df.index
+            )
+            out_vals = []
+            for sv, dv in zip(src_vals, dst_existing):
+                s = ("" if sv is None
+                     or (isinstance(sv, float) and np.isnan(sv)) else str(sv))
+                m = rx.fullmatch(s)
+                if m is None:
+                    out_vals.append(dv)
+                else:
+                    expanded = m.expand(py_repl)
+                    out_vals.append(expanded if expanded != "" else None)
+            df[dst_col] = out_vals
+        else:
+            joined = None
+            for scol in srcs:
+                part = _sval(scol)
+                joined = part if joined is None else joined + sep + part
+            if joined is None:
+                joined = pd.Series([""] * len(df), index=df.index)
+            df[dst_col] = joined.map(lambda s: s if s != "" else None)
+        sig = compute_sig(df, label_cols, name_col=True)
+        df["sig"] = sig
+        df["osig"] = sig  # emission order follows the NEW sig
+        return pa.Table.from_pandas(
+            df[schema.names], preserve_index=False
+        ).cast(schema)
+
+    return DistVectorStream(
+        child.ticks, child.ds.map_batches(fx, batch_format="pandas"),
+        label_cols,
+    )
+
+
 def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
                      kernel: str | None, fn_args: tuple = ()):
     """kernel=None → instant vector; else the *_over_time kernel name.
@@ -2212,6 +2304,12 @@ def _eval_dist(node, ctx: DistributedContext):
                 node.name in _MATH_FNS or node.name in _TIME_FNS
                 or node.name in ("round", "clamp", "clamp_max", "clamp_min")
             )
+            if node.name in ("label_replace", "label_join"):
+                vec = _eval_dist(node.args[0], ctx)
+                if isinstance(vec, DistVectorStream):
+                    return _dist_label_fn(node.name, vec, list(node.args[1:]))
+                args = [vec, *node.args[1:]]
+                return eng.eval_function(node, args, None, True)
             if elementwise:
                 vec = _eval_dist(node.args[0], ctx)
                 if isinstance(vec, DistVectorStream):

@@ -196,6 +196,11 @@ EXT_QUERIES = [
     "sum(clamp(m, 0, 30)) by (lab)",
     "topk(2, abs(m - 50)) by (lab)",
     "clamp_max(sum_over_time(m[3s]), 100) / on(lab, job) count_over_time(m[3s])",
+    # label fns as distributed map stages (relabel-then-aggregate)
+    'label_replace(m, "grp", "$1!", "lab", "(a|b)")',
+    'sum(label_replace(m, "grp", "g-$1", "lab", "(.*)")) by (grp)',
+    'label_join(m, "lj", "|", "lab", "job")',
+    'count(label_join(m, "lj", "_", "job", "lab")) by (lj)',
 ]
 
 
