@@ -2304,6 +2304,43 @@ def _eval_dist(node, ctx: DistributedContext):
                 node.name in _MATH_FNS or node.name in _TIME_FNS
                 or node.name in ("round", "clamp", "clamp_max", "clamp_min")
             )
+            if node.name in ("absent", "absent_over_time"):
+                # absent only needs the SET of present ticks + the grid
+                # + the selector's equality matchers: compute the
+                # present-tick set in Ray (tick-only rows reach the
+                # driver, bounded by |ticks| x blocks) and delegate the
+                # ≤|ticks|-row emission to the local kernel
+                (arg,) = node.args
+                if node.name == "absent_over_time":
+                    u = arg
+                    while isinstance(u, Parentheses):
+                        u = u.expr
+                    if isinstance(u, Subquery):
+                        child = _dist_subquery_overtime(
+                            "count_over_time", u, ctx)
+                    elif isinstance(u, VectorSelector) and u.range_ms is not None:
+                        child = _selector_stream(u, ctx, "count_over_time")
+                    else:
+                        raise QueryError(
+                            "absent_over_time expects a range vector argument"
+                        )
+                else:
+                    child = _eval_dist(arg, ctx)
+                if isinstance(child, DistVectorStream):
+                    def tick_set(t: pa.Table) -> pa.Table:
+                        return t.select(["tick"]).group_by(
+                            ["tick"]).aggregate([])
+
+                    present = child.ds.map_batches(
+                        tick_set, batch_format="pyarrow"
+                    ).to_pandas()
+                    stub = VectorStream(
+                        "instant", child.ticks, present, child.label_cols
+                    )
+                    return eng._eval_absent(stub, node)
+                if isinstance(child, VectorStream) and node.name == "absent":
+                    return eng._eval_absent(child, node)
+                raise QueryError(f"{node.name} expects a vector argument")
             if node.name in ("label_replace", "label_join"):
                 vec = _eval_dist(node.args[0], ctx)
                 if isinstance(vec, DistVectorStream):

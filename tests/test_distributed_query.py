@@ -777,6 +777,52 @@ def test_distributed_ranked_and_logical_stay_in_ray(ray_session, aligned_df):
     assert len(point_collects) == 1, calls
 
 
+@pytest.mark.parametrize("q", [
+    'absent(m{lab="a"})',
+    "absent_over_time(m[2s])",
+    'absent_over_time(m{job="x"}[3s])',
+    "absent(sum(m) by (lab))",
+])
+def test_distributed_absent_equals_local(ray_session, q):
+    """absent/absent_over_time: present ticks computed in Ray (tick-only
+    collect), emission delegated to the local kernel — over a stream
+    with real mid-grid gaps."""
+    rng = np.random.default_rng(23)
+    ts = np.sort(np.concatenate([
+        1_700_000_000_000 + rng.integers(0, 5_000, 300),
+        1_700_000_020_000 + rng.integers(0, 5_000, 300),
+    ])).astype(np.int64)
+    n = len(ts)
+    df = pd.DataFrame(
+        {
+            "ts": ts,
+            "seq": np.arange(n, dtype=np.int64),
+            "name": np.array(["m"] * n),
+            "value": rng.integers(0, 9, n).astype(np.float64),
+            "l_lab": rng.choice(["a", "b"], n),
+            "l_job": rng.choice(["x", "y"], n),
+        }
+    )
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=df, label_cols=["job", "lab"], interval=1000,
+                    lookback=1000, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(df).repartition(4),
+                           ["job", "lab"], 1000, 1000, num_buckets=4,
+                           extensions=True),
+    )
+    a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["tick"].to_numpy() == b["tick"].to_numpy()).all(), q
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert (a["value"].to_numpy() == b["value"].to_numpy()).all(), q
+
+
 def test_distributed_elementwise_fn_stays_in_ray(ray_session, aligned_df):
     """Structural: an elementwise extension under an aggregate runs as a
     map stage on the points stream — exactly one driver materialization
