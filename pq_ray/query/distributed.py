@@ -917,6 +917,108 @@ def _dist_label_fn(name: str, child: DistVectorStream,
     )
 
 
+def _dist_histogram_quantile(phi: float, child: DistVectorStream,
+                             ctx: DistributedContext) -> DistVectorStream:
+    """histogram_quantile(φ, v) as ONE exchange keyed (tick, signature
+    without le): the cumulative le-buckets of each histogram series meet
+    their group in the bucket reduce, where Prometheus' bucketQuantile
+    interpolation runs (engine._bucket_quantile — the same kernel the
+    local path uses).  le-bucket streams are series-heavy at scale
+    (|le| × labels), so this is exactly the shape that must not
+    materialize on the driver."""
+    from .engine import _bucket_quantile, compute_sig
+
+    le_col = L("le")
+    out_label_cols = [c for c in child.label_cols if c != "le"]
+    schema = _points_schema(out_label_cols)
+    if "le" not in child.label_cols:
+        return _empty_vector("instant", out_label_cols)
+    num_buckets = ctx.num_buckets
+
+    prep_schema = pa.schema(
+        [
+            ("tick", pa.int64()),
+            ("gsig", pa.binary()),
+            ("_le", pa.float64()),
+            ("value", pa.float64()),
+            *[(L(c), pa.string()) for c in out_label_cols],
+            ("bucket", pa.int32()),
+        ]
+    )
+
+    def prep(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return prep_schema.empty_table()
+        df = df.reset_index(drop=True)
+
+        def _le_of(x) -> float:
+            try:  # Prometheus skips series whose le isn't a number
+                return float(x) if x is not None else np.nan
+            except (TypeError, ValueError):
+                return np.nan
+
+        df["_le"] = np.array([_le_of(x) for x in df[le_col]],
+                             dtype=np.float64)
+        df = df[~np.isnan(df["_le"])].reset_index(drop=True)
+        if df.empty:
+            return prep_schema.empty_table()
+        gsig = compute_sig(df, out_label_cols, name_col=False)
+        df["gsig"] = gsig
+        tick = df["tick"].to_numpy(dtype=np.int64)
+        gh = _gsig_hashes(gsig)
+        df["bucket"] = _tick_bucket(gh, tick, num_buckets)
+        for c in out_label_cols:
+            if L(c) not in df.columns:
+                df[L(c)] = None
+        return pa.Table.from_pandas(
+            df[prep_schema.names], preserve_index=False
+        ).cast(prep_schema)
+
+    def reduceq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        pdf = t.to_pandas()
+        gsig = pdf["gsig"].to_numpy(dtype=object)
+        tick = pdf["tick"].to_numpy(dtype=np.int64)
+        les = pdf["_le"].to_numpy(dtype=np.float64)
+        order = np.lexsort((les, sig_codes(gsig), tick))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        gsig, tick, les = gsig[order], tick[order], les[order]
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        boundary = np.nonzero(
+            (tick[1:] != tick[:-1]) | (gsig[1:] != gsig[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], boundary))
+        counts = np.diff(np.concatenate((starts, [len(pdf)])))
+        q = np.array(
+            [
+                _bucket_quantile(phi, les[st: st + c], vals[st: st + c])
+                for st, c in zip(starts, counts)
+            ]
+        )
+        heads = pdf.iloc[starts].reset_index(drop=True)
+        arrays = {
+            "tick": pa.array(tick[starts], type=pa.int64()),
+            "value": pa.array(q, type=pa.float64()),
+            "name": pa.array([None] * len(heads), type=pa.string()),
+            **{
+                L(c): pa.array(
+                    heads[L(c)].to_numpy(dtype=object), type=pa.string()
+                )
+                for c in out_label_cols
+            },
+            "sig": pa.array(gsig[starts], type=pa.binary()),
+            "osig": pa.array(gsig[starts], type=pa.binary()),
+        }
+        return pa.table(arrays).cast(schema)
+
+    out_ds = hash_exchange(
+        child.ds.map_batches(prep, batch_format="pandas"),
+        "bucket", num_buckets, reduceq,
+    )
+    return DistVectorStream(child.ticks, out_ds, out_label_cols)
+
+
 def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
                      kernel: str | None, fn_args: tuple = ()):
     """kernel=None → instant vector; else the *_over_time kernel name.
@@ -2304,6 +2406,21 @@ def _eval_dist(node, ctx: DistributedContext):
                 node.name in _MATH_FNS or node.name in _TIME_FNS
                 or node.name in ("round", "clamp", "clamp_max", "clamp_min")
             )
+            if node.name == "histogram_quantile":
+                phi_arg, vec_arg = node.args[0], node.args[1]
+                if isinstance(phi_arg, (int, float)):
+                    phi = float(phi_arg)
+                else:
+                    s = _eval_dist(phi_arg, ctx)
+                    if not isinstance(s, ScalarStream):
+                        raise QueryError(
+                            "histogram_quantile expects a scalar φ"
+                        )
+                    phi = float(s.value)
+                child = _eval_dist(vec_arg, ctx)
+                if isinstance(child, DistVectorStream):
+                    return _dist_histogram_quantile(phi, child, ctx)
+                return eng.eval_function(node, [phi, child], None, True)
             if node.name in ("absent", "absent_over_time"):
                 # absent only needs the SET of present ticks + the grid
                 # + the selector's equality matchers: compute the

@@ -823,6 +823,50 @@ def test_distributed_absent_equals_local(ray_session, q):
     assert (a["value"].to_numpy() == b["value"].to_numpy()).all(), q
 
 
+@pytest.mark.parametrize("q", [
+    "histogram_quantile(0.9, m)",
+    "histogram_quantile(0.5, sum(sum_over_time(m[3s])) by (lab, le))",
+])
+def test_distributed_histogram_quantile_equals_local(ray_session, q):
+    """histogram_quantile as one exchange keyed (tick, sig-without-le):
+    cumulative le-buckets meet their group in the reduce."""
+    rng = np.random.default_rng(31)
+    les = ["0.1", "0.5", "2.5", "+Inf"]
+    rows = []
+    seq = 0
+    for t in range(0, 20_000, 500):
+        for lab in ("a", "b"):
+            base = 0
+            for le in les:
+                base += int(rng.integers(0, 20))
+                rows.append(
+                    (1_700_000_000_000 + t + int(rng.integers(0, 400)),
+                     seq, "m", float(base), lab, le)
+                )
+                seq += 1
+    df = pd.DataFrame(
+        rows, columns=["ts", "seq", "name", "value", "l_lab", "l_le"]
+    )
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=df, label_cols=["lab", "le"], interval=1000,
+                    lookback=1000, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(df).repartition(4),
+                           ["lab", "le"], 1000, 1000, num_buckets=4,
+                           extensions=True),
+    )
+    a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(dtype=float),
+                       b["value"].to_numpy(dtype=float), equal_nan=True), q
+
+
 def test_distributed_elementwise_fn_stays_in_ray(ray_session, aligned_df):
     """Structural: an elementwise extension under an aggregate runs as a
     map stage on the points stream — exactly one driver materialization
