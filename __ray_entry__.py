@@ -46,12 +46,11 @@ _ORDER = [
     # changes/median prove the sample-stream kernel exchange)
     "dq_agg_div_1h", "dq_subquery_sum_1h",
     "dq_topk2_1h", "dq_unless_avg_1h", "dq_group_share_1h",
-    "dq_changes_1h", "dq_median_1h",
+    "dq_changes_1h", "dq_median_1h", "dq_histq_1h",
     # events rollup family (+ the Gorilla chunk-store read-path proof)
     "events_rollup_1m", "events_rollup_1h_cascade",
     "events_rollup_1h_gorilla", "events_first_last_1h",
     "events_rate_1h", "events_props_k", "events_gapfill_1m",
-    "events_hour_profile",
     # extended time-series ops
     "events_distinct_1h", "events_interp_1m",
     "events_asof_purchase_view", "events_topusers_1h",
@@ -74,7 +73,7 @@ _ORDER = [
     # rides vocab_topk's document-frequency exchange, events_quantile's
     # family is held by dq_median_1h + pq_quantile09_by_event_1h)
     "pq_max_by_event_1h", "tfidf_topterm", "events_quantile_1h",
-    "events_spikes_1m",
+    "events_spikes_1m", "events_hour_profile",
     "events_hll_1h", "events_topusers_mg", "events_quantile_sample_1h",
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "simhash",

@@ -246,6 +246,79 @@ def q_dq_median_1h(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
 
 
+def q_dq_histq_1h(sf_dir: str) -> pd.DataFrame:
+    """Distributed histogram_quantile proof (round 4): events lift into
+    cumulative le-bucket series (le ∈ {10, 50, 100, +Inf}; each event
+    contributes one sample to every bucket with le ≥ value), then
+    ``histogram_quantile(0.9, count_over_time(m[1h]))`` runs with the
+    bucketQuantile interpolation inside the (tick, sig-without-le)
+    exchange (`distributed.py::_dist_histogram_quantile`).  Exactness:
+    bucket counts are exact integers on both sides, and the oracle
+    mirrors Prometheus' interpolation expression
+    ``lo + (hi - lo) * (rank - lo_cnt) / (hi_cnt - lo_cnt)`` operator
+    for operator, so the doubles are identical before the shared
+    ROUND."""
+    path = f"{sf_dir}/events.parquet"
+    ds = rd.read_parquet(
+        path,
+        columns=["event_id", "ts", "event_type", "value"],
+        override_num_blocks=small_input_blocks(path),
+    )
+    les = [("10", 10.0), ("50", 50.0), ("100", 100.0), ("+Inf", np.inf)]
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ms = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ev = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        # every event contributes a sample to EVERY bucket (indicator
+        # value) — zero-count buckets must still exist as series, like
+        # Prometheus' always-exported cumulative bucket counters; the
+        # cumulative count is then sum_over_time of the indicators
+        outs = {"ts": [], "seq": [], "value": [], "l_event": [], "l_le": []}
+        for i, (le_str, le_val) in enumerate(les):
+            ind = (
+                (v <= le_val).astype(np.float64)
+                if np.isfinite(le_val) else np.ones(n)
+            )
+            outs["ts"].append(ms)
+            outs["seq"].append(eid * 8 + i)
+            outs["value"].append(ind)
+            outs["l_event"].append(ev)
+            outs["l_le"].append(np.full(n, le_str, dtype=object))
+        nn = sum(len(a) for a in outs["ts"])
+        return pa.table(
+            {
+                "ts": pa.array(np.concatenate(outs["ts"]), type=pa.int64()),
+                "seq": pa.array(np.concatenate(outs["seq"]), type=pa.int64()),
+                "name": pa.array(np.full(nn, "m", dtype=object),
+                                 type=pa.string()),
+                "value": pa.array(np.concatenate(outs["value"])),
+                "l_event": pa.array(np.concatenate(outs["l_event"]),
+                                    type=pa.string()),
+                "l_le": pa.array(np.concatenate(outs["l_le"]),
+                                 type=pa.string()),
+            }
+        )
+
+    expr = parse_expr(
+        "histogram_quantile(0.9, sum_over_time(m[1h]))", extensions=True
+    )
+    ctx = DistributedContext(
+        ds.map_batches(to_buckets, batch_format="pyarrow"),
+        ["event", "le"], HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+    )
+    vs = evaluate_distributed(expr, ctx)
+    out = vs.df[["tick", "l_event", "value"]].rename(
+        columns={"l_event": "event_type", "value": "q90"}
+    ).copy()
+    out["q90"] = _round_half_away(out["q90"].to_numpy())
+    return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
+
+
 QUERIES = {
     "dq_agg_div_1h": q_dq_agg_div_1h,
     "dq_subquery_sum_1h": q_dq_subquery_sum_1h,
@@ -254,6 +327,7 @@ QUERIES = {
     "dq_group_share_1h": q_dq_group_share_1h,
     "dq_changes_1h": q_dq_changes_1h,
     "dq_median_1h": q_dq_median_1h,
+    "dq_histq_1h": q_dq_histq_1h,
 }
 
 # shared hourly-grid CTE prefix (Q1 tick rule + exact-cents cell sums
@@ -387,6 +461,46 @@ ORACLES = {
         )
         SELECT tick, event_type, CAST(SUM(chg) AS BIGINT) AS n_changes
         FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # Prometheus bucketQuantile mirrored operator-for-operator over
+    # exact integer cumulative bucket counts; searchsorted(left) becomes
+    # the ordered CASE over d1..d3; the +Inf bucket returns les[-2]=100
+    "dq_histq_1h": """
+        WITH s AS (
+            SELECT epoch_ms(ts) AS ts_ms, event_type,
+                   CAST(value AS DECIMAL(12,2)) AS v
+            FROM events
+        ),
+        p AS (SELECT MIN(ts_ms) + 3600000 - 1 AS first FROM s),
+        t AS (
+            SELECT s.*,
+                   p.first + ((s.ts_ms - p.first + 3599999) // 3600000)
+                             * 3600000 AS tick
+            FROM s, p
+        ),
+        c AS (
+            SELECT tick, event_type,
+                   CAST(SUM(CASE WHEN v <= 10 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS d1,
+                   CAST(SUM(CASE WHEN v <= 50 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS d2,
+                   CAST(SUM(CASE WHEN v <= 100 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS d3,
+                   CAST(COUNT(*) AS DOUBLE) AS d4
+            FROM t GROUP BY 1, 2
+        ),
+        q AS (SELECT *, 0.9 * d4 AS rnk FROM c)
+        SELECT tick, event_type,
+               ROUND(CASE
+                   WHEN d1 >= rnk THEN
+                        0 + (10 - 0) * (rnk - 0) / (d1 - 0)
+                   WHEN d2 >= rnk THEN
+                        10 + (50 - 10) * (rnk - d1) / (d2 - d1)
+                   WHEN d3 >= rnk THEN
+                        50 + (100 - 50) * (rnk - d2) / (d3 - d2)
+                   ELSE 100
+               END, 6) AS q90
+        FROM q ORDER BY 1, 2
     """,
     # φ=0.5 quantile_cont = midpoint of two exact-int cents (exact in
     # f64); SUM of half-integers is order-independent exact

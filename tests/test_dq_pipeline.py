@@ -17,7 +17,7 @@ def con():
 @pytest.mark.parametrize("name", [
     "dq_agg_div_1h", "dq_subquery_sum_1h",
     "dq_topk2_1h", "dq_unless_avg_1h", "dq_group_share_1h",
-    "dq_changes_1h", "dq_median_1h",
+    "dq_changes_1h", "dq_median_1h", "dq_histq_1h",
 ])
 def test_dq_oracle_parity(ray_session, con, name):
     from pq_ray.pipelines.dq import ORACLES, QUERIES
