@@ -134,7 +134,7 @@ def _selector_key(sel: VectorSelector, ctx: DistributedContext):
 def _selector_partials(sel: VectorSelector, ctx: DistributedContext,
                        want_last2: bool = False, want_fit: bool = False,
                        sample_kernel: str | None = None,
-                       fn_args: tuple = ()):
+                       fn_args: tuple = (), want_ts: bool = False):
     """Filter + window-explode + per-(series, tick) partial reduce in Ray.
 
     Returns (ticks, partials Dataset, distinct labelset df, cols) or
@@ -154,11 +154,11 @@ def _selector_partials(sel: VectorSelector, ctx: DistributedContext,
     mergeable partial can carry across arbitrarily interleaved blocks.
     """
     key = (*_selector_key(sel, ctx), want_last2, want_fit,
-           sample_kernel, fn_args)
+           sample_kernel, fn_args, want_ts)
     if key in ctx._partials_memo:
         return ctx._partials_memo[key]
     res = _selector_partials_impl(sel, ctx, want_last2, want_fit,
-                                  sample_kernel, fn_args)
+                                  sample_kernel, fn_args, want_ts)
     ctx._partials_memo[key] = res
     return res
 
@@ -169,7 +169,7 @@ _TS_MISSING = np.iinfo(np.int64).min
 def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
                             want_last2: bool = False, want_fit: bool = False,
                             sample_kernel: str | None = None,
-                            fn_args: tuple = ()):
+                            fn_args: tuple = (), want_ts: bool = False):
     interval = ctx.interval
     d = sel.range_ms if sel.range_ms is not None else ctx.lookback
     matchers = sel.all_matchers()
@@ -268,6 +268,8 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
         if want_fit:
             for c in ("sx", "sxx", "sxy"):
                 base[c] = pa.array([], type=pa.float64())
+        if want_ts:
+            base["last_ts"] = pa.array([], type=pa.int64())
         base["bucket"] = pa.array([], type=pa.int32())
         return pa.table(base)
 
@@ -429,6 +431,10 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
             tbl["sx"] = pa.array(np.add.reduceat(x, starts))
             tbl["sxx"] = pa.array(np.add.reduceat(x * x, starts))
             tbl["sxy"] = pa.array(np.add.reduceat(x * s_val, starts))
+        if want_ts:
+            # ts of the ARRIVAL-last sample (same selection as last_v)
+            ts_rr = np.repeat(ts, reps)
+            tbl["last_ts"] = pa.array(ts_rr[order][ends], type=pa.int64())
         tbl["bucket"] = pa.array(bucket)
         return pa.table(tbl)
 
@@ -439,6 +445,8 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
                              "i2_ts", "i2_seq", "i2_v"]
     if want_fit:
         numeric = numeric + ["sx", "sxx", "sxy"]
+    if want_ts:
+        numeric = numeric + ["last_ts"]
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -467,6 +475,8 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
         if want_fit:
             for k in ("sx", "sxx", "sxy"):
                 out[k] = np.add.reduceat(c[k][order], starts)
+        if want_ts:
+            out["last_ts"] = c["last_ts"][order2][ends]
         if want_last2:
             # top-2 of the union of per-partial top-2s: flatten each
             # partial row into <=2 (ts, seq, v) candidates, sort within
@@ -1029,9 +1039,10 @@ def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
     predict_linear horizon, holt_winters sf/tf)."""
     want_last2 = kernel in _EXT_LAST2_KERNELS
     want_fit = kernel in _EXT_FIT_KERNELS
+    want_ts = kernel == "timestamp"
     sample_kernel = kernel if kernel in _EXT_SAMPLE_KERNELS else None
     res = _selector_partials(sel, ctx, want_last2, want_fit,
-                             sample_kernel, fn_args)
+                             sample_kernel, fn_args, want_ts)
     if res is None:
         return _empty_vector("instant", ctx.label_cols)
     ticks, pts_ds, distinct, cols = res
@@ -1068,6 +1079,8 @@ def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
             numeric = numeric + ["i1_ts", "i1_v", "i2_ts", "i2_v"]
         if want_fit:
             numeric = numeric + ["sx", "sxx", "sxy"]
+        if want_ts:
+            numeric = numeric + ["last_ts"]
 
     def finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1078,6 +1091,11 @@ def _selector_stream(sel: VectorSelector, ctx: DistributedContext,
         if sample_kernel:
             # kernel already computed in the exchange reduce
             value = c["value"]
+            idx = np.searchsorted(sids, sid)
+        elif want_ts:
+            # timestamp(): epoch seconds of the arrival-last sample
+            # (engine.py _eval_ext_function: df["ts"] / 1000)
+            value = c["last_ts"] / 1000.0
             idx = np.searchsorted(sids, sid)
         elif want_fit:
             # least squares y = a + b·x over the mergeable fit sums;
@@ -2406,6 +2424,17 @@ def _eval_dist(node, ctx: DistributedContext):
                 node.name in _MATH_FNS or node.name in _TIME_FNS
                 or node.name in ("round", "clamp", "clamp_max", "clamp_min")
             )
+            if node.name == "timestamp":
+                # needs the sample time: only a direct instant selector
+                # carries it — ride the partials' arrival-last ts
+                (arg,) = node.args
+                u = arg
+                while isinstance(u, Parentheses):
+                    u = u.expr
+                if isinstance(u, VectorSelector) and u.range_ms is None:
+                    return _selector_stream(u, ctx, "timestamp")
+                child = _collect_if_dist(_eval_dist(arg, ctx))
+                return eng.eval_function(node, [child], None, True)
             if node.name == "histogram_quantile":
                 phi_arg, vec_arg = node.args[0], node.args[1]
                 if isinstance(phi_arg, (int, float)):

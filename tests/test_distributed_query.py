@@ -201,6 +201,9 @@ EXT_QUERIES = [
     'sum(label_replace(m, "grp", "g-$1", "lab", "(.*)")) by (grp)',
     'label_join(m, "lj", "|", "lab", "job")',
     'count(label_join(m, "lj", "_", "job", "lab")) by (lj)',
+    # timestamp: arrival-last sample ts carried through the partials
+    "timestamp(m)",
+    'max(timestamp(m{lab="a"})) by (job)',
 ]
 
 
