@@ -927,6 +927,48 @@ def _dist_label_fn(name: str, child: DistVectorStream,
     )
 
 
+def _dist_sort(name: str, child: DistVectorStream) -> DistVectorStream:
+    """sort / sort_desc as a distributed osig rewrite: the collect order
+    is (tick, osig), so prefixing each point's osig with an
+    order-preserving 8-byte encoding of its value (IEEE-754 total order,
+    NaN last in both directions, inverted for sort_desc) reproduces the
+    local engine's stable value sort — ties keep the child's emission
+    order because the child osig remains the suffix.  Values, sigs and
+    labels are untouched (presentation-order only)."""
+    desc = name == "sort_desc"
+    schema = _points_schema(child.label_cols)
+
+    def fx(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.cast(schema)
+        v = np.ascontiguousarray(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        bits = v.view(np.uint64).copy()
+        neg = np.signbit(v) & ~np.isnan(v)
+        key = np.where(
+            neg, np.invert(bits), bits | np.uint64(0x8000000000000000)
+        )
+        if desc:
+            key = np.invert(key)
+        key[np.isnan(v)] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        kb = key.byteswap().view(np.uint8).reshape(-1, 8)  # big-endian
+        old = t["osig"].combine_chunks().to_pylist()
+        new = pa.array(
+            [kb[i].tobytes() + (old[i] or b"") for i in range(len(old))],
+            type=pa.binary(),
+        )
+        return t.set_column(
+            t.schema.get_field_index("osig"), "osig", new
+        ).cast(schema)
+
+    return DistVectorStream(
+        child.ticks, child.ds.map_batches(fx, batch_format="pyarrow"),
+        child.label_cols,
+    )
+
+
 def _dist_histogram_quantile(phi: float, child: DistVectorStream,
                              ctx: DistributedContext) -> DistVectorStream:
     """histogram_quantile(φ, v) as ONE exchange keyed (tick, signature
@@ -2424,6 +2466,11 @@ def _eval_dist(node, ctx: DistributedContext):
                 node.name in _MATH_FNS or node.name in _TIME_FNS
                 or node.name in ("round", "clamp", "clamp_max", "clamp_min")
             )
+            if node.name in ("sort", "sort_desc"):
+                child = _eval_dist(node.args[0], ctx)
+                if isinstance(child, DistVectorStream):
+                    return _dist_sort(node.name, child)
+                return eng.eval_function(node, [child], None, True)
             if node.name == "timestamp":
                 # needs the sample time: only a direct instant selector
                 # carries it — ride the partials' arrival-last ts

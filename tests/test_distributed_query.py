@@ -781,6 +781,38 @@ def test_distributed_ranked_and_logical_stay_in_ray(ray_session, aligned_df):
 
 
 @pytest.mark.parametrize("q", [
+    "sort(m)",
+    "sort_desc(m)",
+    "sort(sum(m) by (lab, job))",
+    "sort_desc(m - 50)",
+])
+def test_distributed_sort_reproduces_emission_order(ray_session, samples_df, q):
+    """sort/sort_desc as a distributed osig rewrite: the EMISSION ORDER
+    (row sequence) must equal the local engine's stable value sort."""
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=samples_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(samples_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL,
+                           num_buckets=8, extensions=True),
+    )
+    a = local.df.reset_index(drop=True)
+    b = dist.df.reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, q
+    # row-sequence equality, not just set equality
+    assert (a["tick"].to_numpy() == b["tick"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(dtype=float),
+                       b["value"].to_numpy(dtype=float), equal_nan=True), q
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert (a["ord"].to_numpy() == b["ord"].to_numpy()).all(), q
+
+
+@pytest.mark.parametrize("q", [
     'absent(m{lab="a"})',
     "absent_over_time(m[2s])",
     'absent_over_time(m{job="x"}[3s])',
