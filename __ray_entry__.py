@@ -53,7 +53,7 @@ _ORDER = [
     "events_rate_1h", "events_props_k", "events_gapfill_1m",
     # extended time-series ops
     "events_distinct_1h", "events_interp_1m",
-    "events_asof_purchase_view", "events_topusers_1h",
+    "events_asof_purchase_view",
     "events_sessions",
     "events_regr_1h", "events_changes_1h", "events_irate_1h",
     "events_dod_delta", "events_ewma_1m",
@@ -65,7 +65,7 @@ _ORDER = [
     "dedup_exact", "jaccard_pairs", "minhash_pairs", "token_stats",
     "lang_quality", "ann_topk", "ann_ivf_multi", "embed_neardup_lsh",
     "dedup_clusters", "repetition_filter", "stratified_sample",
-    "vocab_topk",
+    "vocab_topk", "decontaminate",
     # ---- position 51+: recorded only if the driver takes >50 ----
     # (hll / topusers_mg / quantile_sample are oracle-hashable sketch
     # siblings whose EXACT counterparts hold the in-window family slot;
@@ -73,7 +73,7 @@ _ORDER = [
     # rides vocab_topk's document-frequency exchange, events_quantile's
     # family is held by dq_median_1h + pq_quantile09_by_event_1h)
     "pq_max_by_event_1h", "tfidf_topterm", "events_quantile_1h",
-    "events_spikes_1m", "events_hour_profile",
+    "events_spikes_1m", "events_hour_profile", "events_topusers_1h",
     "events_hll_1h", "events_topusers_mg", "events_quantile_sample_1h",
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "simhash",

@@ -2295,3 +2295,102 @@ ORACLES["tfidf_topterm"] = """
     ) = 1
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (round 4): flag training docs that share any
+# word 8-gram with a held-out benchmark set
+# ---------------------------------------------------------------------------
+
+_DECON_MOD = 97  # doc_id % 97 == 0 → benchmark member (deterministic subset)
+_DECON_N = 8
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: a deterministic subset of the corpus
+    (doc_id % 97 == 0) plays the held-out benchmark; every OTHER doc is
+    flagged with the number of distinct word 8-grams it shares with any
+    benchmark doc (n_hits > 0 ⇒ contaminated — the standard n-gram
+    collision rule used to scrub eval sets out of training corpora).
+
+    Ray plan: ONE pass over the benchmark slice builds the shingle set
+    (driver-small: |benchmark| ≈ corpus/97 docs; at 100 TB this set is
+    built once and shared via ray.put — it is the benchmark suite, not
+    the corpus), then a streaming map_batches over the training docs
+    intersects per-doc shingle sets against the broadcast set.  Exact
+    STRING comparison on both sides (no hashing), so the DuckDB oracle
+    matches bit-for-bit.
+    """
+    import ray
+
+    def grams_of(words: list) -> set:
+        k = _DECON_N
+        if len(words) < k:
+            return set()
+        return {" ".join(words[i: i + k]) for i in range(len(words) - k + 1)}
+
+    ds = _read_docs(sf_dir)
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] % _DECON_MOD == 0]
+        out: set = set()
+        for t in sub["text"]:
+            out |= grams_of(t.split(" "))
+        return pd.DataFrame({"gram": sorted(out)})
+
+    bench = set(
+        ds.map_batches(bench_grams, batch_format="pandas")
+        .to_pandas()["gram"]
+        .tolist()
+    )
+    bench_ref = ray.put(bench)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        sub = df[df["doc_id"] % _DECON_MOD != 0]
+        hits = [
+            len(grams_of(t.split(" ")) & bset) for t in sub["text"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].to_numpy(),
+                "n_hits": np.asarray(hits, dtype=np.int64),
+                "contaminated": np.asarray(hits, dtype=np.int64) > 0,
+            }
+        )
+
+    return (
+        ds.map_batches(flag, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["decontaminate"] = q_decontaminate
+ORACLES["decontaminate"] = """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, GREATEST(len(w) - 7, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + 7), ' ')
+               )) AS gram
+        FROM d
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    ORDER BY doc_id
+"""

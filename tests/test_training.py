@@ -35,7 +35,8 @@ def _compare(got: pd.DataFrame, exp: pd.DataFrame):
 @pytest.mark.parametrize(
     "name", ["dedup_exact", "dedup_keep", "token_stats", "token_bpe",
              "jaccard_pairs", "ann_topk", "ann_topk_multi", "embed_neardup",
-             "repetition_filter", "vocab_topk", "tfidf_topterm"]
+             "repetition_filter", "vocab_topk", "tfidf_topterm",
+             "decontaminate"]
 )
 def test_oracle_parity(ray_session, con, name):
     from pq_ray.pipelines.training import ORACLES, QUERIES
