@@ -428,6 +428,78 @@ def q_interp_1m(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_locf_1m(sf_dir: str) -> pd.DataFrame:
+    """Dense per-event_type 1m spine where missing windows CARRY the
+    last observed window's average FORWARD (locf — the standard
+    continuous-aggregate gap-fill next to interp's connect-the-dots and
+    gapfill's staleness markers).
+
+    Same single-exchange plan as events_interp_1m: rollup partials
+    bucket by hash(series_id) and the reduce runs combine + spine +
+    carry in one vectorized pass; the carried value is the exact-cents
+    average (one correctly-rounded division), so the SQL oracle's
+    IGNORE-NULLS window carry holds the identical double."""
+    from ..stages.rollup import rollup_numeric
+
+    def fill(out: dict) -> pa.Table:
+        sid = out["series_id"]
+        wts = out["window_ts"]
+        if len(sid) == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    "value_locf": pa.array([], type=pa.float64()),
+                    "is_filled": pa.array([], type=pa.bool_()),
+                }
+            )
+        avg = out["sum"] / out["count"] / 100.0
+        starts = np.concatenate(([0], np.nonzero(sid[1:] != sid[:-1])[0] + 1))
+        ends = np.concatenate((starts[1:], [len(sid)]))
+        lo, hi = wts[starts], wts[ends - 1]
+        nw = (hi - lo) // MINUTE_MS + 1
+        seg_start = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        total = int(nw.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_start, nw)
+        dense_sid = np.repeat(sid[starts], nw)
+        dense_ts = np.repeat(lo, nw) + within * MINUTE_MS
+        series_idx = np.repeat(np.arange(len(starts)), ends - starts)
+        pos = seg_start[series_idx] + (wts - lo[series_idx]) // MINUTE_MS
+        slots = np.arange(total, dtype=np.int64)
+        # each segment starts at an observed window, so prev exists
+        prv = np.searchsorted(pos, slots, side="right") - 1
+        observed = dense_ts == dense_ts[pos[prv]]
+        value = _round_half_away(avg[prv], 6)
+        return pa.table(
+            {
+                "series_id": pa.array(dense_sid, type=pa.uint64()),
+                "window_ts": pa.array(dense_ts),
+                "value_locf": pa.array(value),
+                "is_filled": pa.array(~observed),
+            }
+        )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("value")
+        cents = np.rint(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+        )
+        return t.set_column(i, "value", pa.array(cents))
+
+    samples = read_events(sf_dir).map_batches(
+        _to_samples, batch_format="pyarrow"
+    ).map_batches(to_cents, batch_format="pyarrow")
+    dense = rollup_numeric(
+        samples, MINUTE_MS, num_buckets=8, key="series", post_reduce=fill
+    ).to_pandas()
+    out = dense.merge(_event_type_map(sf_dir), on="series_id", sort=False)
+    return (
+        out[["window_ts", "event_type", "value_locf", "is_filled"]]
+        .sort_values(["event_type", "window_ts"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
@@ -517,6 +589,7 @@ QUERIES = {
     # the raw estimator stays available as q_hll_1h for users/tests
     "events_hll_1h": q_hll_1h_check,
     "events_interp_1m": q_interp_1m,
+    "events_locf_1m": q_locf_1m,
     "events_asof_purchase_view": q_asof_purchase_view,
 }
 
@@ -589,6 +662,34 @@ ORACLES = {
                      END, 6) AS value_interp,
                avg_value IS NULL AS is_interp
         FROM f
+        ORDER BY event_type, window_ts
+    """,
+    "events_locf_1m": """
+        WITH w AS (
+            SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ts, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2)) * 100) AS DOUBLE)
+                       / COUNT(*) / 100 AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, MIN(window_ts) AS lo, MAX(window_ts) AS hi
+            FROM w GROUP BY event_type
+        ),
+        spine AS (
+            SELECT b.event_type,
+                   unnest(generate_series(b.lo, b.hi, 60000)) AS window_ts
+            FROM bounds b
+        ),
+        j AS (
+            SELECT s.window_ts, s.event_type, w.avg_value
+            FROM spine s LEFT JOIN w USING (event_type, window_ts)
+        )
+        SELECT window_ts, event_type,
+               ROUND(last_value(avg_value IGNORE NULLS)
+                         OVER (PARTITION BY event_type ORDER BY window_ts
+                               ROWS UNBOUNDED PRECEDING), 6) AS value_locf,
+               avg_value IS NULL AS is_filled
+        FROM j
         ORDER BY event_type, window_ts
     """,
     "events_asof_purchase_view": """

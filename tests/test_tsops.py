@@ -200,6 +200,23 @@ def test_interp_observed_slots_equal_window_avg(ray_session):
     )
 
 
+def test_locf_1m_matches_oracle_and_carries_forward(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, QUERIES
+
+    got = QUERIES["events_locf_1m"](SF)
+    exp = _oracle(ORACLES["events_locf_1m"])
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["value_locf"].to_numpy()
+            == exp["value_locf"].to_numpy()).all()
+    assert (got["is_filled"].to_numpy() == exp["is_filled"].to_numpy()).all()
+    # a filled slot equals the nearest preceding observed slot's value
+    df = got.sort_values(["event_type", "window_ts"]).reset_index(drop=True)
+    prev = df.groupby("event_type")["value_locf"].shift(1)
+    filled = df["is_filled"].to_numpy()
+    assert (df["value_locf"].to_numpy()[filled]
+            == prev.to_numpy()[filled]).all()
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
