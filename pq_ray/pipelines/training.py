@@ -1011,11 +1011,14 @@ def _pow_u64(base: np.uint64, e: np.ndarray) -> np.ndarray:
     result = np.ones(len(e), dtype=np.uint64)
     b = np.uint64(base)
     e = e.astype(np.uint64).copy()
-    while (e > 0).any():
-        odd = (e & np.uint64(1)) == 1
-        result[odd] *= b
-        b = b * b
-        e >>= np.uint64(1)
+    # uint64 wraparound IS the modulus — silence numpy's scalar-overflow
+    # warning (arrays wrap silently, scalars warn)
+    with np.errstate(over="ignore"):
+        while (e > 0).any():
+            odd = (e & np.uint64(1)) == 1
+            result[odd] *= b
+            b = b * b
+            e >>= np.uint64(1)
     return result
 
 
