@@ -781,6 +781,36 @@ def test_distributed_ranked_and_logical_stay_in_ray(ray_session, aligned_df):
 
 
 @pytest.mark.parametrize("q", [
+    # deep compositions across the round-4 distributed surfaces:
+    # aggregate over sample-kernel over subquery-of-aggregate, label
+    # rewrite under ranking, elementwise over histogram output
+    "sum(quantile_over_time(0.5, (sum(m) by (lab))[4s:2s])) by (lab)",
+    "max(changes((avg(m) by (lab, job))[6s:2s])) by (lab)",
+    'topk(1, label_replace(deriv(m[4s]), "g", "$1", "lab", "(.*)")) by (g)',
+    "clamp_min(holt_winters(m[5s], 0.5, 0.3), 0) + on(lab, job) abs(m)",
+])
+def test_distributed_deep_compositions_equal_local(ray_session, samples_df, q):
+    expr = parse_expr(q, extensions=True)
+    local = evaluate(
+        expr,
+        EvalContext(samples=samples_df, label_cols=["job", "lab"],
+                    interval=INTERVAL, lookback=INTERVAL, extensions=True),
+    )
+    dist = evaluate_distributed(
+        expr,
+        DistributedContext(rd.from_pandas(samples_df).repartition(6),
+                           ["job", "lab"], INTERVAL, INTERVAL,
+                           num_buckets=8, extensions=True),
+    )
+    a = local.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    b = dist.df.sort_values(["tick", "sig"]).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0, (q, len(a), len(b))
+    assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+    assert np.allclose(a["value"].to_numpy(dtype=float),
+                       b["value"].to_numpy(dtype=float), equal_nan=True), q
+
+
+@pytest.mark.parametrize("q", [
     "sort(m)",
     "sort_desc(m)",
     "sort(sum(m) by (lab, job))",
