@@ -291,3 +291,135 @@ def video_frame_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# audio feature extraction — the third modality the corpus brief names
+# ---------------------------------------------------------------------------
+
+AMAGIC = b"PQRA"
+AHEADER = struct.Struct(">4sIHI")  # magic, n_samples, sample_rate_khz, seed
+
+
+def synth_audio(n_samples: int, rate_khz: int, seed: int) -> bytes:
+    """Deterministic fake audio payload: header + int16 PCM mono."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=n_samples, dtype=np.int16)
+    # pin the PCM byte order so payloads are platform-independent
+    return AHEADER.pack(AMAGIC, n_samples, rate_khz, seed) + pcm.astype(
+        "<i2"
+    ).tobytes()
+
+
+def synth_audio_corpus(n: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "payload": [], "mime": [], "n_samples": []}
+    for i in range(n):
+        ns = int(rng.integers(2_000, 40_000))
+        rows["media_id"].append(i)
+        rows["payload"].append(synth_audio(ns, 16, seed * 9_000_011 + i))
+        rows["mime"].append("audio/x-pqra")
+        rows["n_samples"].append(ns)
+    return pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], type=pa.int64()),
+            "payload": pa.array(rows["payload"], type=pa.binary()),
+            "mime": pa.array(rows["mime"], type=pa.string()),
+            "n_samples": pa.array(rows["n_samples"], type=pa.int32()),
+        }
+    )
+
+
+def decode_audio_real(payload: bytes, mime: str):
+    """Real audio decode, dependency-gated like decode_real: soundfile /
+    librosa aren't in this container, so non-synthetic mimes raise a
+    clearly-marked NotImplementedError while the Ray plumbing (schema,
+    actor signature, batch sizing) stays real and tested."""
+    try:  # pragma: no cover — dependency not installed here
+        import soundfile  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            f"real audio decode for {mime!r} needs soundfile/librosa "
+            "(not installed in this environment)"
+        ) from None
+    raise NotImplementedError("real decode path reserved for soundfile")
+
+
+class AudioFrameEnergy:
+    """Actor-pool stage: audio payload → per-frame RMS energy features.
+
+    Frames are ``frame_len``-sample windows with no overlap; the whole
+    computation is one reshape + vectorized RMS per payload (no
+    per-sample Python).  Output: one row per audio with
+    ``energy list<float>`` (frame RMS, normalized to int16 full scale)
+    + n_frames — the fixed-shape feature a curriculum/quality filter
+    consumes.  Large payloads: size batch_size so
+    batch_size × n_samples × 2 B fits the worker heap.
+    """
+
+    def __init__(self, frame_len: int = 1024, on_error: str = "raise"):
+        self.frame_len = frame_len
+        self.on_error = on_error
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mids, energies, nframes, rates = [], [], [], []
+        for media_id, payload, mime in zip(
+            batch["media_id"], batch["payload"], batch["mime"]
+        ):
+            try:
+                if mime != "audio/x-pqra":
+                    decode_audio_real(payload, mime)
+                magic, ns, rate_khz, _seed = AHEADER.unpack(
+                    payload[: AHEADER.size]
+                )
+                if magic != AMAGIC:
+                    raise ValueError("bad magic")
+                pcm = np.frombuffer(payload[AHEADER.size:], dtype="<i2")
+                if len(pcm) != ns:
+                    raise ValueError("truncated payload")
+                nf = len(pcm) // self.frame_len
+                if nf == 0:
+                    frames = pcm.astype(np.float64)[None, :]
+                    nf = 1
+                else:
+                    frames = (
+                        pcm[: nf * self.frame_len]
+                        .astype(np.float64)
+                        .reshape(nf, self.frame_len)
+                    )
+                rms = np.sqrt((frames * frames).mean(axis=1)) / 32768.0
+                mids.append(media_id)
+                energies.append(rms.astype(np.float32))
+                nframes.append(nf)
+                rates.append(rate_khz)
+            except NotImplementedError:
+                if self.on_error == "raise":
+                    raise
+        return pd.DataFrame(
+            {
+                "media_id": mids,
+                "energy": energies,
+                "n_frames": np.asarray(nframes, dtype=np.int64),
+                "rate_khz": np.asarray(rates, dtype=np.int64),
+            }
+        )
+
+
+def audio_feature_pipeline(
+    table_or_path, *, frame_len: int = 1024, batch_size: int = 32,
+    concurrency: int = 2,
+):
+    """audio table → per-item frame-energy feature rows (actor pool,
+    stateful frame config in __init__ — one per actor, not per batch)."""
+    ds = (
+        rd.read_parquet(table_or_path)
+        if isinstance(table_or_path, str)
+        else rd.from_arrow(table_or_path)
+    )
+    return ds.map_batches(
+        AudioFrameEnergy,
+        fn_constructor_kwargs={"frame_len": frame_len},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

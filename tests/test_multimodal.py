@@ -75,3 +75,48 @@ def test_video_frame_sampling(ray_session):
     row = out[(out["media_id"] == 0) & (out["frame_idx"] == 0)].iloc[0]
     hist, _ = np.histogram(frames[0], bins=16, range=(0, 256))
     assert np.allclose(row["feature"], hist / (w * h))
+
+
+def test_audio_frame_energy(ray_session):
+    """Audio features really parse the fake PCM format: frame count =
+    n_samples // frame_len, RMS matches a direct numpy computation, and
+    real-codec mimes raise the dependency-gated NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from pq_ray.pipelines.multimodal import (
+        AHEADER,
+        AudioFrameEnergy,
+        audio_feature_pipeline,
+        decode_audio_real,
+        synth_audio_corpus,
+    )
+
+    t = synth_audio_corpus(25, seed=11)
+    out = audio_feature_pipeline(t, frame_len=1024, batch_size=8,
+                                 concurrency=2).to_pandas()
+    assert len(out) == 25
+    ns = {m: n for m, n in zip(t["media_id"].to_pylist(),
+                               t["n_samples"].to_pylist())}
+    for _, row in out.iterrows():
+        assert row["n_frames"] == max(ns[row["media_id"]] // 1024, 1)
+        assert len(row["energy"]) == row["n_frames"]
+    # spot-check one payload's RMS against a direct parse
+    payload = t["payload"][0].as_py()
+    magic, n, rate, _seed = AHEADER.unpack(payload[: AHEADER.size])
+    pcm = np.frombuffer(payload[AHEADER.size:], dtype="<i2")
+    nf = n // 1024
+    frames = pcm[: nf * 1024].astype(np.float64).reshape(nf, 1024)
+    rms = np.sqrt((frames * frames).mean(axis=1)) / 32768.0
+    row = out[out["media_id"] == 0].iloc[0]
+    assert np.allclose(row["energy"], rms.astype(np.float32))
+    assert row["rate_khz"] == rate
+    # dependency gate
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio_real(b"xx", "audio/wav")
+    # on_error="skip" drops undecodable rows instead of failing the batch
+    import pandas as pd
+    st = AudioFrameEnergy(on_error="skip")
+    res = st(pd.DataFrame({"media_id": [9], "payload": [b"xx"],
+                           "mime": ["audio/wav"]}))
+    assert len(res) == 0
