@@ -56,3 +56,38 @@ def test_retention_idempotent(ray_session, tmp_path):
     r2 = apply_retention(out, now, {1000: keep})
     assert r2[1000]["rows_dropped"] == 0
     assert r2[1000]["dropped_files"] == 0
+
+
+def test_compaction_merges_small_files_losslessly(ray_session, tmp_path):
+    """compact_tier merges a tier's small files into ~target_rows files:
+    identical row multiset before/after (value-hash via DuckDB), fewer
+    files, manifest row counts refreshed, and a second pass is a no-op."""
+    from pq_ray.pipelines.retention import compact_tier
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_tokens_corpus(corpus, 300, seed=42)
+    run_cascade(corpus, out, tiers=[1000], num_buckets=8,
+                decode_batch_size=128)
+    tdir = tier_dir(out, 1000)
+    glob = f"{tdir}/*.parquet"
+
+    def snapshot():
+        return duckdb.sql(
+            f"""select count(*) n, sum(hash(series_id, window_ts,
+                       round(sum, 6), count)) h
+                from read_parquet('{glob}')"""
+        ).fetchone()
+
+    before = snapshot()
+    n_before = len([n for n in __import__("os").listdir(tdir)
+                    if n.endswith(".parquet")])
+    assert n_before > 1  # 8 buckets → several files
+    rep = compact_tier(out, 1000, target_rows=10**9)  # one big bin
+    assert rep["merged_files"] == n_before
+    assert rep["files_after"] == 1
+    assert snapshot() == before  # lossless
+    m = mf.load(tdir)
+    assert m["rows_out"] == before[0] and m["compacted"] is True
+    rep2 = compact_tier(out, 1000, target_rows=10**9)
+    assert rep2["merged_files"] == 0 and rep2["files_after"] == 1
