@@ -428,6 +428,86 @@ def q_interp_1m(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-sequence funnel per user: earliest ``view``, then the
+    earliest ``click`` AT-OR-AFTER that view, then the earliest
+    ``purchase`` at-or-after that click; ``stage`` = how deep the user
+    got (0–3), missing steps keep sentinel -1 (COALESCE'd identically
+    in the oracle).
+
+    Plan: ONE hash-by-user exchange co-locates each user's events (same
+    partitioning the as-of join uses — at 100 TB only the pruned
+    three-type event stream moves); the per-bucket reduce runs three
+    vectorized groupby-min/merge passes, no per-user Python.  All
+    values are integer ms, so the SQL chain of MIN-after joins matches
+    bit-for-bit."""
+    num_buckets = 8
+    stages = ["view", "click", "purchase"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(stages))
+        t = t.filter(keep)
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bucket = (
+            (user.astype(np.uint64) * _PHI) >> np.uint64(17)
+        ) % np.uint64(num_buckets)
+        ts = pc.cast(pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts": ts,
+                "bucket": pa.array(bucket.astype(np.int32)),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "t_view": pa.array([], type=pa.int64()),
+                "t_click": pa.array([], type=pa.int64()),
+                "t_purchase": pa.array([], type=pa.int64()),
+                "stage": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        users = df[["user_id"]].drop_duplicates()
+        prev = None  # per-user ts of the previous completed stage
+        cols = {}
+        for i, et in enumerate(stages):
+            sub = df[df["event_type"] == et][["user_id", "ts"]]
+            if prev is not None:
+                sub = sub.merge(prev, on="user_id")
+                sub = sub[sub["ts"] >= sub["prev_ts"]][["user_id", "ts"]]
+            cur = sub.groupby("user_id", as_index=False)["ts"].min()
+            cols[et] = cur.set_index("user_id")["ts"]
+            prev = cur.rename(columns={"ts": "prev_ts"})
+        out = users.copy()
+        for et in stages:
+            out[f"t_{et}"] = (
+                out["user_id"].map(cols[et]).fillna(-1).astype(np.int64)
+            )
+        out["stage"] = (
+            (out["t_view"] >= 0).astype(np.int64)
+            + (out["t_click"] >= 0).astype(np.int64)
+            + (out["t_purchase"] >= 0).astype(np.int64)
+        )
+        return pa.Table.from_pandas(
+            out[["user_id", "t_view", "t_click", "t_purchase", "stage"]],
+            preserve_index=False,
+        ).cast(empty.schema)
+
+    ds = _read_events_users(sf_dir, ["ts", "event_type", "user_id"])
+    out = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket", num_buckets, reduce_fn,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_locf_1m(sf_dir: str) -> pd.DataFrame:
     """Dense per-event_type 1m spine where missing windows CARRY the
     last observed window's average FORWARD (locf — the standard
@@ -590,6 +670,7 @@ QUERIES = {
     "events_hll_1h": q_hll_1h_check,
     "events_interp_1m": q_interp_1m,
     "events_locf_1m": q_locf_1m,
+    "events_funnel": q_funnel,
     "events_asof_purchase_view": q_asof_purchase_view,
 }
 
@@ -663,6 +744,38 @@ ORACLES = {
                avg_value IS NULL AS is_interp
         FROM f
         ORDER BY event_type, window_ts
+    """,
+    "events_funnel": """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+            FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        v1 AS (
+            SELECT user_id, MIN(ts_ms) AS t1
+            FROM e WHERE event_type = 'view' GROUP BY 1
+        ),
+        v2 AS (
+            SELECT e.user_id, MIN(e.ts_ms) AS t2
+            FROM e JOIN v1 ON e.user_id = v1.user_id AND e.ts_ms >= v1.t1
+            WHERE e.event_type = 'click' GROUP BY 1
+        ),
+        v3 AS (
+            SELECT e.user_id, MIN(e.ts_ms) AS t3
+            FROM e JOIN v2 ON e.user_id = v2.user_id AND e.ts_ms >= v2.t2
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT u.user_id,
+               COALESCE(v1.t1, -1) AS t_view,
+               COALESCE(v2.t2, -1) AS t_click,
+               COALESCE(v3.t3, -1) AS t_purchase,
+               CAST((v1.t1 IS NOT NULL)::INT + (v2.t2 IS NOT NULL)::INT
+                    + (v3.t3 IS NOT NULL)::INT AS BIGINT) AS stage
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN v1 USING (user_id)
+        LEFT JOIN v2 USING (user_id)
+        LEFT JOIN v3 USING (user_id)
+        ORDER BY u.user_id
     """,
     "events_locf_1m": """
         WITH w AS (

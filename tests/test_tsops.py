@@ -647,3 +647,20 @@ def test_topusers_mg_equals_exact_on_testdata(ray_session):
     assert (ex[["window_ts", "event_type", "user_id"]].to_numpy()
             == mg[["window_ts", "event_type", "user_id"]].to_numpy()).all()
     assert (ex["n"].to_numpy() == mg["n_est"].to_numpy()).all()
+
+
+def test_funnel_matches_oracle_and_ordering_rule(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, QUERIES
+
+    got = QUERIES["events_funnel"](SF)
+    exp = _oracle(ORACLES["events_funnel"])
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ["user_id", "t_view", "t_click", "t_purchase", "stage"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # the ordering rule: each reached stage's ts >= the previous one's
+    g = got[got["stage"] >= 2]
+    assert (g["t_click"].to_numpy() >= g["t_view"].to_numpy()).all()
+    g3 = got[got["stage"] == 3]
+    assert (g3["t_purchase"].to_numpy() >= g3["t_click"].to_numpy()).all()
+    # stages are monotone: no purchase-without-click rows exist
+    assert ((got["t_purchase"] >= 0) <= (got["t_click"] >= 0)).all()
