@@ -368,3 +368,79 @@ ORACLES["tpch_quiet_customers"] = """
     GROUP BY n_name
     ORDER BY n_name
 """
+
+
+def q_rel_users_outer_customers(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+    """FULL OUTER shuffle join: per-user event counts ⟗ customers on
+    user_id = c_custkey — the join type the TPC-H quartet doesn't
+    exercise (customers with no events keep NULL-side event counts;
+    either side may be the orphan depending on the key ranges).
+
+    Plan: the events side pre-aggregates to ≤|users| rows per batch
+    (combine-before-exchange), then both sides hash-partition once on
+    the key and each bucket runs ONE Arrow full-outer join — co-
+    partitioned, nothing broadcast, each side crosses the wire once."""
+    import ray.data as rd
+
+    from ..sources.readers import small_input_blocks
+
+    path = f"{sf_dir}/events.parquet"
+    events = rd.read_parquet(
+        path, columns=["user_id"],
+        override_num_blocks=small_input_blocks(path),
+    )
+
+    def per_user(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": pc.cast(g["user_id"], pa.int64()),
+                "n_events": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = shuffle_join(
+        events.map_batches(per_user, batch_format="pyarrow"),
+        cust,
+        "user_id",
+        "c_custkey",
+        num_buckets=num_buckets,
+        join_type="full outer",
+    )
+    df = joined.to_pandas()
+    # Arrow's full outer COALESCES the key into the left key column, so
+    # user_id already carries the customer key on right-only rows.
+    # Per-user partials may split across input batches within a bucket:
+    # fold counts after the join (the join key is unique on the customer
+    # side, so folding is a plain groupby-sum over the joined rows)
+    key = df["user_id"].astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "key": key,
+            "n_events": df["n_events"].fillna(0).astype(np.int64),
+            "mktsegment": df["c_mktsegment"].fillna("<none>"),
+        }
+    )
+    out = (
+        out.groupby(["key", "mktsegment"], as_index=False)["n_events"]
+        .sum()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    out["has_events"] = out["n_events"] > 0
+    return out[["key", "n_events", "mktsegment", "has_events"]]
+
+
+QUERIES["rel_users_outer_customers"] = q_rel_users_outer_customers
+ORACLES["rel_users_outer_customers"] = """
+    WITH u AS (
+        SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+    )
+    SELECT COALESCE(u.user_id, c.c_custkey) AS key,
+           CAST(COALESCE(u.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(c.c_mktsegment, '<none>') AS mktsegment,
+           COALESCE(u.n_events, 0) > 0 AS has_events
+    FROM u FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
+    ORDER BY key
+"""

@@ -16,7 +16,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _oracle(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "nation"):
+    for t in ("lineitem", "orders", "customer", "nation", "events"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con.sql(sql).df()
 
@@ -264,3 +264,15 @@ def test_salted_join_string_keys(ray_session):
     a = plain.sort_values(list(plain.columns)).reset_index(drop=True)
     b = salted.sort_values(list(salted.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_users_outer_customers_matches_duckdb_full_outer(ray_session):
+    from pq_ray.pipelines.relational import ORACLES, QUERIES
+
+    got = QUERIES["rel_users_outer_customers"](SF_DIR)
+    exp = _oracle(ORACLES["rel_users_outer_customers"])
+    assert len(got) == len(exp) and len(got) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # the full-outer really has a NULL-side: customers without events
+    assert (~got["has_events"]).any()
