@@ -428,6 +428,82 @@ def q_interp_1m(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_new_users_1h(sf_dir: str) -> pd.DataFrame:
+    """New-vs-returning actives per 1h window: a user is NEW in the
+    window holding their globally-first event, RETURNING in every other
+    window they appear in (first-touch attribution / churn input).
+
+    Plan: ONE hash-by-user exchange (per-batch (user, window) dedup
+    before the wire) — each bucket holds its users' complete window
+    sets, computes per-user first-window and folds to per-window
+    (n_new, n_returning) partials; the driver sums ≤ buckets × windows
+    count rows, never user-level data."""
+    num_buckets = 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        w = (ts // HOUR_MS) * HOUR_MS
+        df = pd.DataFrame({"user_id": user, "window_ts": w}).drop_duplicates()
+        bucket = (
+            (df["user_id"].to_numpy().astype(np.uint64) * _PHI)
+            >> np.uint64(17)
+        ) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+                "window_ts": pa.array(
+                    df["window_ts"].to_numpy(), type=pa.int64()
+                ),
+                "bucket": pa.array(bucket.astype(np.int32)),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "window_ts": pa.array([], type=pa.int64()),
+                "n_new": pa.array([], type=pa.int64()),
+                "n_returning": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().drop_duplicates(["user_id", "window_ts"])
+        first = df.groupby("user_id")["window_ts"].transform("min")
+        df["is_new"] = (df["window_ts"] == first).astype(np.int64)
+        g = df.groupby("window_ts", as_index=False).agg(
+            n_new=("is_new", "sum"), n_active=("is_new", "size")
+        )
+        return pa.table(
+            {
+                "window_ts": pa.array(g["window_ts"].to_numpy(),
+                                      type=pa.int64()),
+                "n_new": pa.array(g["n_new"].to_numpy().astype(np.int64)),
+                "n_returning": pa.array(
+                    (g["n_active"] - g["n_new"]).to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "user_id"])
+    parts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket", num_buckets, reduce_fn,
+    ).to_pandas()
+    out = (
+        parts.groupby("window_ts", as_index=False)[["n_new", "n_returning"]]
+        .sum()
+        .sort_values("window_ts")
+        .reset_index(drop=True)
+    )
+    out["n_new"] = out["n_new"].astype(np.int64)
+    out["n_returning"] = out["n_returning"].astype(np.int64)
+    return out
+
+
 def q_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered-sequence funnel per user: earliest ``view``, then the
     earliest ``click`` AT-OR-AFTER that view, then the earliest
@@ -671,6 +747,7 @@ QUERIES = {
     "events_interp_1m": q_interp_1m,
     "events_locf_1m": q_locf_1m,
     "events_funnel": q_funnel,
+    "events_new_users_1h": q_new_users_1h,
     "events_asof_purchase_view": q_asof_purchase_view,
 }
 
@@ -744,6 +821,21 @@ ORACLES = {
                avg_value IS NULL AS is_interp
         FROM f
         ORDER BY event_type, window_ts
+    """,
+    "events_new_users_1h": """
+        WITH a AS (
+            SELECT user_id,
+                   (epoch_ms(ts) // 3600000) * 3600000 AS w
+            FROM events GROUP BY 1, 2
+        ),
+        f AS (SELECT user_id, MIN(w) AS fw FROM a GROUP BY 1)
+        SELECT a.w AS window_ts,
+               CAST(SUM(CASE WHEN a.w = f.fw THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN a.w <> f.fw THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1 ORDER BY 1
     """,
     "events_funnel": """
         WITH e AS (

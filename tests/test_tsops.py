@@ -664,3 +664,16 @@ def test_funnel_matches_oracle_and_ordering_rule(ray_session):
     assert (g3["t_purchase"].to_numpy() >= g3["t_click"].to_numpy()).all()
     # stages are monotone: no purchase-without-click rows exist
     assert ((got["t_purchase"] >= 0) <= (got["t_click"] >= 0)).all()
+
+
+def test_new_users_1h_matches_oracle_and_conserves_users(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, QUERIES
+
+    got = QUERIES["events_new_users_1h"](SF)
+    exp = _oracle(ORACLES["events_new_users_1h"])
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ["window_ts", "n_new", "n_returning"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # each user is new exactly once: sum of n_new = distinct users
+    n_users = _oracle("SELECT COUNT(DISTINCT user_id) AS n FROM events")["n"][0]
+    assert got["n_new"].sum() == n_users
