@@ -75,7 +75,7 @@ _ORDER = [
     "pq_max_by_event_1h", "tfidf_topterm", "events_quantile_1h",
     "events_spikes_1m", "events_hour_profile", "events_topusers_1h",
     "events_locf_1m", "events_funnel", "rel_users_outer_customers",
-    "events_new_users_1h",
+    "events_new_users_1h", "events_retention_7d",
     "events_hll_1h", "events_topusers_mg", "events_quantile_sample_1h",
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "simhash",

@@ -504,6 +504,93 @@ def q_new_users_1h(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_retention_7d(sf_dir: str) -> pd.DataFrame:
+    """Daily cohort retention: for each cohort day D (a user's globally
+    first active day), how many cohort members are active again exactly
+    on day D+7.  The classic growth-analytics table next to
+    events_new_users_1h's first-touch counts.
+
+    Plan: the same ONE hash-by-user exchange — per-batch (user, day)
+    dedup before the wire, each bucket computes per-user first-day and
+    membership of first-day+7 in the user's day set, folds to per-cohort
+    (n_cohort, n_retained) partials; the driver sums ≤ buckets × days
+    count rows."""
+    num_buckets = 8
+    day_ms = 86_400_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = pc.cast(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 1000), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = (ts // day_ms) * day_ms
+        df = pd.DataFrame({"user_id": user, "day": d}).drop_duplicates()
+        bucket = (
+            (df["user_id"].to_numpy().astype(np.uint64) * _PHI)
+            >> np.uint64(17)
+        ) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+                "day": pa.array(df["day"].to_numpy(), type=pa.int64()),
+                "bucket": pa.array(bucket.astype(np.int32)),
+            }
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], type=pa.int64()),
+                "n_cohort": pa.array([], type=pa.int64()),
+                "n_retained_7d": pa.array([], type=pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas().drop_duplicates(["user_id", "day"])
+        first = df.groupby("user_id", as_index=False)["day"].min().rename(
+            columns={"day": "cohort_day"}
+        )
+        first["target"] = first["cohort_day"] + 7 * day_ms
+        hit = first.merge(
+            df.rename(columns={"day": "target"}), on=["user_id", "target"],
+            how="left", indicator=True,
+        )
+        hit["ret"] = (hit["_merge"] == "both").astype(np.int64)
+        g = hit.groupby("cohort_day", as_index=False).agg(
+            n_cohort=("user_id", "size"), n_retained_7d=("ret", "sum")
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(g["cohort_day"].to_numpy(),
+                                       type=pa.int64()),
+                "n_cohort": pa.array(
+                    g["n_cohort"].to_numpy().astype(np.int64)
+                ),
+                "n_retained_7d": pa.array(
+                    g["n_retained_7d"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    ds = _read_events_users(sf_dir, ["ts", "user_id"])
+    parts = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "bucket", num_buckets, reduce_fn,
+    ).to_pandas()
+    out = (
+        parts.groupby("cohort_day", as_index=False)[
+            ["n_cohort", "n_retained_7d"]
+        ]
+        .sum()
+        .sort_values("cohort_day")
+        .reset_index(drop=True)
+    )
+    out["n_cohort"] = out["n_cohort"].astype(np.int64)
+    out["n_retained_7d"] = out["n_retained_7d"].astype(np.int64)
+    return out
+
+
 def q_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered-sequence funnel per user: earliest ``view``, then the
     earliest ``click`` AT-OR-AFTER that view, then the earliest
@@ -748,6 +835,7 @@ QUERIES = {
     "events_locf_1m": q_locf_1m,
     "events_funnel": q_funnel,
     "events_new_users_1h": q_new_users_1h,
+    "events_retention_7d": q_retention_7d,
     "events_asof_purchase_view": q_asof_purchase_view,
 }
 
@@ -821,6 +909,22 @@ ORACLES = {
                avg_value IS NULL AS is_interp
         FROM f
         ORDER BY event_type, window_ts
+    """,
+    "events_retention_7d": """
+        WITH a AS (
+            SELECT user_id,
+                   (epoch_ms(ts) // 86400000) * 86400000 AS d
+            FROM events GROUP BY 1, 2
+        ),
+        f AS (SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY 1)
+        SELECT f.cohort_day,
+               CAST(COUNT(*) AS BIGINT) AS n_cohort,
+               CAST(SUM(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained_7d
+        FROM f LEFT JOIN a r
+          ON r.user_id = f.user_id
+         AND r.d = f.cohort_day + 7 * 86400000
+        GROUP BY 1 ORDER BY 1
     """,
     "events_new_users_1h": """
         WITH a AS (

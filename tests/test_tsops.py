@@ -677,3 +677,16 @@ def test_new_users_1h_matches_oracle_and_conserves_users(ray_session):
     # each user is new exactly once: sum of n_new = distinct users
     n_users = _oracle("SELECT COUNT(DISTINCT user_id) AS n FROM events")["n"][0]
     assert got["n_new"].sum() == n_users
+
+
+def test_retention_7d_matches_oracle(ray_session):
+    from pq_ray.pipelines.tsops import ORACLES, QUERIES
+
+    got = QUERIES["events_retention_7d"](SF)
+    exp = _oracle(ORACLES["events_retention_7d"])
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ["cohort_day", "n_cohort", "n_retained_7d"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (got["n_retained_7d"] <= got["n_cohort"]).all()
+    n_users = _oracle("SELECT COUNT(DISTINCT user_id) AS n FROM events")["n"][0]
+    assert got["n_cohort"].sum() == n_users  # every user in ONE cohort
