@@ -249,8 +249,9 @@ def q_dq_median_1h(sf_dir: str) -> pd.DataFrame:
 def q_dq_histq_1h(sf_dir: str) -> pd.DataFrame:
     """Distributed histogram_quantile proof (round 4): events lift into
     cumulative le-bucket series (le ∈ {10, 50, 100, +Inf}; each event
-    contributes one sample to every bucket with le ≥ value), then
-    ``histogram_quantile(0.9, count_over_time(m[1h]))`` runs with the
+    contributes a 0/1 indicator sample to EVERY bucket — zero-count
+    buckets must exist as series), then
+    ``histogram_quantile(0.9, sum_over_time(m[1h]))`` runs with the
     bucketQuantile interpolation inside the (tick, sig-without-le)
     exchange (`distributed.py::_dist_histogram_quantile`).  Exactness:
     bucket counts are exact integers on both sides, and the oracle

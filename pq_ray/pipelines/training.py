@@ -2348,22 +2348,30 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     )
     bench_ref = ray.put(bench)
 
-    def flag(df: pd.DataFrame) -> pd.DataFrame:
-        bset = ray.get(bench_ref)
-        sub = df[df["doc_id"] % _DECON_MOD != 0]
-        hits = [
-            len(grams_of(t.split(" ")) & bset) for t in sub["text"]
-        ]
-        return pd.DataFrame(
-            {
-                "doc_id": sub["doc_id"].to_numpy(),
-                "n_hits": np.asarray(hits, dtype=np.int64),
-                "contaminated": np.asarray(hits, dtype=np.int64) > 0,
-            }
-        )
+    class Flag:
+        """Actor-pool stage: the benchmark set deserializes ONCE per
+        actor in __init__ (a per-batch ray.get would re-unpickle the
+        whole set every batch — it is a plain Python set, not
+        zero-copy)."""
+
+        def __init__(self):
+            self.bset = ray.get(bench_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df["doc_id"] % _DECON_MOD != 0]
+            hits = [
+                len(grams_of(t.split(" ")) & self.bset) for t in sub["text"]
+            ]
+            return pd.DataFrame(
+                {
+                    "doc_id": sub["doc_id"].to_numpy(),
+                    "n_hits": np.asarray(hits, dtype=np.int64),
+                    "contaminated": np.asarray(hits, dtype=np.int64) > 0,
+                }
+            )
 
     return (
-        ds.map_batches(flag, batch_format="pandas")
+        ds.map_batches(Flag, batch_format="pandas", concurrency=2)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

@@ -945,6 +945,10 @@ def _dist_sort(name: str, child: DistVectorStream) -> DistVectorStream:
             t["value"].combine_chunks().to_numpy(zero_copy_only=False),
             dtype=np.float64,
         )
+        # normalize -0.0 → +0.0: the local stable argsort treats the two
+        # zeros as EQUAL ties (emission order preserved), so they must
+        # share one key here too
+        v = v + 0.0
         bits = v.view(np.uint64).copy()
         neg = np.signbit(v) & ~np.isnan(v)
         key = np.where(
@@ -954,10 +958,17 @@ def _dist_sort(name: str, child: DistVectorStream) -> DistVectorStream:
             key = np.invert(key)
         key[np.isnan(v)] = np.uint64(0xFFFFFFFFFFFFFFFF)
         kb = key.byteswap().view(np.uint8).reshape(-1, 8)  # big-endian
-        old = t["osig"].combine_chunks().to_pylist()
-        new = pa.array(
-            [kb[i].tobytes() + (old[i] or b"") for i in range(len(old))],
-            type=pa.binary(),
+        # vectorized prefix-concat: 8-byte key + old osig per row
+        prefix = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(8), len(v), [None, pa.py_buffer(kb.tobytes())]
+        ).cast(pa.binary())
+        old = pc.if_else(
+            pc.is_valid(t["osig"].combine_chunks()),
+            t["osig"].combine_chunks(),
+            pa.scalar(b"", type=pa.binary()),
+        )
+        new = pc.binary_join_element_wise(
+            prefix, old, pa.scalar(b"", type=pa.binary())
         )
         return t.set_column(
             t.schema.get_field_index("osig"), "osig", new
@@ -2531,7 +2542,10 @@ def _eval_dist(node, ctx: DistributedContext):
                         "instant", child.ticks, present, child.label_cols
                     )
                     return eng._eval_absent(stub, node)
-                if isinstance(child, VectorStream) and node.name == "absent":
+                if isinstance(child, VectorStream):
+                    # empty selector/subquery streams come back as local
+                    # empty vectors — same answer as the local engine
+                    # (a data-anchored grid over nothing is empty)
                     return eng._eval_absent(child, node)
                 raise QueryError(f"{node.name} expects a vector argument")
             if node.name in ("label_replace", "label_join"):

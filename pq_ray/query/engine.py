@@ -797,8 +797,10 @@ EXTENSION_FNS = {
 # stddev/stdvar/present ride the s2 partial, irate/idelta the newest-2
 # partial, deriv/predict_linear the (sx, sxx, sxy) fit sums, and
 # changes/resets/quantile_over_time/holt_winters the sample-stream
-# exchange (full chronological sequence per (sid, tick) group).  Only
-# the over-a-SUBQUERY forms of the non-mergeable kernels stay local.
+# exchange (full chronological sequence per (sid, tick) group) — and
+# SUBQUERIES under any of these take the same sample plan over the
+# inner step grid, so every kernel distributes for selector and
+# subquery arguments alike.
 EXT_OVER_TIME_FNS = {
     "stddev_over_time",
     "stdvar_over_time",

@@ -958,3 +958,56 @@ def test_distributed_elementwise_fn_stays_in_ray(ray_session, aligned_df):
         )
     point_collects = [c for c in calls if "value" in c and "osig" in c]
     assert len(point_collects) == 1, calls
+
+
+def test_distributed_sort_ties_on_signed_zero_keep_emission_order(ray_session):
+    """Regression: the osig value key must treat -0.0 == +0.0 like the
+    local stable argsort does (ties keep the child's emission order)."""
+    ts = np.array([1_700_000_000_100 + i for i in range(6)], dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "ts": ts,
+            "seq": np.arange(6, dtype=np.int64),
+            "name": ["m"] * 6,
+            "value": [0.0, -0.0, 3.0, 0.0, -1.0, -0.0],
+            "l_lab": list("abcdef"),
+            "l_job": ["x"] * 6,
+        }
+    )
+    for q in ("sort(m)", "sort_desc(m)"):
+        expr = parse_expr(q, extensions=True)
+        local = evaluate(
+            expr,
+            EvalContext(samples=df, label_cols=["job", "lab"], interval=1000,
+                        lookback=1000, extensions=True),
+        )
+        dist = evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(df).repartition(3),
+                               ["job", "lab"], 1000, 1000, num_buckets=2,
+                               extensions=True),
+        )
+        a = local.df.reset_index(drop=True)
+        b = dist.df.reset_index(drop=True)
+        assert (a["sig"].to_numpy() == b["sig"].to_numpy()).all(), q
+        assert (a["ord"].to_numpy() == b["ord"].to_numpy()).all(), q
+
+
+def test_distributed_absent_over_empty_selector_equals_local(ray_session, samples_df):
+    """Regression: absent/absent_over_time over a selector matching
+    NOTHING must return the local engine's empty result, not raise."""
+    for q in ("absent_over_time(nomatch[2s])", "absent(nomatch)"):
+        expr = parse_expr(q, extensions=True)
+        local = evaluate(
+            expr,
+            EvalContext(samples=samples_df, label_cols=["job", "lab"],
+                        interval=INTERVAL, lookback=INTERVAL,
+                        extensions=True),
+        )
+        dist = evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(samples_df).repartition(4),
+                               ["job", "lab"], INTERVAL, INTERVAL,
+                               num_buckets=4, extensions=True),
+        )
+        assert len(local.df) == 0 and len(dist.df) == 0, q

@@ -91,3 +91,46 @@ def test_compaction_merges_small_files_losslessly(ray_session, tmp_path):
     assert m["rows_out"] == before[0] and m["compacted"] is True
     rep2 = compact_tier(out, 1000, target_rows=10**9)
     assert rep2["merged_files"] == 0 and rep2["files_after"] == 1
+
+
+def test_compaction_rerun_with_new_files_never_loses_data(ray_session, tmp_path):
+    """Regression: a second compaction run used to restart the output
+    counter at 0, overwrite the prior run's compacted file with a bin
+    that INCLUDED it, then delete it as an input — losing the bin."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.retention import compact_tier
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_tokens_corpus(corpus, 200, seed=42)
+    run_cascade(corpus, out, tiers=[1000], num_buckets=4,
+                decode_batch_size=128)
+    tdir = tier_dir(out, 1000)
+    glob = f"{tdir}/*.parquet"
+
+    def total():
+        return duckdb.sql(
+            f"select count(*) from read_parquet('{glob}')"
+        ).fetchone()[0]
+
+    n0 = total()
+    compact_tier(out, 1000, target_rows=10**9)
+    # simulate a later incremental run adding small files
+    sample = pq.read_table(
+        os.path.join(tdir, sorted(
+            n for n in os.listdir(tdir) if n.endswith(".parquet"))[0])
+    )
+    extra_rows = 0
+    for i in range(3):
+        piece = sample.slice(i, 1)
+        pq.write_table(piece, os.path.join(tdir, f"later-{i}.parquet"))
+        extra_rows += piece.num_rows
+    assert total() == n0 + extra_rows
+    compact_tier(out, 1000, target_rows=10**9)
+    assert total() == n0 + extra_rows  # nothing lost
+    compact_tier(out, 1000, target_rows=10**9)
+    assert total() == n0 + extra_rows
