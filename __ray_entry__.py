@@ -27,55 +27,59 @@ from typing import Any
 
 # First 50 = one row per distinct operator family, every one
 # oracle-hashable except media_features (no SQL for binary payload
-# feature extraction, by design).  Tail = redundant green variants
-# (embed_clusters, token_bpe, dedup_keep, ann_topk_multi, embed_neardup,
-# events_spikes_1m — their op families are represented in-window by a
-# sibling) and the rows-only sketches whose bounds are pytest-pinned
-# (simhash/fingerprints/ann_ivf).  events_ewma_1m gained a bitwise
-# recursive-CTE oracle in round 4 (tsops._ewma_oracle_sql) and moved
-# in-window.
+# feature extraction, by design).  Round-5 rotation (VERDICT r4 #3):
+# the full-outer join, the growth-analytics family (funnel / new-users
+# / D+7 retention), LOCF and TF-IDF move IN-window; the slots come from
+# redundant siblings now in the tail — dq_changes_1h/dq_median_1h ride
+# the same sample-stream exchange proven by dq_histq_1h (and
+# events_changes_1h / pq_quantile09 hold the changes/quantile
+# families), events_interp_1m rides events_gapfill_1m's dense spine,
+# events_irate_1h/events_dod_delta ride events_rate_1h's tier exchange,
+# and jaccard_pairs is the quadratic oracle anchor of the in-window
+# minhash_pairs.  Tail entries keep pytest coverage and appear in the
+# builder's full-surface sf0.1 replay (jobs/correctness_draw.py).
 _ORDER = [
-    # join surface + log ingestion + curation + multimodal (unrecorded in r03)
+    # join surface + log ingestion + curation + multimodal
     "tpch_q1", "tpch_rev_by_nation", "tpch_building_orders",
-    "tpch_quiet_customers",
+    "tpch_quiet_customers", "rel_users_outer_customers",
     "logs_sum_by_event_1s", "logs_logfmt_sum_1s",
     "curate_corpus",
     "media_features",
-    # distributed query combinators (round 4: VERDICT r3 #4/#9; the
-    # topk/logical/grouped proofs land the formerly-local shapes;
-    # changes/median prove the sample-stream kernel exchange)
+    # distributed query combinators (topk/logical/grouped shapes; histq
+    # proves the sample-stream kernel exchange)
     "dq_agg_div_1h", "dq_subquery_sum_1h",
     "dq_topk2_1h", "dq_unless_avg_1h", "dq_group_share_1h",
-    "dq_changes_1h", "dq_median_1h", "dq_histq_1h",
+    "dq_histq_1h",
     # events rollup family (+ the Gorilla chunk-store read-path proof)
     "events_rollup_1m", "events_rollup_1h_cascade",
     "events_rollup_1h_gorilla", "events_first_last_1h",
     "events_rate_1h", "events_props_k", "events_gapfill_1m",
     # extended time-series ops
-    "events_distinct_1h", "events_interp_1m",
+    "events_distinct_1h", "events_locf_1m",
     "events_asof_purchase_view",
     "events_sessions",
-    "events_regr_1h", "events_changes_1h", "events_irate_1h",
-    "events_dod_delta", "events_ewma_1m",
+    "events_regr_1h", "events_changes_1h", "events_ewma_1m",
+    # growth analytics (driver-recorded for the first time in round 5)
+    "events_funnel", "events_new_users_1h", "events_retention_7d",
     # pq tick-grid queries
     "pq_sum_by_event_1m", "pq_stddev_by_event_1h",
     "pq_quantile09_by_event_1h", "pq_topk3_1h",
     "pq_count_over_time_5m",
     # training-data ops
-    "dedup_exact", "jaccard_pairs", "minhash_pairs", "token_stats",
+    "dedup_exact", "minhash_pairs", "token_stats",
     "lang_quality", "ann_topk", "ann_ivf_multi", "embed_neardup_lsh",
     "dedup_clusters", "repetition_filter", "stratified_sample",
-    "vocab_topk", "decontaminate",
+    "vocab_topk", "tfidf_topterm", "decontaminate",
     # ---- position 51+: recorded only if the driver takes >50 ----
     # (hll / topusers_mg / quantile_sample are oracle-hashable sketch
     # siblings whose EXACT counterparts hold the in-window family slot;
-    # pq_max rides pq_sum's instant-rollup exchange, tfidf_topterm
-    # rides vocab_topk's document-frequency exchange, events_quantile's
-    # family is held by dq_median_1h + pq_quantile09_by_event_1h)
-    "pq_max_by_event_1h", "tfidf_topterm", "events_quantile_1h",
+    # pq_max rides pq_sum's instant-rollup exchange; jaccard_pairs is
+    # minhash_pairs' exact anchor; interp rides gapfill; irate/dod ride
+    # rate; dq_changes/dq_median ride dq_histq's sample-stream exchange)
+    "jaccard_pairs", "dq_changes_1h", "dq_median_1h",
+    "events_interp_1m", "events_irate_1h", "events_dod_delta",
+    "pq_max_by_event_1h", "events_quantile_1h",
     "events_spikes_1m", "events_hour_profile", "events_topusers_1h",
-    "events_locf_1m", "events_funnel", "rel_users_outer_customers",
-    "events_new_users_1h", "events_retention_7d",
     "events_hll_1h", "events_topusers_mg", "events_quantile_sample_1h",
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "simhash",
@@ -84,13 +88,23 @@ _ORDER = [
 
 
 def _modules():
-    from pq_ray.pipelines import (
-        curation, dq, events, logs, multimodal, pq_queries, relational,
-        training, tsops,
-    )
+    # Import each pipeline module independently: a single module whose
+    # optional dependency is missing degrades the surface to the
+    # remaining queries instead of taking down the whole driver (its
+    # _ORDER names are dropped by the callers' membership checks).
+    import importlib
 
-    return [relational, logs, curation, multimodal, dq, events, tsops,
-            pq_queries, training]
+    mods = []
+    for name in ("relational", "logs", "curation", "multimodal", "dq",
+                 "events", "tsops", "pq_queries", "training"):
+        try:
+            mods.append(importlib.import_module(f"pq_ray.pipelines.{name}"))
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            import sys
+
+            print(f"__ray_entry__: pipeline module {name!r} unavailable "
+                  f"({exc}); its queries are dropped", file=sys.stderr)
+    return mods
 
 
 def entry() -> Any:
@@ -124,9 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     merged: dict[str, Callable[[str], Any]] = {}
     for mod in _modules():
         merged.update(mod.QUERIES)
-    missing = [n for n in _ORDER if n not in merged]
-    assert not missing, f"_ORDER names without an implementation: {missing}"
-    out = {n: merged[n] for n in _ORDER}
+    # _ORDER names whose module failed to import are dropped (degraded
+    # surface) rather than asserted — tests pin that a full environment
+    # yields zero missing names.
+    out = {n: merged[n] for n in _ORDER if n in merged}
     # safety net: anything registered but not in _ORDER still ships (at
     # the end) rather than silently vanishing from the driver surface
     for n, fn in merged.items():

@@ -191,10 +191,15 @@ def main() -> None:
     rd.read_parquet(CORPUS_DIR).count()
 
     # min-of-2: the sandbox VM shows bursty 2-3x wall-time inflation at
-    # fixed configuration (BASELINE.md); one repeat filters most of it
+    # fixed configuration (BASELINE.md); one repeat filters most of it.
+    # Every draw's wall time is recorded in the output ("draws") so a
+    # headline is interpretable as min-of-N — the adaptive re-draws
+    # below make N vary between runs (ADVICE r4).
     headline = run_headline()
+    draws = [round(headline["sec"], 3)]
     if os.environ.get("GRAFT_BENCH_REPS", "2") == "2":
         second = run_headline()
+        draws.append(round(second["sec"], 3))
         if second["sec"] < headline["sec"]:
             headline = second
         # adaptive burst re-draws: if the draw sits clearly above the
@@ -202,12 +207,11 @@ def main() -> None:
         # first-touch throttle likely hit both reps; up to two more
         # attempts recover a quiet number when the flap window allows
         quiet_ceiling = 6.0 * (BENCH_DOCS / 1_000_000)
-        extra = 0
-        while headline["sec"] > quiet_ceiling > 0 and extra < 2:
+        while headline["sec"] > quiet_ceiling > 0 and len(draws) < 4:
             again = run_headline()
+            draws.append(round(again["sec"], 3))
             if again["sec"] < headline["sec"]:
                 headline = again
-            extra += 1
     queries = run_queries() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" else {}
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1":
         queries.update(run_training_queries())
@@ -222,6 +226,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "bench_docs": BENCH_DOCS,
+                "draws": draws,
                 "raw_samples": headline["raw_samples"],
                 "samples_per_sec": round(headline["samples_per_sec"]),
                 "tier_rows": headline["tier_rows"],

@@ -300,13 +300,37 @@ def aligned_df():
 JOIN_QUERIES = [
     "sum(m) by (lab) + on(lab) min(k) by (lab)",
     "sum(m) by (lab) / on(lab) count(k) by (lab)",
-    "sum(m) by (lab, job) * ignoring(job) sum(k) by (lab)"
-    if False else "sum(m) by (lab) - on(lab) sum(k) by (lab)",
+    "sum(m) by (lab) - on(lab) sum(k) by (lab)",
     "sum(m) by (lab) > on(lab) sum(k) by (lab)",
     "sum(m) by (lab) >= bool on(lab) sum(k) by (lab)",
     "sum_over_time(m[3s]) + on(lab, job) sum_over_time(k[3s])",
     "avg(m) by (job) + on(job) max(k) by (job)",
 ]
+
+
+def test_distributed_join_many_to_one_raises(ray_session, aligned_df):
+    """ignoring(job) on a (lab, job)-grouped left collapses several left
+    series onto one right signature: one-to-one matching must raise in
+    BOTH engines (the reference panics; we surface VectorMatchingError —
+    the distributed engine re-raises it from the exchange gather task
+    wrapped in RayTaskError)."""
+    from pq_ray.query.engine import VectorMatchingError
+
+    q = "sum(m) by (lab, job) * ignoring(job) sum(k) by (lab)"
+    expr = parse_expr(q)
+    with pytest.raises(VectorMatchingError, match="many-to-one"):
+        evaluate(
+            expr,
+            EvalContext(samples=aligned_df, label_cols=["job", "lab"],
+                        interval=INTERVAL, lookback=INTERVAL),
+        )
+    with pytest.raises(Exception, match="many-to-one"):
+        evaluate_distributed(
+            expr,
+            DistributedContext(rd.from_pandas(aligned_df).repartition(6),
+                               ["job", "lab"], INTERVAL, INTERVAL,
+                               num_buckets=8),
+        )
 
 
 @pytest.mark.parametrize("q", JOIN_QUERIES)
@@ -667,7 +691,8 @@ LOGICAL_QUERIES = [
     "m unless on(lab) (sum(k) by (lab) >= 100)",
     "m or k",
     'sum(m) by (lab) or sum(k) by (lab, job)',
-    "(m > 50) and (k < 40)" if False else "m > 50 and on(lab, job) k",
+    "m > 50 and on(lab, job) k",
+    "(m > 50) and (k < 40)",
 ]
 
 

@@ -135,6 +135,18 @@ def test_driver_contract_includes_relational():
         assert name in qs and name in os_
 
 
+def test_driver_order_fully_implemented():
+    """In a full environment every _ORDER name must resolve — the
+    import-tolerant _modules() would otherwise silently shrink the
+    driver surface (ImportError degradation is for broken optional
+    deps only)."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    missing = [n for n in e._ORDER if n not in qs]
+    assert not missing, f"_ORDER names without an implementation: {missing}"
+
+
 # ---------------------------------------------------------------------------
 # skew salting (explicit hot-key split, per the north rule)
 # ---------------------------------------------------------------------------
