@@ -49,7 +49,9 @@ def run_headline() -> dict:
         corpus_path=CORPUS_DIR,
         out_dir=TIER_DIR,
         tiers=TIERS,
-        num_buckets=max(32, NUM_CPUS * 2),
+        num_buckets=None,  # scale-adaptive (stages/sizing.cascade_buckets):
+        # CPU-matched floor = the old max(32, 2*cpus) at bench scale,
+        # growing with estimated corpus samples past ~770M
     )
     elapsed = time.perf_counter() - t0
     return {

@@ -213,6 +213,25 @@ def narrow_precombine(t: "pa.Table") -> "pa.Table":
     )
 
 
+def wide_precombine(t: "pa.Table") -> "pa.Table":
+    """Associative tree-gather combine for the WIDE exchange schema:
+    collapse duplicate (series_id, window_ts) partial rows.  Exact —
+    np_combine_partials merges the mergeable struct — and re-combinable,
+    so intermediate gather levels can apply it repeatedly."""
+    import pyarrow as pa
+
+    if t.num_rows == 0:
+        return t.select([c for c in NUMERIC_COLS if c in t.schema.names])
+    cols = {
+        c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+        for c in NUMERIC_COLS
+    }
+    out = np_combine_partials(cols)
+    tbl = {c: pa.array(out[c]) for c in NUMERIC_COLS}
+    tbl["series_id"] = pa.array(out["series_id"], type=pa.uint64())
+    return pa.table(tbl)
+
+
 def _cascade_reduce_fn(tiers: list[int], narrow: bool = False, first_rewindow: bool = False):
     """Arrow-in/Arrow-out per-bucket reduce for the hash exchange:
     combine 1s partials, then derive every coarser tier in-memory."""
@@ -323,7 +342,7 @@ def run_cascade(
     out_dir: str,
     tiers: list[int] | None = None,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     decode_batch_size: int = 8192,
     decode_concurrency: int | tuple | None = None,
     chunk_min_tier_ms: int = 60_000,
@@ -340,6 +359,14 @@ def run_cascade(
     for a, b in zip(tiers, tiers[1:]):
         assert b % a == 0, f"tiers must nest: {b} % {a} != 0"
     os.makedirs(out_dir, exist_ok=True)
+
+    if num_buckets is None:
+        # scale-adaptive: CPU-matched floor (unchanged at bench scale),
+        # growing ~1 bucket per 24M estimated raw samples from parquet
+        # footer metadata + a sampled mean n_tok (stages/sizing.py)
+        from ..stages.sizing import cascade_buckets
+
+        num_buckets = cascade_buckets(corpus_path)
 
     # decode_concurrency=None (default) → task pool with per-worker
     # cached decoder state; an integer opts into an actor pool (only
@@ -493,13 +520,25 @@ def run_cascade(
             pre_reduce=narrow_precombine if use_narrow else None,
         )
         reduce_fn = _cascade_reduce_fn(fine_tiers, narrow=use_narrow)
-        gathered = [
-            _combine_attach_write.remote(
-                reduce_fn, points_root, i, label_ref, keep_tiers, tiers[0],
-                *[split_refs[j][i] for j in range(len(split_refs))],
+        # tree gather (VERDICT r4 #1): past GATHER_FANIN split parts per
+        # bucket, intermediate combine tasks collapse duplicate keys
+        # (narrow_precombine in the narrow domain, wide_precombine
+        # otherwise) so the final fused gather never concatenates the
+        # whole raw bucket in one task
+        from ..stages.exchange import GATHER_FANIN, tree_combine_parts
+
+        tree_combine = narrow_precombine if use_narrow else wide_precombine
+        gathered = []
+        for i in range(num_buckets):
+            parts = [split_refs[j][i] for j in range(len(split_refs))]
+            if len(parts) > GATHER_FANIN:
+                parts = tree_combine_parts(parts, tree_combine)
+            gathered.append(
+                _combine_attach_write.remote(
+                    reduce_fn, points_root, i, label_ref, keep_tiers,
+                    tiers[0], *parts,
+                )
             )
-            for i in range(num_buckets)
-        ]
         stat_refs = [g[0] for g in gathered]
         keep_refs = [g[1] for g in gathered]
         bucket_stat_rows = ray.get(stat_refs)  # barrier: all tiers written

@@ -34,6 +34,7 @@ import ray.data as rd
 
 from ..query.distributed import DistributedContext, evaluate_distributed
 from ..query.parser import parse_expr
+from ..stages.sizing import buckets_for_table
 from ..sources.readers import small_input_blocks
 
 HOUR_MS = 3_600_000
@@ -92,7 +93,7 @@ def q_dq_agg_div_1h(sf_dir: str) -> pd.DataFrame:
     )
     ctx = DistributedContext(
         _events_samples_ds(sf_dir), ["event", "u16"],
-        HOUR_MS, HOUR_MS, num_buckets=8,
+        HOUR_MS, HOUR_MS, num_buckets=buckets_for_table(sf_dir, "events"),
     )
     vs = evaluate_distributed(expr, ctx)
     out = vs.df[["tick", "l_event", "value"]].rename(
@@ -112,7 +113,8 @@ def q_dq_subquery_sum_1h(sf_dir: str) -> pd.DataFrame:
     )
     ctx = DistributedContext(
         _events_samples_ds(sf_dir), ["event", "u16"],
-        MINUTE_MS, MINUTE_MS, num_buckets=8, extensions=True,
+        MINUTE_MS, MINUTE_MS, num_buckets=buckets_for_table(sf_dir, "events"),
+        extensions=True,
     )
     vs = evaluate_distributed(expr, ctx)
     out = vs.df[["tick", "l_event", "value"]].rename(
@@ -135,7 +137,7 @@ def q_dq_topk2_1h(sf_dir: str) -> pd.DataFrame:
     )
     ctx = DistributedContext(
         _events_samples_ds(sf_dir), ["event", "u16"],
-        HOUR_MS, HOUR_MS, num_buckets=8,
+        HOUR_MS, HOUR_MS, num_buckets=buckets_for_table(sf_dir, "events"),
     )
     vs = evaluate_distributed(expr, ctx)
     out = vs.df[["tick", "l_event", "l_u16", "value"]].rename(
@@ -161,7 +163,8 @@ def q_dq_unless_avg_1h(sf_dir: str) -> pd.DataFrame:
     )
     ctx = DistributedContext(
         _events_samples_ds(sf_dir), ["event", "u16"],
-        HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+        HOUR_MS, HOUR_MS, num_buckets=buckets_for_table(sf_dir, "events"),
+        extensions=True,
     )
     vs = evaluate_distributed(expr, ctx)
     out = vs.df[["tick", "l_event", "l_u16", "value"]].rename(
@@ -188,7 +191,8 @@ def q_dq_group_share_1h(sf_dir: str) -> pd.DataFrame:
     )
     ctx = DistributedContext(
         _events_samples_ds(sf_dir), ["event", "u16"],
-        HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+        HOUR_MS, HOUR_MS, num_buckets=buckets_for_table(sf_dir, "events"),
+        extensions=True,
     )
     vs = evaluate_distributed(expr, ctx)
     out = vs.df[["tick", "l_event", "l_u16", "value"]].rename(
@@ -211,7 +215,8 @@ def q_dq_changes_1h(sf_dir: str) -> pd.DataFrame:
     expr = parse_expr("sum(changes(m[1h])) by (event)", extensions=True)
     ctx = DistributedContext(
         _events_samples_ds(sf_dir), ["event", "u16"],
-        HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+        HOUR_MS, HOUR_MS, num_buckets=buckets_for_table(sf_dir, "events"),
+        extensions=True,
     )
     vs = evaluate_distributed(expr, ctx)
     out = vs.df[["tick", "l_event", "value"]].rename(
@@ -236,7 +241,8 @@ def q_dq_median_1h(sf_dir: str) -> pd.DataFrame:
     )
     ctx = DistributedContext(
         _events_samples_ds(sf_dir), ["event", "u16"],
-        HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+        HOUR_MS, HOUR_MS, num_buckets=buckets_for_table(sf_dir, "events"),
+        extensions=True,
     )
     vs = evaluate_distributed(expr, ctx)
     out = vs.df[["tick", "l_event", "value"]].rename(
@@ -310,7 +316,8 @@ def q_dq_histq_1h(sf_dir: str) -> pd.DataFrame:
     )
     ctx = DistributedContext(
         ds.map_batches(to_buckets, batch_format="pyarrow"),
-        ["event", "le"], HOUR_MS, HOUR_MS, num_buckets=8, extensions=True,
+        ["event", "le"], HOUR_MS, HOUR_MS, num_buckets=buckets_for_table(sf_dir, "events"),
+        extensions=True,
     )
     vs = evaluate_distributed(expr, ctx)
     out = vs.df[["tick", "l_event", "value"]].rename(

@@ -21,6 +21,7 @@ import ray.data as rd
 
 from ..sources.readers import small_input_blocks
 from ..stages.rollup import window_floor
+from ..stages.sizing import buckets_for_table
 
 MINUTE_MS = 60_000
 HOUR_MS = 3_600_000
@@ -92,7 +93,10 @@ def rollup_events_numeric(sf_dir: str, interval_ms: int = MINUTE_MS):
 
     ds = read_events(sf_dir)
     samples = ds.map_batches(_to_samples, batch_format="pyarrow")
-    pts = rollup_numeric(samples, interval_ms, num_buckets=16)
+    pts = rollup_numeric(
+        samples, interval_ms,
+        num_buckets=buckets_for_table(sf_dir, "events", min_buckets=16),
+    )
     return pts, _event_type_map(sf_dir)
 
 
@@ -386,7 +390,9 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
 
     samples = read_events(sf_dir).map_batches(_to_samples, batch_format="pyarrow")
     dense = rollup_numeric(
-        samples, MINUTE_MS, num_buckets=8, key="series", post_reduce=fill
+        samples, MINUTE_MS,
+        num_buckets=buckets_for_table(sf_dir, "events"),
+        key="series", post_reduce=fill
     ).to_pandas()
     label_df = _event_type_map(sf_dir)
     out = dense.merge(label_df, on="series_id", sort=False)

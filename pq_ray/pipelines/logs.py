@@ -224,7 +224,7 @@ def run_log_query(
     lookback_ms: int | None = None,
     since_ms: int | None = None,
     until_ms: int | None = None,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     extensions: bool = False,
     formatter: bool = True,
     split_bytes: int = _DEFAULT_SPLIT_BYTES,
@@ -298,6 +298,19 @@ def run_log_query(
 
     interval = interval_ms or find_smallest_range_ms(ast.query) or DEFAULT_INTERVAL_MS
     lookback = lookback_ms or interval
+    if num_buckets is None:
+        # adaptive (stages/sizing.py): the exchange carries per-(series,
+        # window) partials of the decoded sample stream — size it to the
+        # total input bytes (64 MB of raw logs per bucket floor-8)
+        from ..stages.sizing import suggest_buckets
+
+        total_bytes = 0
+        for p in ([paths] if isinstance(paths, (str, os.PathLike)) else paths):
+            try:
+                total_bytes += os.path.getsize(p)
+            except OSError:
+                pass
+        num_buckets = suggest_buckets(total_bytes, rows_per_bucket=64 << 20)
     ctx = DistributedContext(
         samples, label_cols, interval, lookback,
         start_at=since_ms, num_buckets=num_buckets, extensions=extensions,

@@ -29,6 +29,14 @@ import ray.data as rd
 
 from ..model import stable_hash64
 from ..sources.readers import small_input_blocks
+from ..stages.sizing import buckets_for_table
+
+def _nb(sf_dir: str) -> int:
+    """Adaptive exchange width for the events-table tick grids
+    (stages/sizing.py): 16 at every test scale, growing with the
+    parquet footer row count at 100x."""
+    return buckets_for_table(sf_dir, "events", min_buckets=16)
+
 
 MINUTE = 60_000
 HOUR = 3_600_000
@@ -78,20 +86,111 @@ def _t0(samples) -> int | None:
     return None if m is None else int(m)
 
 
-def _instant_points_ds(samples, t0: int, interval: int):
+def _exploded_instant_partials(samples, first: int, interval: int,
+                               lookback: int, num_buckets: int):
+    """General-lookback instant grid (VERDICT r4 #5): when lookback >
+    interval a sample is the candidate "latest in (T-lookback, T]" for
+    SEVERAL ticks — ceil(lookback/interval) of them — so the fast
+    one-window rollup no longer applies.  Explode each sample into its
+    covering ticks INSIDE map_batches (the q_pq_count_over_time_5m
+    pattern), partial-aggregate per (series, tick) in-batch with the
+    shared np_partial_agg kernel (last_ts/last_v carry the latest
+    sample), and exchange on hash(series, tick).  Output schema matches
+    rollup_numeric's points with window_ts = the tick itself."""
+    from ..stages.exchange import hash_exchange
+    from ..stages.rollup import AGG_COLS, np_combine_partials, np_partial_agg
+
+    numeric_cols = ["series_id", "window_ts", *AGG_COLS]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "series_id": pa.array([], type=pa.uint64()),
+                    "window_ts": pa.array([], type=pa.int64()),
+                    **{
+                        c: pa.array(
+                            [], type=pa.int64()
+                            if c in ("count", "first_ts", "last_ts")
+                            else pa.float64()
+                        )
+                        for c in AGG_COLS
+                    },
+                    "bucket": pa.array([], type=pa.int32()),
+                }
+            )
+        ts = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        val = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sid = t["series_id"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        # sample at ts covers grid ticks T = first + k*I with
+        # T - lookback < ts <= T  ⟺  k_lo <= k <= k_hi below (k >= 0)
+        k_lo = np.maximum(np.ceil((ts - first) / interval).astype(np.int64), 0)
+        k_hi = (ts + lookback - 1 - first) // interval
+        reps = np.maximum(k_hi - k_lo + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(len(ts), dtype=np.int64), reps)
+        within = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        tick = first + (np.repeat(k_lo, reps) + within) * interval
+        out = np_partial_agg(sid[idx], tick, ts[idx], val[idx])
+        h = out["series_id"] ^ (out["window_ts"].astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        ))
+        cols = {k: pa.array(v) for k, v in out.items()}
+        cols["series_id"] = pa.array(out["series_id"], type=pa.uint64())
+        cols["bucket"] = pa.array(
+            ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(np.int32)
+        )
+        return pa.table(cols)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([c for c in numeric_cols if c in t.schema.names])
+        cols = {
+            c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            for c in numeric_cols
+        }
+        out = np_combine_partials(cols)
+        tbl = {c: pa.array(out[c]) for c in numeric_cols}
+        tbl["series_id"] = pa.array(out["series_id"], type=pa.uint64())
+        return pa.table(tbl)
+
+    bucketed = samples.map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(
+        bucketed, "bucket", num_buckets, reduce_fn, combine_fn=reduce_fn
+    )
+
+
+def _instant_points_ds(samples, t0: int, interval: int,
+                       lookback: int | None = None, num_buckets: int = 16):
     """Per (tick, series) instant-vector points as a DATASET (VERDICT r3
-    #5): the value is the latest sample in (tick-interval, tick] —
+    #5): the value is the latest sample in (tick-lookback, tick] —
     last_v of the offset-aligned window partial.  Labels re-attach in a
     map stage from the tiny broadcast series_id → (event_type, user_mod)
     map, and each row gets a hash(tick) bucket so a per-tick finalize
     kernel can run INSIDE the next exchange's reduce — the driver never
     materializes the ticks x series points table.
 
-    tick = t0 + I - 1 + floor((ts - t0)/I)*I — every sample belongs to
-    exactly one tick when lookback == interval."""
+    lookback == interval (the default): tick = t0 + I - 1 +
+    floor((ts - t0)/I)*I — every sample belongs to exactly one tick, the
+    one-window rollup fast path.  lookback > interval: the multi-tick
+    explode (_exploded_instant_partials, VERDICT r4 #5)."""
     from ..stages.rollup import rollup_numeric
 
-    pts_ds = rollup_numeric(samples, interval, offset_ms=t0 % interval, num_buckets=16)
+    lookback = interval if lookback is None else lookback
+    first = t0 + min(lookback, interval) - 1
+    if lookback == interval:
+        pts_ds = rollup_numeric(
+            samples, interval, offset_ms=t0 % interval, num_buckets=num_buckets
+        )
+        tick_shift = interval - 1  # window start -> inclusive tick end
+    else:
+        pts_ds = _exploded_instant_partials(
+            samples, first, interval, lookback, num_buckets
+        )
+        tick_shift = 0  # window_ts IS the tick
     # the label map is |series|-bounded: _samples dedupes INSIDE each
     # batch (pyarrow group_by), so the driver collects at most
     # |blocks| x |series| rows, never per-sample label columns
@@ -126,7 +225,7 @@ def _instant_points_ds(samples, t0: int, interval: int):
         # pq tick = inclusive window end on the grid anchored at t0
         tick = (
             t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
-            + interval - 1
+            + tick_shift
         )
         h = tick.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         return pa.table(
@@ -136,7 +235,9 @@ def _instant_points_ds(samples, t0: int, interval: int):
                 "user_mod": pa.array(ums[idx], type=pa.string()),
                 "last_v": t["last_v"],
                 "bucket": pa.array(
-                    ((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32)
+                    ((h >> np.uint64(17)) % np.uint64(num_buckets)).astype(
+                        np.int32
+                    )
                 ),
             }
         )
@@ -145,15 +246,17 @@ def _instant_points_ds(samples, t0: int, interval: int):
 
 
 def _tick_finalize(samples, t0: int | None, interval: int, reduce_fn,
-                   empty: pd.DataFrame, sort_cols: list[str]) -> pd.DataFrame:
+                   empty: pd.DataFrame, sort_cols: list[str],
+                   lookback: int | None = None,
+                   num_buckets: int = 16) -> pd.DataFrame:
     """Instant points → ONE tick-keyed exchange whose reduce runs the
     per-tick aggregation kernel → small final table on the driver."""
     from ..stages.exchange import hash_exchange
 
     if t0 is None:  # empty selector match → empty output (reference)
         return empty
-    pts = _instant_points_ds(samples, t0, interval)
-    out = hash_exchange(pts, "bucket", 16, reduce_fn).to_pandas()
+    pts = _instant_points_ds(samples, t0, interval, lookback, num_buckets)
+    out = hash_exchange(pts, "bucket", num_buckets, reduce_fn).to_pandas()
     if out.empty:
         return empty
     return out.sort_values(sort_cols).reset_index(drop=True)
@@ -167,10 +270,15 @@ def _group_starts(tick: np.ndarray, codes: np.ndarray):
     return starts, counts
 
 
-def q_pq_sum_by_event_1m(sf_dir: str) -> pd.DataFrame:
-    """pq: ``sum(value) by (event_type)`` @ interval=lookback=1m.
-    The per-tick sum runs inside the exchange reduce (pyarrow hash
-    aggregate); round6 of a 2-decimal sum is tie-free."""
+def q_pq_sum_by_event_1m(
+    sf_dir: str, lookback: int | None = None
+) -> pd.DataFrame:
+    """pq: ``sum(value) by (event_type)`` @ interval 1m (lookback
+    defaults to the interval; lookback > interval takes the multi-tick
+    explode grid — VERDICT r4 #5, parity-tested against the local
+    engine at lookback=2m).  The per-tick sum runs inside the exchange
+    reduce (pyarrow hash aggregate); round6 of a 2-decimal sum is
+    tie-free."""
     samples = _samples(sf_dir)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
@@ -201,7 +309,8 @@ def q_pq_sum_by_event_1m(sf_dir: str) -> pd.DataFrame:
          "sum_value": pd.Series(dtype=np.float64)}
     )
     return _tick_finalize(samples, _t0(samples), MINUTE, reduce_fn, empty,
-                          ["tick", "event_type"])
+                          ["tick", "event_type"], lookback=lookback,
+                          num_buckets=_nb(sf_dir))
 
 
 def q_pq_max_by_event_1h(sf_dir: str) -> pd.DataFrame:
@@ -230,7 +339,8 @@ def q_pq_max_by_event_1h(sf_dir: str) -> pd.DataFrame:
          "max_value": pd.Series(dtype=np.float64)}
     )
     return _tick_finalize(samples, _t0(samples), HOUR, reduce_fn, empty,
-                          ["tick", "event_type"])
+                          ["tick", "event_type"],
+                          num_buckets=_nb(sf_dir))
 
 
 def q_pq_topk3_1h(sf_dir: str) -> pd.DataFrame:
@@ -269,7 +379,8 @@ def q_pq_topk3_1h(sf_dir: str) -> pd.DataFrame:
          "value": pd.Series(dtype=np.float64)}
     )
     return _tick_finalize(samples, _t0(samples), HOUR, reduce_fn, empty,
-                          ["tick", "event_type", "user_mod"])
+                          ["tick", "event_type", "user_mod"],
+                          num_buckets=_nb(sf_dir))
 
 
 def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
@@ -288,6 +399,7 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
              "n": pd.Series(dtype=np.int64)}
         )
     first = t0 + min(d, interval) - 1
+    nb = _nb(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -333,7 +445,7 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
                 "event_type": enc.dictionary.take(pa.array(nz % ncode)),
                 "n": pa.array(counts[nz].astype(np.int64)),
                 "bucket": pa.array(
-                    ((h >> np.uint64(17)) % np.uint64(16)).astype(np.int32)
+                    ((h >> np.uint64(17)) % np.uint64(nb)).astype(np.int32)
                 ),
             }
         )
@@ -351,7 +463,7 @@ def q_pq_count_over_time_5m(sf_dir: str) -> pd.DataFrame:
     from ..stages.exchange import hash_exchange
 
     partial = samples.map_batches(explode, batch_format="pyarrow")
-    out = hash_exchange(partial, "bucket", 16, reduce_counts).to_pandas()
+    out = hash_exchange(partial, "bucket", nb, reduce_counts).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["tick", "event_type"]).reset_index(drop=True)
 
@@ -395,7 +507,8 @@ def q_pq_stddev_by_event_1h(sf_dir: str) -> pd.DataFrame:
          "stddev_value": pd.Series(dtype=np.float64)}
     )
     return _tick_finalize(samples, _t0(samples), HOUR, reduce_fn, empty,
-                          ["tick", "event_type"])
+                          ["tick", "event_type"],
+                          num_buckets=_nb(sf_dir))
 
 
 def q_pq_quantile09_by_event_1h(sf_dir: str) -> pd.DataFrame:
@@ -438,7 +551,8 @@ def q_pq_quantile09_by_event_1h(sf_dir: str) -> pd.DataFrame:
          "q90_value": pd.Series(dtype=np.float64)}
     )
     return _tick_finalize(samples, _t0(samples), HOUR, reduce_fn, empty,
-                          ["tick", "event_type"])
+                          ["tick", "event_type"],
+                          num_buckets=_nb(sf_dir))
 
 
 _TICK_SQL = """

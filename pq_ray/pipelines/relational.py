@@ -46,6 +46,16 @@ import ray.data as rd
 
 from ..sources.readers import small_input_blocks
 from ..stages.join import broadcast_join, shuffle_join
+from ..stages.sizing import parquet_rows, suggest_buckets
+
+
+def _join_buckets(sf_dir: str, *tables: str) -> int:
+    """Shuffle-join width sized to the BIGGER side's parquet footer row
+    count (stages/sizing.py): 8 at every test scale, growing at 100x so
+    a bucket's build side stays worker-heap-sized."""
+    return suggest_buckets(
+        max(parquet_rows(f"{sf_dir}/{t}.parquet") for t in tables)
+    )
 
 
 def _read(sf_dir: str, table: str, columns: list[str]):
@@ -148,13 +158,15 @@ def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_tpch_rev_by_nation(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+def q_tpch_rev_by_nation(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
     """Order revenue per nation: orders ⋈ customer ⋈ nation.
 
     orders and customer both scale with SF → shuffle join (each side
     crosses the wire once, co-partitioned on custkey); nation is 25
     rows → broadcast.  The aggregate then folds per batch to ≤25 rows.
     """
+    if num_buckets is None:  # size to the bigger shuffle side (footer rows)
+        num_buckets = _join_buckets(sf_dir, "orders", "customer")
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     joined = shuffle_join(
@@ -304,7 +316,7 @@ ORACLES = {
 # ---------------------------------------------------------------------------
 
 
-def q_tpch_quiet_customers(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+def q_tpch_quiet_customers(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
     """Customers with NO urgent order, counted per nation.
 
     The NOT EXISTS side (urgent orders) scales with SF, so this is a
@@ -313,6 +325,8 @@ def q_tpch_quiet_customers(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
     nation name re-attach is a 25-row broadcast, and the final count
     folds per batch to ≤25 rows before the driver sees it.
     """
+    if num_buckets is None:
+        num_buckets = _join_buckets(sf_dir, "customer", "orders")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
@@ -370,7 +384,7 @@ ORACLES["tpch_quiet_customers"] = """
 """
 
 
-def q_rel_users_outer_customers(sf_dir: str, num_buckets: int = 8) -> pd.DataFrame:
+def q_rel_users_outer_customers(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
     """FULL OUTER shuffle join: per-user event counts ⟗ customers on
     user_id = c_custkey — the join type the TPC-H quartet doesn't
     exercise (customers with no events keep NULL-side event counts;
@@ -384,6 +398,8 @@ def q_rel_users_outer_customers(sf_dir: str, num_buckets: int = 8) -> pd.DataFra
 
     from ..sources.readers import small_input_blocks
 
+    if num_buckets is None:
+        num_buckets = _join_buckets(sf_dir, "events", "customer")
     path = f"{sf_dir}/events.parquet"
     events = rd.read_parquet(
         path, columns=["user_id"],

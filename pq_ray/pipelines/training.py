@@ -41,6 +41,7 @@ import ray.data as rd
 
 from ..sources.readers import small_input_blocks
 from ..stages.exchange import hash_exchange
+from ..stages.sizing import buckets_for_table
 
 JACCARD_TAU = 0.3
 COSINE_TAU = 0.45
@@ -1800,7 +1801,9 @@ def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     from ..stages.graph import connected_components
 
     pairs_ds = _jaccard_pairs_ds(_read_docs(sf_dir), JACCARD_TAU, MAX_DF)
-    labels = connected_components(pairs_ds, num_buckets=8)
+    labels = connected_components(
+        pairs_ds, num_buckets=buckets_for_table(sf_dir, "documents")
+    )
     lmap_ref = ray.put(dict(zip(labels["node"], labels["label"])))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
@@ -1839,7 +1842,9 @@ def q_embed_clusters(sf_dir: str, pair_source: str = "lsh") -> pd.DataFrame:
         pairs_ds = rd.from_pandas(q_embed_neardup(sf_dir)[["a", "b"]])
     else:  # pragma: no cover
         raise ValueError(f"unknown pair_source {pair_source!r}")
-    labels = connected_components(pairs_ds, num_buckets=8)
+    labels = connected_components(
+        pairs_ds, num_buckets=buckets_for_table(sf_dir, "embeddings")
+    )
     lmap_ref = ray.put(dict(zip(labels["node"], labels["label"])))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
@@ -2141,7 +2146,9 @@ ORACLES["stratified_sample"] = """
 # ---------------------------------------------------------------------------
 
 
-def q_vocab_topk(sf_dir: str, k: int = 100, num_buckets: int = 8) -> pd.DataFrame:
+def q_vocab_topk(
+    sf_dir: str, k: int = 100, num_buckets: int | None = None
+) -> pd.DataFrame:
     """The K most frequent tokens across the corpus, with exact counts.
 
     Map side: each batch collapses to its DISTINCT (token, count) pairs
@@ -2152,6 +2159,8 @@ def q_vocab_topk(sf_dir: str, k: int = 100, num_buckets: int = 8) -> pd.DataFram
     top-K; the driver merges ≤ K×num_buckets candidates.  Ordering is
     deterministic: count DESC, token ASC.
     """
+    if num_buckets is None:  # vocabulary-sized exchange (footer rows)
+        num_buckets = buckets_for_table(sf_dir, "documents")
     ds = _read_docs(sf_dir)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

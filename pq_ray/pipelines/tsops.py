@@ -36,6 +36,7 @@ import ray.data as rd
 
 from ..sources.readers import small_input_blocks
 from ..stages.exchange import hash_exchange
+from ..stages.sizing import buckets_for_table
 from ..stages.rollup import window_floor
 from .events import MINUTE_MS, _event_type_map, _to_samples, read_events
 
@@ -104,7 +105,7 @@ def q_distinct_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
     triples — at scale the dedup factor is the per-batch repeat rate),
     reduce side dedups across batches and counts per group.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -223,7 +224,7 @@ def q_hll_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
     the standard small-range linear-counting correction) runs on the
     combined registers inside the reduce.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -418,7 +419,8 @@ def q_interp_1m(sf_dir: str) -> pd.DataFrame:
         _to_samples, batch_format="pyarrow"
     ).map_batches(to_cents, batch_format="pyarrow")
     dense = rollup_numeric(
-        samples, MINUTE_MS, num_buckets=8, key="series", post_reduce=fill
+        samples, MINUTE_MS, num_buckets=buckets_for_table(sf_dir, "events"),
+        key="series", post_reduce=fill
     ).to_pandas()
     out = dense.merge(_event_type_map(sf_dir), on="series_id", sort=False)
     return (
@@ -438,7 +440,7 @@ def q_new_users_1h(sf_dir: str) -> pd.DataFrame:
     sets, computes per-user first-window and folds to per-window
     (n_new, n_returning) partials; the driver sums ≤ buckets × windows
     count rows, never user-level data."""
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def partial(t: pa.Table) -> pa.Table:
         user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -515,7 +517,7 @@ def q_retention_7d(sf_dir: str) -> pd.DataFrame:
     membership of first-day+7 in the user's day set, folds to per-cohort
     (n_cohort, n_retained) partials; the driver sums ≤ buckets × days
     count rows."""
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
     day_ms = 86_400_000
 
     def partial(t: pa.Table) -> pa.Table:
@@ -604,7 +606,7 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
     vectorized groupby-min/merge passes, no per-user Python.  All
     values are integer ms, so the SQL chain of MIN-after joins matches
     bit-for-bit."""
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
     stages = ["view", "click", "purchase"]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -733,7 +735,8 @@ def q_locf_1m(sf_dir: str) -> pd.DataFrame:
         _to_samples, batch_format="pyarrow"
     ).map_batches(to_cents, batch_format="pyarrow")
     dense = rollup_numeric(
-        samples, MINUTE_MS, num_buckets=8, key="series", post_reduce=fill
+        samples, MINUTE_MS, num_buckets=buckets_for_table(sf_dir, "events"),
+        key="series", post_reduce=fill
     ).to_pandas()
     out = dense.merge(_event_type_map(sf_dir), on="series_id", sort=False)
     return (
@@ -759,7 +762,7 @@ def q_asof_purchase_view(sf_dir: str) -> pd.DataFrame:
     neither side is materialized globally — at 100 TB the only moved
     volume is the two pruned event streams.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def partial(t: pa.Table) -> pa.Table:
         # prune to the two joined event types before the wire
@@ -1034,7 +1037,7 @@ def q_topusers_1h(sf_dir: str, k: int = 3, interval_ms: int = HOUR_MS) -> pd.Dat
     per-bucket combine + one argsort per bucket for the top-k cut.
     The wire carries partial counts, not events.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1144,7 +1147,7 @@ def q_topusers_mg(
     100 TB job uses to DETECT hot keys for skew salting before any
     exact pass.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def trim(gkey, sid, win, usr, cnt):
         """Per (group): keep top-``counters`` users by (count, user_id)
@@ -1314,7 +1317,7 @@ def q_quantile_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
     the scale path).  The per-bucket reduce is one sort + three
     vectorized interpolated gathers, no per-group loop.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
     qs = (0.5, 0.9, 0.99)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1407,7 +1410,7 @@ def q_quantile_sample_1h(
     story.  Sample-quantile error is O(1/sqrt(m)) in rank space; the
     pytest pins it on the testdata.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1534,7 +1537,7 @@ def q_sessions(sf_dir: str, gap_ms: int = SESSION_GAP_MS) -> pd.DataFrame:
     aggregates from reduceat segments.  Output matches the SQL oracle's
     lag()/cumulative-sum formulation row for row.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def partial(t: pa.Table) -> pa.Table:
         user = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -1650,7 +1653,7 @@ def q_regr_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
     streaming covar bit-for-bit after 6-digit rounding.  The oracle SQL
     centers x identically.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
     PCOLS = ["n", "mx", "my", "sxx", "sxy", "syy"]
 
     def _empty(extra: dict) -> pa.Table:
@@ -1815,7 +1818,7 @@ def q_changes_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
     on the raw microsecond timestamp break by event_id, matching the
     oracle's ORDER BY ts, event_id.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1942,7 +1945,7 @@ def q_irate_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
     Δt_seconds; the PromQL counter-reset special case is out of scope
     and the oracle SQL states the same definition.
     """
-    num_buckets = 8
+    num_buckets = buckets_for_table(sf_dir, "events")
 
     def _wire_empty() -> pa.Table:
         return pa.table(
@@ -2231,7 +2234,9 @@ def q_ewma_1m(sf_dir: str, alpha: float = 0.3) -> pd.DataFrame:
     samples = read_events(sf_dir).map_batches(
         _to_samples, batch_format="pyarrow"
     ).map_batches(to_cents, batch_format="pyarrow")
-    pts = rollup_numeric(samples, MINUTE_MS, num_buckets=16)
+    pts = rollup_numeric(
+        samples, MINUTE_MS, num_buckets=buckets_for_table(sf_dir, "events")
+    )
     label_df = _event_type_map(sf_dir)
 
     def tag(t: pa.Table) -> pa.Table:

@@ -22,7 +22,13 @@ partitioned write) stay in Ray Data.
 Partitioning assumption (documented per the build rules): the reduce
 function sees ALL rows of a bucket at once, so a bucket must fit a
 worker's heap — callers size ``num_buckets`` accordingly (cascade
-buckets are bounded by |series| x |coarsest windows| partial rows).
+buckets are bounded by |series| x |coarsest windows| partial rows),
+with ``stages.sizing`` deriving counts from parquet metadata at scale.
+When a bucket accumulates many split parts AND the caller provides an
+associative ``combine_fn``, the gather grows a tree: intermediate
+combine tasks collapse duplicate keys ``gather_fanin`` parts at a time,
+so the final reduce concatenates at most ``gather_fanin`` already-
+combined tables instead of the whole raw bucket (VERDICT r4 #1).
 """
 
 from __future__ import annotations
@@ -92,6 +98,27 @@ def bucket_row_counts(out_refs) -> list[int]:
     return ray.get([_block_rows.remote(r) for r in out_refs])
 
 
+# Default tree-gather fan-in: a final reduce concatenates at most this
+# many part tables.  48 parts x ~worker-block size stays well inside a
+# worker heap while keeping the tree one level deep until ~2300 splits.
+GATHER_FANIN = 48
+
+
+def tree_combine_parts(parts: list, combine_fn, fanin: int = GATHER_FANIN) -> list:
+    """Collapse a bucket's part list level-by-level with an associative
+    ``combine_fn`` (arrow table -> arrow table, duplicate-key-collapsing)
+    until at most ``fanin`` parts remain.  Each intermediate task concats
+    ``fanin`` parts and combines them, so no single task ever sees the
+    whole raw bucket.  Returns the (possibly original) part-ref list for
+    the caller's final gather."""
+    while len(parts) > fanin:
+        parts = [
+            _gather.remote(combine_fn, *parts[k : k + fanin])
+            for k in range(0, len(parts), fanin)
+        ]
+    return parts
+
+
 def hash_exchange(
     ds,
     bucket_col: str,
@@ -100,11 +127,22 @@ def hash_exchange(
     return_refs: bool = False,
     blocks_per_split: int = 1,
     pre_reduce: Callable[[pa.Table], pa.Table] | None = None,
+    combine_fn: Callable[[pa.Table], pa.Table] | None = None,
+    gather_fanin: int | None = None,
 ):
     """ds (with an int bucket column) → Dataset of per-bucket reduce outputs.
 
     ``reduce_fn``: arrow table (one complete bucket, bucket column
     included) → arrow table.
+
+    ``combine_fn``: optional ASSOCIATIVE partial combine (same signature
+    as reduce_fn, but must emit re-combinable rows — typically the
+    reduce minus its finalize step).  When given and a bucket has more
+    than ``gather_fanin`` split parts, the gather runs as a tree:
+    intermediate combine tasks collapse duplicate keys so the final
+    reduce never concatenates the whole raw bucket in one task — the
+    100x memory-safety path (VERDICT r4 #1).  Without it the gather
+    stays single-level (a tree without key collapse saves no memory).
 
     Split tasks launch as upstream blocks stream out of the Dataset
     executor (``iter_internal_ref_bundles``), so the map side of the
@@ -124,10 +162,15 @@ def hash_exchange(
     if not split_refs:  # empty upstream: no blocks at all
         out_ds = rd.from_arrow_refs([])
         return (out_ds, []) if return_refs else out_ds
-    out_refs = [
-        _gather.remote(reduce_fn, *[split_refs[j][i] for j in range(len(split_refs))])
-        for i in range(num_buckets)
-    ]
+    # module-level GATHER_FANIN is read at call time so tests (and scale
+    # tuning) can adjust it without threading a parameter everywhere
+    fanin = GATHER_FANIN if gather_fanin is None else gather_fanin
+    out_refs = []
+    for i in range(num_buckets):
+        parts = [split_refs[j][i] for j in range(len(split_refs))]
+        if combine_fn is not None:
+            parts = tree_combine_parts(parts, combine_fn, fanin)
+        out_refs.append(_gather.remote(reduce_fn, *parts))
     out_ds = rd.from_arrow_refs(out_refs)
     if return_refs:
         return out_ds, out_refs

@@ -244,7 +244,12 @@ def rollup(
     bucketed = ds.map_batches(
         partial_arrow, batch_format="pyarrow", batch_size=batch_size
     )
-    return hash_exchange(bucketed, "bucket", num_buckets, _labeled_reduce_fn(lcols))
+    # the labeled reduce doubles as the tree-gather combine: partial
+    # merges are associative, so combining combined rows is exact
+    return hash_exchange(
+        bucketed, "bucket", num_buckets, _labeled_reduce_fn(lcols),
+        combine_fn=_labeled_reduce_fn(lcols),
+    )
 
 
 def cascade(
@@ -285,7 +290,8 @@ def cascade(
 
     rewindowed = points_ds.map_batches(rewindow, batch_format="pyarrow")
     return hash_exchange(
-        rewindowed, "bucket", num_buckets, _labeled_reduce_fn(lcols)
+        rewindowed, "bucket", num_buckets, _labeled_reduce_fn(lcols),
+        combine_fn=_labeled_reduce_fn(lcols),
     )
 
 
@@ -361,31 +367,43 @@ def rollup_numeric(
 
     numeric_cols = ["series_id", "window_ts", *AGG_COLS]
 
-    def reduce_fn(t: pa.Table) -> pa.Table:
-        import pyarrow as pa2
-
+    def _combine(t: pa.Table) -> dict[str, np.ndarray]:
         int_cols = {"window_ts", "count", "first_ts", "last_ts"}
         if t.num_rows:
             cols = {
                 c: t[c].combine_chunks().to_numpy(zero_copy_only=False)
                 for c in numeric_cols
             }
-            out = np_combine_partials(cols)
-        else:
-            out = {
-                c: np.zeros(
-                    0,
-                    dtype=np.uint64
-                    if c == "series_id"
-                    else np.int64 if c in int_cols else np.float64,
-                )
-                for c in numeric_cols
-            }
-        if post_reduce is not None:
-            return post_reduce(out)
+            return np_combine_partials(cols)
+        return {
+            c: np.zeros(
+                0,
+                dtype=np.uint64
+                if c == "series_id"
+                else np.int64 if c in int_cols else np.float64,
+            )
+            for c in numeric_cols
+        }
+
+    def _to_table(out: dict[str, np.ndarray]) -> pa.Table:
+        import pyarrow as pa2
+
         tbl = {c: pa2.array(out[c]) for c in numeric_cols}
         tbl["series_id"] = pa2.array(out["series_id"], type=pa2.uint64())
         return pa2.table(tbl)
 
+    # the tree-gather combine is the reduce MINUS the finalize: partial
+    # merges stay re-combinable, post_reduce runs once at the final level
+    def combine_fn(t: pa.Table) -> pa.Table:
+        return _to_table(_combine(t))
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        out = _combine(t)
+        if post_reduce is not None:
+            return post_reduce(out)
+        return _to_table(out)
+
     bucketed = samples_ds.map_batches(partial, batch_format="pyarrow")
-    return hash_exchange(bucketed, "bucket", num_buckets, reduce_fn)
+    return hash_exchange(
+        bucketed, "bucket", num_buckets, reduce_fn, combine_fn=combine_fn
+    )

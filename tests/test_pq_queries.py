@@ -94,3 +94,44 @@ def test_pq_queries_empty_input_yield_empty_frames(ray_session, tmp_path):
         out = fn(str(d))
         assert len(out) == 0, name
         assert len(out.columns) >= 2, name  # typed empty, not schema-less
+
+
+@pytest.mark.parametrize("lb_mult", [2, 3])
+def test_distributed_general_lookback_matches_local_engine(
+    ray_session, con, lb_mult
+):
+    """VERDICT r4 #5: lookback > interval — the distributed multi-tick
+    explode grid (_exploded_instant_partials) matches the byte-exact
+    local evaluator at lookback = 2x and 3x the interval."""
+    from pq_ray.pipelines.pq_queries import MINUTE, q_pq_sum_by_event_1m
+    from pq_ray.query.engine import EvalContext, evaluate
+    from pq_ray.query.parser import parse_expr
+
+    events = con.sql(
+        "select epoch_ms(ts) as ts_ms, event_type, "
+        "cast(user_id % 10 as varchar) as user_mod, value from events order by ts_ms"
+    ).df()
+    samples = pd.DataFrame(
+        {
+            "ts": events["ts_ms"].to_numpy(np.int64),
+            "seq": np.arange(len(events), dtype=np.int64),
+            "name": "value",
+            "value": events["value"].to_numpy(np.float64),
+            "l_event_type": events["event_type"],
+            "l_user_mod": events["user_mod"],
+        }
+    )
+    ctx = EvalContext(
+        samples=samples,
+        label_cols=["event_type", "user_mod"],
+        interval=MINUTE,
+        lookback=lb_mult * MINUTE,
+    )
+    stream = evaluate(parse_expr("sum(value) by (event_type)"), ctx)
+    local = stream.df[["tick", "l_event_type", "value"]].rename(
+        columns={"l_event_type": "event_type", "value": "sum_value"}
+    )
+    local["sum_value"] = local["sum_value"].round(6)
+
+    dist = q_pq_sum_by_event_1m(SF, lookback=lb_mult * MINUTE)
+    _compare(dist, local)
