@@ -59,6 +59,42 @@ def _sig_hash(sig: bytes) -> np.uint64:
     return np.uint64(int.from_bytes(hashlib.md5(sig).digest()[:8], "big"))
 
 
+def compute_sig_table(
+    t: pa.Table, label_cols: list[str], name_col: bool = True
+) -> np.ndarray:
+    """Arrow-native compute_sig (VERDICT r4 #2): canonical byte signature
+    per row of a points TABLE, no pandas round-trip.  Per column a
+    dictionary encode yields integer codes (null = label absent = -1);
+    np.unique over the code matrix finds the distinct label combos
+    EXACTLY (no packed-string separator collisions), and signature()
+    runs once per combo (|series|-bounded), not per row."""
+    cols = (["name"] if name_col and "name" in t.schema.names else []) + [
+        L(c) for c in label_cols if L(c) in t.schema.names
+    ]
+    n = t.num_rows
+    if not cols or n == 0:
+        return np.array([b""] * n, dtype=object)
+    code_mat = np.empty((n, len(cols)), dtype=np.int64)
+    dicts: list[list] = []
+    for j, c in enumerate(cols):
+        enc = t[c].combine_chunks().dictionary_encode()
+        code_mat[:, j] = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        dicts.append(enc.dictionary.to_pylist())
+    uniq_rows, inv = np.unique(code_mat, axis=0, return_inverse=True)
+    sigs = np.empty(len(uniq_rows), dtype=object)
+    for i, row in enumerate(uniq_rows):
+        d = {}
+        for j, c in enumerate(cols):
+            if row[j] >= 0:
+                v = dicts[j][row[j]]
+                if v is not None:
+                    d["__name__" if c == "name" else c[2:]] = v
+        sigs[i] = signature(d)
+    return sigs[inv]
+
+
 class DistributedContext:
     """Like EvalContext, but samples are a Ray Dataset.
 
@@ -784,11 +820,16 @@ def _dist_elementwise(name: str, child: DistVectorStream,
     schema = _points_schema(label_cols)
     lcols = [L(c) for c in label_cols]
 
-    def fx(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    del lcols  # stripped sig now comes from compute_sig_table directly
+
+    def fx(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2); the stripped (no-__name__)
+        # signature IS compute_sig_table(name_col=False)
+        if t.num_rows == 0:
             return schema.empty_table()
-        df = df.reset_index(drop=True)
-        v = df["value"].to_numpy(dtype=np.float64)
+        n = t.num_rows
+        v = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             if name == "round":
                 # PromQL round: nearest multiple of to_nearest (default
@@ -814,23 +855,22 @@ def _dist_elementwise(name: str, child: DistVectorStream,
                         _TIME_FNS[name](dt), dtype=np.float64
                     )
                 v = out
-        df["value"] = v
-        df["name"] = None  # PromQL: these all drop __name__
-        # stripped signature, computed once per UNIQUE input sig
-        firsts = df.drop_duplicates("sig")
-        mapping = {
-            row["sig"]: _strip_name_sig(row, ["name", *lcols])
-            for _, row in firsts.iterrows()
+        new_sig = pa.array(
+            compute_sig_table(t, label_cols, name_col=False),
+            type=pa.binary(),
+        )
+        arrays = {
+            "tick": pc.cast(t["tick"], pa.int64()),
+            "value": pa.array(v),
+            "name": pa.nulls(n, pa.string()),  # these all drop __name__
+            **{L(c): t[L(c)] for c in label_cols},
+            "sig": new_sig,
+            "osig": new_sig,  # emission order follows the NEW sig
         }
-        new_sig = df["sig"].map(mapping)
-        df["sig"] = new_sig
-        df["osig"] = new_sig  # emission order follows the NEW sig
-        return pa.Table.from_pandas(
-            df[schema.names], preserve_index=False
-        ).cast(schema)
+        return pa.table(arrays).cast(schema)
 
     return DistVectorStream(
-        child.ticks, child.ds.map_batches(fx, batch_format="pandas"),
+        child.ticks, child.ds.map_batches(fx, batch_format="pyarrow"),
         label_cols,
     )
 
@@ -868,61 +908,84 @@ def _dist_label_fn(name: str, child: DistVectorStream,
     )
     schema = _points_schema(label_cols)
 
-    def fx(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def fx(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2): the label_replace regex runs
+        # once per DISTINCT source value (dictionary encode), never per
+        # row; label_join is one arrow binary_join
+        if t.num_rows == 0:
             return schema.empty_table()
-        df = df.reset_index(drop=True)
-        for c in label_cols:
-            if L(c) not in df.columns:
-                df[L(c)] = None
-
-        def _sval(col: str) -> pd.Series:
-            c = "name" if col == "__name__" else L(col)
-            if c not in df.columns:
-                return pd.Series([""] * len(df), index=df.index)
-            return df[c].map(
-                lambda x: ""
-                if x is None or (isinstance(x, float) and np.isnan(x))
-                else str(x)
+        n = t.num_rows
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            ("name" if c == "__name__" else L(c)): (
+                t[("name" if c == "__name__" else L(c))]
+                if ("name" if c == "__name__" else L(c)) in t.schema.names
+                else pa.nulls(n, pa.string())
             )
+            for c in ["__name__", *label_cols]
+        }
+
+        def _obj(col: str) -> np.ndarray:
+            arr = cols[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return arr.to_numpy(zero_copy_only=False)
 
         dst_col = "name" if dst == "__name__" else L(dst)
         if name == "label_replace":
             src_col = "name" if src == "__name__" else L(src)
-            src_vals = df[src_col] if src_col in df.columns else pd.Series(
-                [None] * len(df), index=df.index
+            src_np = (
+                _obj(src_col) if src_col in cols
+                else np.array([None] * n, dtype=object)
             )
-            dst_existing = df[dst_col] if dst_col in df.columns else pd.Series(
-                [None] * len(df), index=df.index
-            )
-            out_vals = []
-            for sv, dv in zip(src_vals, dst_existing):
-                s = ("" if sv is None
-                     or (isinstance(sv, float) and np.isnan(sv)) else str(sv))
+            dst_np = _obj(dst_col)
+            codes, uniq = pd.factorize(src_np)
+            exp = np.empty(len(uniq) + 1, dtype=object)
+            hit = np.zeros(len(uniq) + 1, dtype=bool)
+            for i, u in enumerate([*uniq, None]):  # slot -1 → None source
+                s = ("" if u is None
+                     or (isinstance(u, float) and np.isnan(u)) else str(u))
                 m = rx.fullmatch(s)
-                if m is None:
-                    out_vals.append(dv)
-                else:
+                if m is not None:
                     expanded = m.expand(py_repl)
-                    out_vals.append(expanded if expanded != "" else None)
-            df[dst_col] = out_vals
+                    exp[i] = expanded if expanded != "" else None
+                    hit[i] = True
+            out_np = np.where(hit[codes], exp[codes], dst_np)
+            cols[dst_col] = pa.array(out_np, type=pa.string())
         else:
-            joined = None
+            parts = []
             for scol in srcs:
-                part = _sval(scol)
-                joined = part if joined is None else joined + sep + part
-            if joined is None:
-                joined = pd.Series([""] * len(df), index=df.index)
-            df[dst_col] = joined.map(lambda s: s if s != "" else None)
-        sig = compute_sig(df, label_cols, name_col=True)
-        df["sig"] = sig
-        df["osig"] = sig  # emission order follows the NEW sig
-        return pa.Table.from_pandas(
-            df[schema.names], preserve_index=False
-        ).cast(schema)
+                c = "name" if scol == "__name__" else L(scol)
+                arr = (
+                    cols[c] if c in cols
+                    else pa.nulls(n, pa.string())
+                )
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                parts.append(pc.fill_null(arr, ""))
+            joined = (
+                pc.binary_join_element_wise(*parts, sep)
+                if parts else pa.array([""] * n, type=pa.string())
+            )
+            cols[dst_col] = pc.if_else(
+                pc.equal(joined, ""), pa.nulls(n, pa.string()), joined
+            )
+        out_tbl = pa.table(
+            {
+                "tick": pc.cast(t["tick"], pa.int64()),
+                "value": pc.cast(t["value"], pa.float64()),
+                "name": cols["name"],
+                **{L(c): cols[L(c)] for c in label_cols},
+            }
+        )
+        sig = pa.array(
+            compute_sig_table(out_tbl, label_cols, name_col=True),
+            type=pa.binary(),
+        )
+        out_tbl = out_tbl.append_column("sig", sig).append_column("osig", sig)
+        return out_tbl.select(schema.names).cast(schema)
 
     return DistVectorStream(
-        child.ticks, child.ds.map_batches(fx, batch_format="pandas"),
+        child.ticks, child.ds.map_batches(fx, batch_format="pyarrow"),
         label_cols,
     )
 
@@ -1009,33 +1072,50 @@ def _dist_histogram_quantile(phi: float, child: DistVectorStream,
         ]
     )
 
-    def prep(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def prep(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2): python-float() le parsing runs
+        # once per DISTINCT le value (dictionary encode), keeping the
+        # reference's lenient number grammar ("+Inf" etc.); Prometheus
+        # skips series whose le isn't a number
+        if t.num_rows == 0:
             return prep_schema.empty_table()
-        df = df.reset_index(drop=True)
 
         def _le_of(x) -> float:
-            try:  # Prometheus skips series whose le isn't a number
+            try:
                 return float(x) if x is not None else np.nan
             except (TypeError, ValueError):
                 return np.nan
 
-        df["_le"] = np.array([_le_of(x) for x in df[le_col]],
-                             dtype=np.float64)
-        df = df[~np.isnan(df["_le"])].reset_index(drop=True)
-        if df.empty:
+        enc = t[le_col].combine_chunks().dictionary_encode()
+        lut = np.array(
+            [_le_of(x) for x in enc.dictionary.to_pylist()], dtype=np.float64
+        )
+        codes = enc.indices.fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        le_np = np.where(codes >= 0, lut[np.maximum(codes, 0)], np.nan)
+        t = t.append_column("_le", pa.array(le_np)).filter(
+            pa.array(~np.isnan(le_np))
+        )
+        if t.num_rows == 0:
             return prep_schema.empty_table()
-        gsig = compute_sig(df, out_label_cols, name_col=False)
-        df["gsig"] = gsig
-        tick = df["tick"].to_numpy(dtype=np.int64)
+        gsig = compute_sig_table(t, out_label_cols, name_col=False)
+        tick = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
         gh = _gsig_hashes(gsig)
-        df["bucket"] = _tick_bucket(gh, tick, num_buckets)
-        for c in out_label_cols:
-            if L(c) not in df.columns:
-                df[L(c)] = None
-        return pa.Table.from_pandas(
-            df[prep_schema.names], preserve_index=False
-        ).cast(prep_schema)
+        n = t.num_rows
+        arrays = {
+            "tick": pa.array(tick),
+            "gsig": pa.array(gsig, type=pa.binary()),
+            "_le": t["_le"],
+            "value": pc.cast(t["value"], pa.float64()),
+            **{
+                L(c): t[L(c)]
+                if L(c) in t.schema.names else pa.nulls(n, pa.string())
+                for c in out_label_cols
+            },
+            "bucket": pa.array(_tick_bucket(gh, tick, num_buckets)),
+        }
+        return pa.table(arrays).cast(prep_schema)
 
     def reduceq(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1076,7 +1156,7 @@ def _dist_histogram_quantile(phi: float, child: DistVectorStream,
         return pa.table(arrays).cast(schema)
 
     out_ds = hash_exchange(
-        child.ds.map_batches(prep, batch_format="pandas"),
+        child.ds.map_batches(prep, batch_format="pyarrow"),
         "bucket", num_buckets, reduceq,
     )
     return DistVectorStream(child.ticks, out_ds, out_label_cols)
@@ -1272,21 +1352,30 @@ def _dist_aggregate(node, child: DistVectorStream,
         ]
     )
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def partial(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2): sort by (tick, gsig, osig) via
+        # np.unique codes over the byte keys — no pandas round-trip
+        if t.num_rows == 0:
             return part_schema.empty_table()
-        df = df.reset_index(drop=True)
-        df["_gsig"] = compute_sig(df, gcols, name_col=False)
-        df = df.sort_values(["tick", "_gsig", "osig"], kind="stable")
-        tick = df["tick"].to_numpy(dtype=np.int64)
-        gsig = df["_gsig"].to_numpy(dtype=object)
-        v = df["value"].to_numpy(dtype=np.float64)
+        gsig_all = compute_sig_table(t, gcols, name_col=False)
+        tick_all = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v_all = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        osig_all = t["osig"].combine_chunks().to_numpy(zero_copy_only=False)
+        g_codes = np.unique(gsig_all, return_inverse=True)[1]
+        o_codes = np.unique(osig_all, return_inverse=True)[1]
+        order = np.lexsort((o_codes, g_codes, tick_all))
+        tick = tick_all[order]
+        gsig = gsig_all[order]
+        v = v_all[order]
         boundary = np.nonzero(
             (tick[1:] != tick[:-1]) | (gsig[1:] != gsig[:-1])
         )[0] + 1
         starts = np.concatenate(([0], boundary))
         counts = np.diff(np.concatenate((starts, [len(v)])))
         gh = _gsig_hashes(gsig[starts])
+        take = pa.array(order[starts])
         arrays = {
             "tick": pa.array(tick[starts], type=pa.int64()),
             "gsig": pa.array(gsig[starts], type=pa.binary()),
@@ -1296,14 +1385,10 @@ def _dist_aggregate(node, child: DistVectorStream,
             "mn": pa.array(np.fmin.reduceat(v, starts)),
             "mx": pa.array(np.fmax.reduceat(v, starts)),
             "s2": pa.array(np.add.reduceat(v * v, starts)),
-            "fkey": pa.array(
-                df["osig"].to_numpy(dtype=object)[starts], type=pa.binary()
-            ),
+            "fkey": pa.array(osig_all[order[starts]], type=pa.binary()),
             "fv": pa.array(v[starts]),
             **{
-                L(c): pa.array(
-                    df[L(c)].to_numpy(dtype=object)[starts], type=pa.string()
-                )
+                L(c): t[L(c)].combine_chunks().take(take)
                 for c in gcols
             },
             "bucket": pa.array(_tick_bucket(gh, tick[starts], num_buckets)),
@@ -1359,7 +1444,7 @@ def _dist_aggregate(node, child: DistVectorStream,
         return pa.table(arrays).cast(schema)
 
     agg_ds = hash_exchange(
-        child.ds.map_batches(partial, batch_format="pandas"),
+        child.ds.map_batches(partial, batch_format="pyarrow"),
         "bucket", num_buckets, reduce_fn,
     )
     return DistVectorStream(child.ticks, agg_ds, gcols)
@@ -1418,42 +1503,55 @@ def _dist_topk(node, child: DistVectorStream,
     )
     desc = op == "topk"
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        if df.empty or k <= 0:
+    def partial(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2): per-group local top-k via one
+        # lexsort over the composed osig byte key, labels by take
+        if t.num_rows == 0 or k <= 0:
             return part_schema.empty_table()
-        df = df.reset_index(drop=True)
-        gsig = compute_sig(df, gcols, name_col=False)
-        vkey = _value_order_key(df["value"].to_numpy(np.float64), desc)
+        n = t.num_rows
+        gsig = compute_sig_table(t, gcols, name_col=False)
+        tick = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        vkey = _value_order_key(v, desc)
         kb = vkey.astype(">u8").tobytes()
-        sig = df["sig"].to_numpy(dtype=object)
+        sig = t["sig"].combine_chunks().to_numpy(zero_copy_only=False)
         osig = np.fromiter(
             (gsig[i] + b"\x00" + kb[8 * i : 8 * i + 8] + sig[i]
-             for i in range(len(df))),
-            dtype=object, count=len(df),
+             for i in range(n)),
+            dtype=object, count=n,
         )
-        df = df.assign(_gsig=gsig, _osig=osig)
-        df = df.sort_values(["tick", "_osig"], kind="stable")
-        pos = df.groupby(["tick", "_gsig"], sort=False).cumcount()
-        df = df[pos.to_numpy() < k]
-        gsel = df["_gsig"].to_numpy(dtype=object)
+        o_codes = np.unique(osig, return_inverse=True)[1]
+        order = np.lexsort((o_codes, tick))
+        s_tick = tick[order]
+        s_gsig = gsig[order]
+        # position within (tick, gsig): osig starts with gsig so groups
+        # are contiguous within a tick after the sort
+        boundary = np.nonzero(
+            (s_tick[1:] != s_tick[:-1]) | (s_gsig[1:] != s_gsig[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], boundary))
+        pos = np.arange(n) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [n])))
+        )
+        keep_order = order[pos < k]
+        gsel = gsig[keep_order]
+        ticksel = tick[keep_order]
+        take = pa.array(keep_order)
         arrays = {
-            "tick": pa.array(df["tick"].to_numpy(np.int64)),
+            "tick": pa.array(ticksel, type=pa.int64()),
             "gsig": pa.array(gsel, type=pa.binary()),
-            "value": pa.array(df["value"].to_numpy(np.float64)),
-            "name": pa.array(df["name"].to_numpy(dtype=object),
-                             type=pa.string()),
+            "value": pa.array(v[keep_order]),
+            "name": t["name"].combine_chunks().take(take),
             **{
-                L(c): pa.array(df[L(c)].to_numpy(dtype=object),
-                               type=pa.string())
+                L(c): t[L(c)].combine_chunks().take(take)
                 for c in label_cols
             },
-            "sig": pa.array(df["sig"].to_numpy(dtype=object),
-                            type=pa.binary()),
-            "osig": pa.array(df["_osig"].to_numpy(dtype=object),
-                             type=pa.binary()),
+            "sig": pa.array(sig[keep_order], type=pa.binary()),
+            "osig": pa.array(osig[keep_order], type=pa.binary()),
             "bucket": pa.array(_tick_bucket(
-                _gsig_hashes(gsel), df["tick"].to_numpy(np.int64),
-                num_buckets,
+                _gsig_hashes(gsel), ticksel, num_buckets,
             )),
         }
         return pa.table(arrays).cast(part_schema)
@@ -1486,7 +1584,7 @@ def _dist_topk(node, child: DistVectorStream,
         return pa.table(arrays).cast(schema)
 
     out_ds = hash_exchange(
-        child.ds.map_batches(partial, batch_format="pandas"),
+        child.ds.map_batches(partial, batch_format="pyarrow"),
         "bucket", num_buckets, reduce_fn,
     )
     return DistVectorStream(child.ticks, out_ds, label_cols)
@@ -1516,21 +1614,18 @@ def _dist_quantile(node, child: DistVectorStream,
         ]
     )
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def partial(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2): sig + bucket only, no pandas
+        if t.num_rows == 0:
             return part_schema.empty_table()
-        df = df.reset_index(drop=True)
-        gsig = compute_sig(df, gcols, name_col=False)
-        tick = df["tick"].to_numpy(np.int64)
+        gsig = compute_sig_table(t, gcols, name_col=False)
+        tick = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
         arrays = {
             "tick": pa.array(tick),
             "gsig": pa.array(gsig, type=pa.binary()),
-            "value": pa.array(df["value"].to_numpy(np.float64)),
-            **{
-                L(c): pa.array(df[L(c)].to_numpy(dtype=object),
-                               type=pa.string())
-                for c in gcols
-            },
+            "value": pc.cast(t["value"], pa.float64()),
+            **{L(c): t[L(c)] for c in gcols},
             "bucket": pa.array(
                 _tick_bucket(_gsig_hashes(gsig), tick, num_buckets)
             ),
@@ -1572,7 +1667,7 @@ def _dist_quantile(node, child: DistVectorStream,
         return pa.table(arrays).cast(schema)
 
     out_ds = hash_exchange(
-        child.ds.map_batches(partial, batch_format="pandas"),
+        child.ds.map_batches(partial, batch_format="pyarrow"),
         "bucket", num_buckets, reduce_fn,
     )
     return DistVectorStream(child.ticks, out_ds, gcols)
@@ -1602,33 +1697,40 @@ def _dist_count_values(node, child: DistVectorStream,
         ]
     )
 
-    def partial(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def partial(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2): per-(tick, gsig, value) count
+        # via one lexsort+reduceat — no pandas groupby
+        if t.num_rows == 0:
             return part_schema.empty_table()
-        df = df.reset_index(drop=True)
-        df["_gsig"] = compute_sig(df, gcols, name_col=False)
-        codes, uniq = pd.factorize(df["value"].to_numpy(np.float64))
+        n_rows = t.num_rows
+        gsig_all = compute_sig_table(t, gcols, name_col=False)
+        tick_all = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v_all = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        codes, uniq = pd.factorize(v_all)
         reprs = np.array([rust_f64_str(u) for u in uniq], dtype=object)
-        df["_vrepr"] = reprs[codes]
-        g = (
-            df.groupby(["tick", "_gsig", "_vrepr"], sort=False)
-            .agg(n=("value", "size"),
-                 **{L(c): (L(c), "first") for c in gcols})
-            .reset_index()
-        )
-        gsig = g["_gsig"].to_numpy(dtype=object)
-        tick = g["tick"].to_numpy(np.int64)
+        g_codes = np.unique(gsig_all, return_inverse=True)[1]
+        order = np.lexsort((codes, g_codes, tick_all))
+        s_tick = tick_all[order]
+        s_g = g_codes[order]
+        s_v = codes[order]
+        boundary = np.nonzero(
+            (s_tick[1:] != s_tick[:-1]) | (s_g[1:] != s_g[:-1])
+            | (s_v[1:] != s_v[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], boundary))
+        counts = np.diff(np.concatenate((starts, [n_rows])))
+        firsts = order[starts]
+        gsig = gsig_all[firsts]
+        tick = tick_all[firsts]
+        take = pa.array(firsts)
         arrays = {
             "tick": pa.array(tick),
             "gsig": pa.array(gsig, type=pa.binary()),
-            "vrepr": pa.array(g["_vrepr"].to_numpy(dtype=object),
-                              type=pa.string()),
-            "n": pa.array(g["n"].to_numpy(np.int64)),
-            **{
-                L(c): pa.array(g[L(c)].to_numpy(dtype=object),
-                               type=pa.string())
-                for c in gcols
-            },
+            "vrepr": pa.array(reprs[codes[firsts]], type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+            **{L(c): t[L(c)].combine_chunks().take(take) for c in gcols},
             "bucket": pa.array(
                 _tick_bucket(_gsig_hashes(gsig), tick, num_buckets)
             ),
@@ -1664,7 +1766,7 @@ def _dist_count_values(node, child: DistVectorStream,
         return pa.table(arrays).cast(schema)
 
     out_ds = hash_exchange(
-        child.ds.map_batches(partial, batch_format="pandas"),
+        child.ds.map_batches(partial, batch_format="pyarrow"),
         "bucket", num_buckets, reduce_fn,
     )
     return DistVectorStream(child.ticks, out_ds, out_cols)
@@ -1679,26 +1781,28 @@ def _dist_scalar_vector(op: str, dvs: DistVectorStream, scalar: float,
     schema = _points_schema(dvs.label_cols)
     out_cols = [f.name for f in schema]
 
-    def fn(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native elementwise (VERDICT r4 #2)
+        if t.num_rows == 0:
             return schema.empty_table()
-        df = df.reset_index(drop=True)
-        v = df["value"].to_numpy(dtype=np.float64)
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
         l, r = (v, scalar) if vector_on_left else (scalar, v)
         res = np.asarray(_scalar_op(op, l, r), dtype=np.float64)
         if is_cmp and not bool_modifier:
-            df = df[np.abs(res - 1.0) < F64_EPSILON]
             # keep original value & __name__ (filter semantics)
+            t = t.filter(pa.array(np.abs(res - 1.0) < F64_EPSILON))
         else:
-            df = df.copy()
-            df["value"] = res
-            df["name"] = None
-        return pa.Table.from_pandas(
-            df[out_cols], schema=schema, preserve_index=False
-        )
+            t = t.set_column(
+                t.schema.get_field_index("value"), "value", pa.array(res)
+            )
+            t = t.set_column(
+                t.schema.get_field_index("name"), "name",
+                pa.nulls(t.num_rows, pa.string()),
+            )
+        return t.select(out_cols).cast(schema)
 
     return DistVectorStream(
-        dvs.ticks, dvs.ds.map_batches(fn, batch_format="pandas"),
+        dvs.ticks, dvs.ds.map_batches(fn, batch_format="pyarrow"),
         dvs.label_cols,
     )
 
@@ -1707,18 +1811,18 @@ def _dist_unary(op: str, dvs: DistVectorStream) -> DistVectorStream:
     schema = _points_schema(dvs.label_cols)
     out_cols = [f.name for f in schema]
 
-    def fn(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
             return schema.empty_table()
-        df = df.copy()
         if op == "-":
-            df["value"] = -df["value"].to_numpy(dtype=np.float64)
-        return pa.Table.from_pandas(
-            df[out_cols], schema=schema, preserve_index=False
-        )
+            t = t.set_column(
+                t.schema.get_field_index("value"), "value",
+                pc.negate(pc.cast(t["value"], pa.float64())),
+            )
+        return t.select(out_cols).cast(schema)
 
     return DistVectorStream(
-        dvs.ticks, dvs.ds.map_batches(fn, batch_format="pandas"),
+        dvs.ticks, dvs.ds.map_batches(fn, batch_format="pyarrow"),
         dvs.label_cols,
     )
 
@@ -1755,47 +1859,46 @@ def _dist_binary(node, lhs: DistVectorStream, rhs: DistVectorStream,
     )
     joint_arr = np.asarray(joint, dtype=np.int64)
 
+    joint_set = pa.array(joint_arr, type=pa.int64())
+
     def pack(side: int, mcols: list[str]):
-        def fn(df: pd.DataFrame) -> pa.Table:
-            if df.empty:
+        # pyarrow-native (VERDICT r4 #2): these two maps sit on the
+        # critical path of every vector-match query; the former pandas
+        # blocks paid arrow→pandas→arrow per batch AND pickled
+        # DataFrames into the exchange
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
                 return union_schema.empty_table()
-            df = df[df["tick"].isin(joint_arr)].reset_index(drop=True)
-            if df.empty:
+            t = t.filter(pc.is_in(t["tick"], value_set=joint_set))
+            n = t.num_rows
+            if n == 0:
                 return union_schema.empty_table()
-            n = len(df)
-            msig = compute_sig(df, mcols, name_col=False)
+            msig = compute_sig_table(t, mcols, name_col=False)
             gh = _gsig_hashes(msig)
-            tick = df["tick"].to_numpy(dtype=np.int64)
-            nulls = np.array([None] * n, dtype=object)
+            tick = t["tick"].combine_chunks().to_numpy(zero_copy_only=False)
             arrays = {
-                "tick": pa.array(tick, type=pa.int64()),
+                "tick": pc.cast(t["tick"], pa.int64()),
                 "msig": pa.array(msig, type=pa.binary()),
-                "value": pa.array(df["value"].to_numpy(np.float64)),
-                "name": pa.array(
-                    df["name"].to_numpy(dtype=object) if side == 0 else nulls,
-                    type=pa.string(),
-                ),
-                "osig": pa.array(
-                    df["osig"].to_numpy(dtype=object) if side == 0 else nulls,
-                    type=pa.binary(),
-                ),
+                "value": pc.cast(t["value"], pa.float64()),
+                "name": t["name"] if side == 0 else pa.nulls(n, pa.string()),
+                "osig": t["osig"] if side == 0 else pa.nulls(n, pa.binary()),
                 **{
-                    L(c): pa.array(
-                        df[L(c)].to_numpy(dtype=object)
-                        if side == 0 and L(c) in df.columns else nulls,
-                        type=pa.string(),
-                    )
+                    L(c): t[L(c)]
+                    if side == 0 and L(c) in t.schema.names
+                    else pa.nulls(n, pa.string())
                     for c in out_label_cols
                 },
                 "side": pa.array(np.full(n, side, dtype=np.int8)),
-                "bucket": pa.array(_tick_bucket(gh, tick, num_buckets)),
+                "bucket": pa.array(
+                    _tick_bucket(gh, tick.astype(np.int64), num_buckets)
+                ),
             }
             return pa.table(arrays).cast(union_schema)
 
         return fn
 
-    packed = lhs.ds.map_batches(pack(0, lcols), batch_format="pandas").union(
-        rhs.ds.map_batches(pack(1, rcols), batch_format="pandas")
+    packed = lhs.ds.map_batches(pack(0, lcols), batch_format="pyarrow").union(
+        rhs.ds.map_batches(pack(1, rcols), batch_format="pyarrow")
     )
 
     def reduce_fn(t: pa.Table) -> pa.Table:
@@ -1862,36 +1965,35 @@ def _pack_match_side(side: int, mcols: list[str], carry_cols: list[str],
     row's own sig + side byte (left-before-right on byte-equal sigs,
     matching the local concat order)."""
 
-    def fn(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    joint_set = pa.array(joint_arr, type=pa.int64())
+
+    def fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2)
+        if t.num_rows == 0:
             return union_schema.empty_table()
-        df = df[df["tick"].isin(joint_arr)].reset_index(drop=True)
-        if df.empty:
+        t = t.filter(pc.is_in(t["tick"], value_set=joint_set))
+        n = t.num_rows
+        if n == 0:
             return union_schema.empty_table()
-        n = len(df)
-        msig = compute_sig(df, mcols, name_col=False)
+        msig = compute_sig_table(t, mcols, name_col=False)
         gh = _gsig_hashes(msig)
-        tick = df["tick"].to_numpy(dtype=np.int64)
-        sig = df["sig"].to_numpy(dtype=object)
+        tick = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sig = t["sig"].combine_chunks().to_numpy(zero_copy_only=False)
         tag = bytes([side])
-        nulls = np.array([None] * n, dtype=object)
         arrays = {
             "tick": pa.array(tick, type=pa.int64()),
             "msig": pa.array(msig, type=pa.binary()),
-            "value": pa.array(df["value"].to_numpy(np.float64)),
-            "name": pa.array(df["name"].to_numpy(dtype=object),
-                             type=pa.string()),
+            "value": pc.cast(t["value"], pa.float64()),
+            "name": t["name"],
             "sig": pa.array(sig, type=pa.binary()),
             "osig": pa.array(
                 np.fromiter((s + tag for s in sig), dtype=object, count=n),
                 type=pa.binary(),
             ),
             **{
-                L(c): pa.array(
-                    df[L(c)].to_numpy(dtype=object)
-                    if L(c) in df.columns else nulls,
-                    type=pa.string(),
-                )
+                L(c): t[L(c)]
+                if L(c) in t.schema.names else pa.nulls(n, pa.string())
                 for c in carry_cols
             },
             "side": pa.array(np.full(n, side, dtype=np.int8)),
@@ -1942,12 +2044,12 @@ def _dist_logical(node, lhs: DistVectorStream, rhs: DistVectorStream,
     packed = lhs.ds.map_batches(
         _pack_match_side(0, lcols, out_label_cols, union_schema, joint_arr,
                          num_buckets),
-        batch_format="pandas",
+        batch_format="pyarrow",
     ).union(
         rhs.ds.map_batches(
             _pack_match_side(1, rcols, out_label_cols, union_schema,
                              joint_arr, num_buckets),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
 
@@ -2027,12 +2129,12 @@ def _dist_grouped_binary(node, lhs: DistVectorStream, rhs: DistVectorStream,
     packed = many.ds.map_batches(
         _pack_match_side(0, mcols, many_carry, union_schema, joint_arr,
                          num_buckets),
-        batch_format="pandas",
+        batch_format="pyarrow",
     ).union(
         one.ds.map_batches(
             _pack_match_side(1, ocols, one_carry, union_schema, joint_arr,
                              num_buckets),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
 
@@ -2170,43 +2272,41 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
             ]
         )
 
-        def explode_rows(df: pd.DataFrame) -> pa.Table:
-            if df.empty:
+        def explode_rows(t: pa.Table) -> pa.Table:
+            # pyarrow-native (VERDICT r4 #2): the window explode repeats
+            # rows via one take over zero-copy columns
+            if t.num_rows == 0:
                 return samp_schema.empty_table()
-            df = df.reset_index(drop=True)
-            ts = df["tick"].to_numpy(dtype=np.int64)
+            n = t.num_rows
+            ts = t["tick"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
             k_lo = np.maximum(
                 np.ceil((ts - first) / interval).astype(np.int64), 0
             )
             k_hi = np.minimum((ts + d - 1 - first) // interval, k_max)
             reps = np.maximum(k_hi - k_lo + 1, 0)
-            keep = reps > 0
-            if not keep.any():
-                return samp_schema.empty_table()
-            df, ts, k_lo, reps = df[keep], ts[keep], k_lo[keep], reps[keep]
-            df = df.reset_index(drop=True)
             total = int(reps.sum())
+            if total == 0:
+                return samp_schema.empty_table()
             within = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+                np.cumsum(reps) - reps, reps
             )
             otick = first + (np.repeat(k_lo, reps) + within) * interval
-            idx = np.repeat(np.arange(len(df), dtype=np.int64), reps)
-            sig = df["sig"].to_numpy(dtype=object)[idx]
+            idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+            take = pa.array(idx)
+            sig = t["sig"].combine_chunks().to_numpy(
+                zero_copy_only=False)[idx]
             gh = _gsig_hashes(sig)
             arrays = {
                 "tick": pa.array(otick, type=pa.int64()),
                 "sig": pa.array(sig, type=pa.binary()),
                 "ts": pa.array(np.repeat(ts, reps), type=pa.int64()),
-                "value": pa.array(
-                    np.repeat(df["value"].to_numpy(dtype=np.float64), reps)
-                ),
+                "value": pc.cast(t["value"], pa.float64())
+                .combine_chunks().take(take),
                 **{
-                    L(c): pa.array(
-                        (df[L(c)].to_numpy(dtype=object)
-                         if L(c) in df.columns
-                         else np.array([None] * len(df), dtype=object))[idx],
-                        type=pa.string(),
-                    )
+                    L(c): t[L(c)].combine_chunks().take(take)
+                    if L(c) in t.schema.names
+                    else pa.nulls(total, pa.string())
                     for c in label_cols
                 },
                 "bucket": pa.array(_tick_bucket(gh, otick, num_buckets)),
@@ -2259,7 +2359,7 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
             return pa.table(arrays).cast(schema)
 
         out_ds = hash_exchange(
-            inner.ds.map_batches(explode_rows, batch_format="pandas"),
+            inner.ds.map_batches(explode_rows, batch_format="pyarrow"),
             "bucket", num_buckets, kernel_reduce,
         )
         return DistVectorStream(ticks, out_ds, label_cols)
@@ -2282,28 +2382,32 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
         ]
     )
 
-    def rewindow(df: pd.DataFrame) -> pa.Table:
-        if df.empty:
+    def rewindow(t: pa.Table) -> pa.Table:
+        # pyarrow-native (VERDICT r4 #2): mergeable rewindow partials
+        # over zero-copy columns
+        if t.num_rows == 0:
             return part_schema.empty_table()
-        df = df.reset_index(drop=True)
-        ts = df["tick"].to_numpy(dtype=np.int64)  # inner point time = tick
+        n = t.num_rows
+        ts = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)  # inner point time
         k_lo = np.maximum(np.ceil((ts - first) / interval).astype(np.int64), 0)
         k_hi = np.minimum((ts + d - 1 - first) // interval, k_max)
         reps = np.maximum(k_hi - k_lo + 1, 0)
-        keep = reps > 0
-        if not keep.any():
-            return part_schema.empty_table()
-        df, ts, k_lo, reps = df[keep], ts[keep], k_lo[keep], reps[keep]
-        df = df.reset_index(drop=True)
         total = int(reps.sum())
+        if total == 0:
+            return part_schema.empty_table()
         within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+            np.cumsum(reps) - reps, reps
         )
         otick = first + (np.repeat(k_lo, reps) + within) * interval
-        idx = np.repeat(np.arange(len(df), dtype=np.int64), reps)
-        sig = df["sig"].to_numpy(dtype=object)[idx]
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        sig = t["sig"].combine_chunks().to_numpy(zero_copy_only=False)[idx]
         ots = np.repeat(ts, reps)
-        v = np.repeat(df["value"].to_numpy(dtype=np.float64), reps)
+        v = np.repeat(
+            t["value"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64),
+            reps,
+        )
         # per-(sig, outer tick) partial, chronological key = inner tick
         order = np.lexsort((ots, otick, sig_codes(sig)))
         s_sig, s_tick = sig[order], otick[order]
@@ -2320,8 +2424,9 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
         mx[np.isnan(mx)] = -np.inf
         gh = _gsig_hashes(s_sig[starts])
         lvals = {
-            c: df[L(c)].to_numpy(dtype=object) if L(c) in df.columns
-            else np.array([None] * len(df), dtype=object)
+            c: t[L(c)].combine_chunks().to_numpy(zero_copy_only=False)
+            if L(c) in t.schema.names
+            else np.array([None] * n, dtype=object)
             for c in label_cols
         }
         arrays = {
@@ -2391,7 +2496,7 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
         return pa.table(arrays).cast(schema)
 
     out_ds = hash_exchange(
-        inner.ds.map_batches(rewindow, batch_format="pandas"),
+        inner.ds.map_batches(rewindow, batch_format="pyarrow"),
         "bucket", num_buckets, reduce_fn,
     )
     return DistVectorStream(ticks, out_ds, label_cols)
