@@ -134,3 +134,68 @@ def test_compaction_rerun_with_new_files_never_loses_data(ray_session, tmp_path)
     assert total() == n0 + extra_rows  # nothing lost
     compact_tier(out, 1000, target_rows=10**9)
     assert total() == n0 + extra_rows
+
+
+def test_compaction_crash_recovery_no_duplicates(ray_session, tmp_path):
+    """ADVICE r4 #1: a crash between the compacted file's rename and the
+    input removals must NOT double-count rows or bake duplicates into
+    the tier on the next compact run — the journal rolls the bin
+    forward."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pq_ray.pipelines.retention import (
+        COMPACT_JOURNAL,
+        compact_tier,
+        recover_compaction,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    write_tokens_corpus(corpus, 400, seed=7)
+    run_cascade(corpus, out, tiers=[1000, 60_000], num_buckets=8,
+                decode_batch_size=128)
+    tdir = tier_dir(out, 1000)
+    con = duckdb.connect()
+    q = f"select count(*) from read_parquet('{tdir}/*.parquet')"
+    rows_before = con.sql(q).fetchone()[0]
+
+    # simulate the crash window: merge two input files into a durable
+    # compacted output, write the journal, but "die" before removing
+    # the inputs
+    parts = sorted(
+        n for n in os.listdir(tdir) if n.endswith(".parquet")
+    )[:2]
+    tables = [papq.read_table(os.path.join(tdir, n)) for n in parts]
+    dst = "compacted-99990.parquet"
+    with open(os.path.join(tdir, COMPACT_JOURNAL), "w") as f:
+        json.dump({"dst": dst, "inputs": parts}, f)
+    papq.write_table(
+        pa.concat_tables(tables, promote_options="default"),
+        os.path.join(tdir, dst),
+    )
+    # duplicates now on disk: rows counted twice
+    assert con.sql(q).fetchone()[0] > rows_before
+
+    # the next compact run recovers FIRST, then compacts — row count is
+    # exactly the pre-crash count, and the journal is gone
+    rep = compact_tier(out, 1000, target_rows=10**9)
+    assert rep["recovered_leftovers"] == len(parts)
+    assert not os.path.exists(os.path.join(tdir, COMPACT_JOURNAL))
+    assert con.sql(q).fetchone()[0] == rows_before
+
+    # roll-back path: journal without a durable output clears cleanly
+    with open(os.path.join(tdir, COMPACT_JOURNAL), "w") as f:
+        json.dump({"dst": "compacted-88888.parquet", "inputs": []}, f)
+    with open(os.path.join(tdir, "compacted-88888.parquet.tmp"), "w") as f:
+        f.write("partial")
+    assert recover_compaction(tdir) == 0
+    assert not os.path.exists(os.path.join(tdir, COMPACT_JOURNAL))
+    assert not os.path.exists(
+        os.path.join(tdir, "compacted-88888.parquet.tmp")
+    )
+    assert con.sql(q).fetchone()[0] == rows_before

@@ -496,3 +496,47 @@ def test_ann_ivf_multi_check_flag_and_exact_rows(ray_session):
     pd.testing.assert_frame_equal(
         chk.drop(columns=["ivf_ok"]), brute, check_dtype=False
     )
+
+
+def test_text_hash128_prime_field_correct_and_adversarial_safe():
+    """ADVICE r4 #2: mod-2^64 polynomial hashing collides on Thue-Morse
+    pairs for EVERY base; the prime-field (2^61-1) replacement must (a)
+    equal the scalar modular reference and (b) separate that pair."""
+    import pyarrow as pa
+
+    from pq_ray.pipelines.training import (
+        _B61_1,
+        _mulmod_p61,
+        _poly_hash_segments,
+        _powmod_p61,
+        _text_hash128,
+        _PHI,
+    )
+
+    P = (1 << 61) - 1
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, P, 2000, dtype=np.uint64)
+    b = rng.integers(0, P, 2000, dtype=np.uint64)
+    got = _mulmod_p61(a, b)
+    exp = np.array([(int(x) * int(y)) % P for x, y in zip(a, b)],
+                   dtype=np.uint64)
+    assert (got == exp).all()
+    e = rng.integers(0, 100_000, 200, dtype=np.uint64)
+    assert (
+        _powmod_p61(_B61_1, e)
+        == np.array([pow(int(_B61_1), int(x), P) for x in e], dtype=np.uint64)
+    ).all()
+
+    # Thue-Morse pair of length 2^11: a universal mod-2^64 collision
+    n = 2048
+    tm = np.array([bin(i).count("1") & 1 for i in range(n)], dtype=np.uint8)
+    s1 = "".join("ab"[v] for v in tm)
+    s2 = "".join("ba"[v] for v in tm)
+    vals = np.frombuffer((s1 + s2).encode(), dtype=np.uint8)
+    old = _poly_hash_segments(vals, np.array([n, n]), _PHI)
+    assert old[0] == old[1]  # the attack the old scheme fell to
+    h1, h2 = _text_hash128(pa.array([s1, s2]))
+    assert h1[0] != h1[1] and h2[0] != h2[1]
+    # determinism + equality on equal strings still holds
+    g1, g2 = _text_hash128(pa.array([s1, s1]))
+    assert g1[0] == g1[1] and g2[0] == g2[1]
