@@ -328,7 +328,58 @@ QUERIES = {
 }
 
 
-def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
+def finish_dense(dense_ds, sf_dir: str, value_cols: list[str],
+                 query: str, sink_dir: str | None):
+    """Shared tail of the dense gap-fill family (gapfill/interp/locf).
+
+    sink_dir=None: the driver-contract DataFrame (label merge + sort) —
+    correct at test scale only.  sink_dir given: the dense Dataset
+    streams through a vectorized label-attach map straight into a
+    partitioned parquet sink with a manifest (pipelines/sinks.py) and
+    only a summary dict returns — the 100x path, no driver
+    materialization of the spine (VERDICT r4 #4)."""
+    label_df = _event_type_map(sf_dir)
+    if sink_dir is None:
+        out = dense_ds.to_pandas().merge(label_df, on="series_id", sort=False)
+        return (
+            out[["window_ts", "event_type", *value_cols]]
+            .sort_values(["event_type", "window_ts"])
+            .reset_index(drop=True)
+        )
+    import pyarrow as pa2
+
+    from .sinks import sink_dataset
+
+    order = np.argsort(label_df["series_id"].to_numpy())
+    sids = label_df["series_id"].to_numpy(dtype=np.uint64)[order]
+    ets = label_df["event_type"].to_numpy(dtype=object)[order]
+
+    def attach(t: pa2.Table) -> pa2.Table:
+        if t.num_rows == 0:
+            return pa2.table(
+                {
+                    "window_ts": pa2.array([], type=pa2.int64()),
+                    "event_type": pa2.array([], type=pa2.string()),
+                    **{c: t[c] for c in value_cols},
+                }
+            )
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(sids, sid)
+        return pa2.table(
+            {
+                "window_ts": t["window_ts"],
+                "event_type": pa2.array(ets[idx], type=pa2.string()),
+                **{c: t[c] for c in value_cols},
+            }
+        )
+
+    return sink_dataset(
+        dense_ds.map_batches(attach, batch_format="pyarrow"),
+        sink_dir, input_path=sf_dir, query=query,
+    )
+
+
+def q_gapfill_1m(sf_dir: str, sink_dir: str | None = None) -> pd.DataFrame:
     """Dense per-event_type 1m spine with explicit staleness markers —
     pq's empty-tick gap-fill semantic (SURVEY.md Q3) as a table: every
     window between a series' first and last window appears, absent ones
@@ -389,17 +440,14 @@ def q_gapfill_1m(sf_dir: str) -> pd.DataFrame:
         )
 
     samples = read_events(sf_dir).map_batches(_to_samples, batch_format="pyarrow")
-    dense = rollup_numeric(
+    dense_ds = rollup_numeric(
         samples, MINUTE_MS,
         num_buckets=buckets_for_table(sf_dir, "events"),
         key="series", post_reduce=fill
-    ).to_pandas()
-    label_df = _event_type_map(sf_dir)
-    out = dense.merge(label_df, on="series_id", sort=False)
-    return (
-        out[["window_ts", "event_type", "n", "sum_value", "is_gap"]]
-        .sort_values(["event_type", "window_ts"])
-        .reset_index(drop=True)
+    )
+    return finish_dense(
+        dense_ds, sf_dir, ["n", "sum_value", "is_gap"],
+        "events_gapfill_1m", sink_dir,
     )
 
 

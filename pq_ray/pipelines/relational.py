@@ -384,7 +384,9 @@ ORACLES["tpch_quiet_customers"] = """
 """
 
 
-def q_rel_users_outer_customers(sf_dir: str, num_buckets: int | None = None) -> pd.DataFrame:
+def q_rel_users_outer_customers(
+    sf_dir: str, num_buckets: int | None = None, sink_dir: str | None = None
+) -> pd.DataFrame:
     """FULL OUTER shuffle join: per-user event counts ⟗ customers on
     user_id = c_custkey — the join type the TPC-H quartet doesn't
     exercise (customers with no events keep NULL-side event counts;
@@ -424,28 +426,42 @@ def q_rel_users_outer_customers(sf_dir: str, num_buckets: int | None = None) -> 
         num_buckets=num_buckets,
         join_type="full outer",
     )
-    df = joined.to_pandas()
+
     # Arrow's full outer COALESCES the key into the left key column, so
     # user_id already carries the customer key on right-only rows.
     # Per-user partials may split across input batches within a bucket:
-    # fold counts after the join (the join key is unique on the customer
-    # side, so folding is a plain groupby-sum over the joined rows)
-    key = df["user_id"].astype(np.int64)
-    out = pd.DataFrame(
-        {
-            "key": key,
-            "n_events": df["n_events"].fillna(0).astype(np.int64),
-            "mktsegment": df["c_mktsegment"].fillna("<none>"),
-        }
+    # fold counts after the join.  A bucket block holds EVERY row of its
+    # users (hash-by-user exchange), so the fold is exact per block —
+    # which is what lets the sink path stream without a driver fold.
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "key": df["user_id"].astype(np.int64),
+                "n_events": df["n_events"].fillna(0).astype(np.int64),
+                "mktsegment": df["c_mktsegment"].fillna("<none>"),
+            }
+        )
+        out = (
+            out.groupby(["key", "mktsegment"], as_index=False)["n_events"]
+            .sum()
+        )
+        out["has_events"] = out["n_events"] > 0
+        return out[["key", "n_events", "mktsegment", "has_events"]]
+
+    folded = joined.map_batches(fold, batch_format="pandas")
+    if sink_dir is not None:
+        # 100x path (VERDICT r4 #4): the user-cardinality result streams
+        # to a partitioned parquet sink with a manifest; the driver sees
+        # only the summary
+        from .sinks import sink_dataset
+
+        return sink_dataset(
+            folded, sink_dir, input_path=sf_dir,
+            query="rel_users_outer_customers",
+        )
+    return (
+        folded.to_pandas().sort_values("key").reset_index(drop=True)
     )
-    out = (
-        out.groupby(["key", "mktsegment"], as_index=False)["n_events"]
-        .sum()
-        .sort_values("key")
-        .reset_index(drop=True)
-    )
-    out["has_events"] = out["n_events"] > 0
-    return out[["key", "n_events", "mktsegment", "has_events"]]
 
 
 QUERIES["rel_users_outer_customers"] = q_rel_users_outer_customers

@@ -337,7 +337,7 @@ def q_hll_1h_check(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_interp_1m(sf_dir: str) -> pd.DataFrame:
+def q_interp_1m(sf_dir: str, sink_dir: str | None = None) -> pd.DataFrame:
     """Dense per-event_type 1m spine where missing windows take the
     linear interpolation of the neighboring observed windows'
     per-window averages — the 'connect the dots' fill next to
@@ -418,15 +418,15 @@ def q_interp_1m(sf_dir: str) -> pd.DataFrame:
     samples = read_events(sf_dir).map_batches(
         _to_samples, batch_format="pyarrow"
     ).map_batches(to_cents, batch_format="pyarrow")
-    dense = rollup_numeric(
+    dense_ds = rollup_numeric(
         samples, MINUTE_MS, num_buckets=buckets_for_table(sf_dir, "events"),
         key="series", post_reduce=fill
-    ).to_pandas()
-    out = dense.merge(_event_type_map(sf_dir), on="series_id", sort=False)
-    return (
-        out[["window_ts", "event_type", "value_interp", "is_interp"]]
-        .sort_values(["event_type", "window_ts"])
-        .reset_index(drop=True)
+    )
+    from .events import finish_dense
+
+    return finish_dense(
+        dense_ds, sf_dir, ["value_interp", "is_interp"],
+        "events_interp_1m", sink_dir,
     )
 
 
@@ -673,7 +673,7 @@ def q_funnel(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-def q_locf_1m(sf_dir: str) -> pd.DataFrame:
+def q_locf_1m(sf_dir: str, sink_dir: str | None = None) -> pd.DataFrame:
     """Dense per-event_type 1m spine where missing windows CARRY the
     last observed window's average FORWARD (locf — the standard
     continuous-aggregate gap-fill next to interp's connect-the-dots and
@@ -734,15 +734,15 @@ def q_locf_1m(sf_dir: str) -> pd.DataFrame:
     samples = read_events(sf_dir).map_batches(
         _to_samples, batch_format="pyarrow"
     ).map_batches(to_cents, batch_format="pyarrow")
-    dense = rollup_numeric(
+    dense_ds = rollup_numeric(
         samples, MINUTE_MS, num_buckets=buckets_for_table(sf_dir, "events"),
         key="series", post_reduce=fill
-    ).to_pandas()
-    out = dense.merge(_event_type_map(sf_dir), on="series_id", sort=False)
-    return (
-        out[["window_ts", "event_type", "value_locf", "is_filled"]]
-        .sort_values(["event_type", "window_ts"])
-        .reset_index(drop=True)
+    )
+    from .events import finish_dense
+
+    return finish_dense(
+        dense_ds, sf_dir, ["value_locf", "is_filled"],
+        "events_locf_1m", sink_dir,
     )
 
 

@@ -4,6 +4,7 @@ fast-path vs reference-parity-path equality for the props decoder."""
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -46,3 +47,59 @@ def test_props_k_fast_path_matches_registry_decoder(ray_session):
     fast = q_props_k_by_event(SF)
     parity = q_props_k_by_event(SF, use_registry_decoder=True)
     _compare(fast, parity)
+
+
+def test_gapfill_sink_streams_without_driver_materialization(
+    ray_session, tmp_path
+):
+    """VERDICT r4 #4: sink_dir streams the dense spine to a partitioned
+    parquet sink with a manifest and returns ONLY a summary; the parquet
+    content equals the driver-path DataFrame, and a rerun with an
+    unchanged input resumes as a no-op."""
+    import duckdb
+
+    from pq_ray.pipelines.events import q_gapfill_1m
+    from pq_ray.state import manifest as mf
+
+    sf = "/root/testdata/sf0.001"
+    sink = str(tmp_path / "gapfill")
+    summary = q_gapfill_1m(sf, sink_dir=sink)
+    assert isinstance(summary, dict) and not summary["skipped"]
+    assert summary["rows"] > 0
+
+    df = q_gapfill_1m(sf)  # driver-contract path
+    assert summary["rows"] == len(df)
+    c = duckdb.connect()
+    got = (
+        c.sql(f"select * from read_parquet('{sink}/*.parquet')")
+        .df()
+        .sort_values(["event_type", "window_ts"])
+        .reset_index(drop=True)[df.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, df, check_dtype=False)
+    m = mf.load(sink)
+    assert m["completed"] and m["rows_out"] == len(df)
+
+    # resume: unchanged input -> no rewrite
+    again = q_gapfill_1m(sf, sink_dir=sink)
+    assert again["skipped"] and again["rows"] == len(df)
+
+
+def test_outer_join_sink(ray_session, tmp_path):
+    import duckdb
+
+    from pq_ray.pipelines.relational import q_rel_users_outer_customers
+
+    sf = "/root/testdata/sf0.001"
+    sink = str(tmp_path / "outer")
+    summary = q_rel_users_outer_customers(sf, sink_dir=sink)
+    df = q_rel_users_outer_customers(sf)
+    assert summary["rows"] == len(df)
+    c = duckdb.connect()
+    got = (
+        c.sql(f"select * from read_parquet('{sink}/*.parquet')")
+        .df()
+        .sort_values("key")
+        .reset_index(drop=True)[df.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, df, check_dtype=False)
