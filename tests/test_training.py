@@ -540,3 +540,25 @@ def test_text_hash128_prime_field_correct_and_adversarial_safe():
     # determinism + equality on equal strings still holds
     g1, g2 = _text_hash128(pa.array([s1, s1]))
     assert g1[0] == g1[1] and g2[0] == g2[1]
+
+
+def test_ann_ivf_check_oracle_contract(ray_session):
+    """VERDICT r4 #7: the driver row for ann_ivf is the exact top-k plus
+    a deterministic recall-contract flag; the flag must hold (True) so
+    the TRUE-emitting oracle hashes green."""
+    import duckdb
+
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["ann_ivf"](sf)
+    assert got["ivf_ok"].all()
+    con = duckdb.connect()
+    con.sql(
+        f"create view embeddings as select * from "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    exp = con.sql(ORACLES["ann_ivf"]).df()
+    g = got.sort_values(["vec_id"]).reset_index(drop=True)[sorted(got.columns)]
+    x = exp.sort_values(["vec_id"]).reset_index(drop=True)[sorted(exp.columns)]
+    assert g.astype(str).equals(x.astype(str))
