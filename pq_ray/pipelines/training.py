@@ -780,13 +780,56 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_shingles_md5(texts) -> tuple[np.ndarray, np.ndarray]:
+    """SQL-replicable variant of _doc_shingles (VERDICT r4 #6): a
+    shingle hash is stable_hash64 of the bigram STRING
+    ``tok_i + ' ' + tok_{i+1}`` — DuckDB computes the identical value as
+    ``('0x' || substr(md5(a || ' ' || b), 1, 16))::UBIGINT`` — so the
+    simhash family hashes against a SQL oracle bit-for-bit.  md5 runs
+    once per DISTINCT bigram (factorize), never per occurrence."""
+    from ..model import stable_hash64
+
+    s = pd.Series(texts, dtype=object)
+    toks = s.str.split(" ")
+    counts = toks.str.len().to_numpy().astype(np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    n = len(s)
+    nbi = np.maximum(counts - 1, 0)
+    total = int(nbi.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(nbi) - nbi, nbi
+    )
+    first_idx = within + np.repeat(tok_starts, nbi)
+    bigrams = (
+        pd.Series(flat[first_idx], dtype=object)
+        + " "
+        + pd.Series(flat[first_idx + 1], dtype=object)
+    ).to_numpy(dtype=object)
+    codes, uniq = pd.factorize(bigrams)
+    lut = np.fromiter(
+        (stable_hash64(u) for u in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    bh = lut[codes]
+    didx = np.repeat(np.arange(n, dtype=np.int64), nbi)
+    order = np.lexsort((bh, didx))
+    db, hb = didx[order], bh[order]
+    keep = np.ones(len(db), dtype=bool)
+    keep[1:] = (db[1:] != db[:-1]) | (hb[1:] != hb[:-1])
+    return db[keep], hb[keep]
+
+
 def _simhash_batch(texts) -> np.ndarray:
     """64-bit SimHash per doc over distinct word bigrams — vectorized:
     the ±1 bit contributions of every shingle in the batch accumulate via
-    one reduceat along the doc axis (no per-doc or per-token loop)."""
+    one reduceat along the doc axis (no per-doc or per-token loop).
+    Shingle hashes are the md5-based SQL-replicable ones (VERDICT r4 #6),
+    so the whole simhash is reproducible in DuckDB."""
     n = len(texts)
     packed = np.zeros(n, dtype=np.uint64)
-    didx, shs = _doc_shingles(texts)
+    didx, shs = _doc_shingles_md5(texts)
     if len(shs):
         bits = (
             (shs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
@@ -1152,33 +1195,46 @@ def _text_hash128(col) -> tuple[np.ndarray, np.ndarray]:
 def q_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pd.DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     k-gram hashes + per-window minimum selection, fully vectorized at
-    the BATCH level — one rolling-hash pass and one sliding_window_view
-    argmin over the flat concatenated token-hash array, with per-doc
+    the BATCH level — one hashing pass and one sliding_window_view
+    argmin over the flat concatenated k-gram-hash array, with per-doc
     segment boundaries masking out cross-doc windows (no per-doc Python
-    loop; the per-doc md5 is replaced by a vectorized polynomial hash
-    over the sorted fingerprint set)."""
+    loop).  Hashes are SQL-replicable (VERDICT r4 #6): a k-gram hash is
+    stable_hash64 of the space-joined k tokens (md5 once per DISTINCT
+    k-gram), and the doc fingerprint is stable_hash64 of the
+    comma-joined sorted fingerprint hex values — both reproduced
+    bit-for-bit by the DuckDB oracle."""
+    from ..model import stable_hash64
+
     ds = _read_docs(sf_dir)
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.split(" ")
         counts = toks.str.len().to_numpy().astype(np.int64)
         flat = toks.explode().to_numpy(dtype=object)
-        th = pd.util.hash_array(flat).astype(np.uint64)
         tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         total = int(counts.sum())
         ndocs = len(df)
         ng = np.maximum(counts - k + 1, 0)  # grams per doc
 
-        # rolling k-gram hashes over the FLAT array (k vectorized
-        # passes); doc d's grams are the slice [tok_starts[d], +ng[d])
-        # — windows crossing doc boundaries are computed then discarded
+        # k-gram strings over the FLAT array (k-1 vectorized concats);
+        # doc d's grams are the slice [tok_starts[d], +ng[d]) — windows
+        # crossing doc boundaries are computed then discarded.  md5 runs
+        # once per DISTINCT k-gram (factorize).
         n_flat_g = total - k + 1
         if n_flat_g <= 0:
             hs_all = np.zeros(0, dtype=np.uint64)
         else:
-            hs_all = np.zeros(n_flat_g, dtype=np.uint64)
-            for j in range(k):  # k tiny (5): k vectorized passes
-                hs_all = hs_all * _PHI ^ th[j : j + n_flat_g]
+            gram = pd.Series(flat[0:n_flat_g], dtype=object)
+            for j in range(1, k):
+                gram = gram + " " + pd.Series(
+                    flat[j : j + n_flat_g], dtype=object
+                )
+            codes, uniq = pd.factorize(gram.to_numpy(dtype=object))
+            lut = np.fromiter(
+                (stable_hash64(u) for u in uniq),
+                dtype=np.uint64, count=len(uniq),
+            )
+            hs_all = lut[codes]
 
         pick_docs: list[np.ndarray] = []
         pick_abs: list[np.ndarray] = []
@@ -1232,7 +1288,20 @@ def q_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> pd.DataFrame:
         else:
             fps = np.zeros(0, dtype=np.uint64)
             n_fps = np.zeros(ndocs, dtype=np.int64)
-        h = _poly_hash_segments(fps, n_fps)
+        # doc fingerprint = stable_hash64 of the comma-joined sorted hex
+        # fingerprints (SQL: md5(string_agg(...)) — VERDICT r4 #6);
+        # empty fingerprint sets keep the historical all-zero hash
+        joined = (
+            pd.Series(np.char.mod("%016x", fps))
+            .groupby(docs_arr, sort=True)
+            .agg(",".join)
+        )
+        h = np.zeros(ndocs, dtype=np.uint64)
+        if len(joined):
+            h[joined.index.to_numpy()] = np.fromiter(
+                (stable_hash64(s) for s in joined.to_numpy()),
+                dtype=np.uint64, count=len(joined),
+            )
         return pd.DataFrame(
             {"doc_id": df["doc_id"],
              "n_fingerprints": n_fps,
@@ -1384,10 +1453,10 @@ QUERIES = {
     "token_bpe": q_token_bpe,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,  # oracle added below (recall-1.0 LSH)
-    "simhash": q_simhash,  # rows-only (hash definition is ours)
-    "simhash_pairs": q_simhash_pairs,  # rows-only (banded hamming dedup)
+    "simhash": q_simhash,  # oracled: md5-based shingles replicate in SQL
+    "simhash_pairs": q_simhash_pairs,  # oracled: brute-force hamming <= 3
     "lang_quality": q_lang_quality,  # rows-only (heuristic)
-    "fingerprints": q_fingerprints,  # rows-only (winnowing params ours)
+    "fingerprints": q_fingerprints,  # oracled: md5 k-grams + winnowing in SQL
     "ann_topk": q_ann_topk,
     "ann_topk_multi": q_ann_topk_multi,
     "embed_neardup": q_embed_neardup,
@@ -1823,6 +1892,129 @@ def q_ann_ivf_check(sf_dir: str) -> pd.DataFrame:
 QUERIES["ann_ivf"] = q_ann_ivf_check  # exact top-k + recall contract flag
 QUERIES["ann_ivf_multi"] = q_ann_ivf_multi_check
 QUERIES["embed_neardup_lsh"] = q_embed_neardup_lsh
+# Winnowing oracle (VERDICT r4 #6): k-gram hash = stable_hash64 of the
+# space-joined k tokens; per window of w consecutive k-grams pick the
+# LEFTMOST minimum (np.argmin semantics = ORDER BY h, ord); the doc
+# fingerprint is stable_hash64 of the comma-joined sorted hex values.
+def _fingerprints_oracle_sql(k: int = 5, w: int = 4) -> str:
+    leads = " || ' ' || ".join(
+        f"lead(tok, {j}) OVER win" for j in range(1, k)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(l) AS tok,
+               unnest(range(1, len(l) + 1)) AS ord
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ),
+    kg AS (
+        SELECT doc_id, ord, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS h
+        FROM (
+            SELECT doc_id, ord,
+                   tok || ' ' || {leads} AS g,
+                   lead(tok, {k - 1}) OVER win AS t_last
+            FROM toks
+            WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+        ) WHERE t_last IS NOT NULL
+    ),
+    ngd AS (SELECT doc_id, count(*) AS ng FROM kg GROUP BY 1),
+    small_sel AS (
+        SELECT doc_id, ord FROM (
+            SELECT kg.doc_id, kg.ord,
+                   row_number() OVER (
+                       PARTITION BY kg.doc_id ORDER BY kg.h, kg.ord
+                   ) AS rn
+            FROM kg JOIN ngd ON ngd.doc_id = kg.doc_id
+            WHERE ngd.ng <= {w}
+        ) WHERE rn = 1
+    ),
+    big_sel AS (
+        SELECT DISTINCT doc_id, ord FROM (
+            SELECT s.doc_id, g.ord,
+                   row_number() OVER (
+                       PARTITION BY s.doc_id, s.ord ORDER BY g.h, g.ord
+                   ) AS rn
+            FROM kg s
+            JOIN ngd n ON n.doc_id = s.doc_id
+            JOIN kg g ON g.doc_id = s.doc_id
+                     AND g.ord BETWEEN s.ord AND s.ord + {w - 1}
+            WHERE n.ng > {w} AND s.ord <= n.ng - {w} + 1
+        ) WHERE rn = 1
+    ),
+    sel AS (
+        SELECT * FROM small_sel UNION ALL SELECT * FROM big_sel
+    ),
+    fps AS (
+        SELECT sel.doc_id, kg.h
+        FROM sel JOIN kg ON kg.doc_id = sel.doc_id AND kg.ord = sel.ord
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_fingerprints,
+               lpad(lower(hex(('0x' || substr(md5(
+                   string_agg(lpad(lower(hex(h)), 16, '0'), ','
+                              ORDER BY h)
+               ), 1, 16))::UBIGINT)), 16, '0') AS fp_hash
+        FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+           COALESCE(a.fp_hash, '0000000000000000') AS fp_hash
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+ORACLES["fingerprints"] = _fingerprints_oracle_sql()
+
+
+# SimHash oracles (VERDICT r4 #6): the shingle hash is
+# stable_hash64(bigram string) = first 8 md5 bytes big-endian, which
+# DuckDB reproduces exactly via ('0x' || substr(md5(...),1,16))::UBIGINT;
+# the simhash itself is the per-bit ±1 majority over DISTINCT bigrams.
+_SIMHASH_SQL_CTE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(l) AS tok,
+               unnest(range(1, len(l) + 1)) AS ord
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ),
+    big AS (
+        SELECT DISTINCT a.doc_id,
+               ('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 16))::UBIGINT
+                   AS sh
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    ),
+    bits AS (
+        SELECT doc_id, bs.b,
+               SUM(CASE WHEN ((sh >> bs.b) & 1::UBIGINT) = 1::UBIGINT
+                        THEN 1 ELSE -1 END) AS s
+        FROM big CROSS JOIN (SELECT unnest(range(64)) AS b) bs
+        GROUP BY 1, 2
+    ),
+    simv AS (
+        SELECT doc_id,
+               bit_or(CASE WHEN s > 0 THEN ((1::HUGEINT << b)::UBIGINT)
+                           ELSE 0::UBIGINT END) AS v
+        FROM bits GROUP BY doc_id
+    ),
+    sim AS (
+        SELECT d.doc_id, COALESCE(simv.v, 0::UBIGINT) AS v
+        FROM documents d LEFT JOIN simv USING (doc_id)
+    )
+"""
+
+ORACLES["simhash"] = _SIMHASH_SQL_CTE + """
+    SELECT doc_id, lpad(lower(hex(v)), 16, '0') AS simhash
+    FROM sim ORDER BY doc_id
+"""
+
+ORACLES["simhash_pairs"] = _SIMHASH_SQL_CTE + f"""
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.v, y.v)) AS BIGINT) AS hamming
+    FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.v, y.v)) <= {_SIMHASH_MAX_HAMMING}
+    ORDER BY a, b
+"""
+
 ORACLES["ann_ivf"] = (
     ORACLES["ann_topk"].rstrip()
     .replace("SELECT vec_id,",
