@@ -134,17 +134,22 @@ def estimate_corpus_samples(corpus_path: str, *, len_col: str = "n_tok") -> int:
 def cascade_buckets(
     corpus_path: str,
     *,
-    samples_per_bucket: int = 24_000_000,
+    samples_per_bucket: int = 96_000_000,
     max_buckets: int = MAX_BUCKETS,
 ) -> int:
     """Bucket count for the flagship cascade exchange.
 
     Floor: ``max(32, 2 x cluster CPUs)`` — the CPU-matched value the
-    bench always used, so behavior at the current bench scales is
-    unchanged (155M samples / 24M < 32).  Growth: one bucket per ~24M
-    raw samples; the split-task narrow pre-combine collapses ~17x at
-    window saturation, so a bucket's gather concatenates ~1.4M combined
-    narrow rows (~40 MB) regardless of corpus size."""
+    bench always used; growth: one bucket per ~96M raw samples.  The
+    threshold is a measured trade, not a guess: bucket counts above the
+    CPU floor cost real wall time (39 vs 32 buckets = +11% on the
+    16-core 927M-sample leg — more shuffle objects, smaller gathers),
+    while the memory bound they protect binds much later — the
+    split-task narrow pre-combine collapses ~17x at window saturation,
+    so at 96M samples/bucket a gather concatenates ~5.6M combined
+    narrow rows (~125 MB), comfortable for a worker heap.  Growth
+    therefore starts only past ~6B samples at 32 CPUs, exactly where
+    the per-bucket reduce would otherwise outgrow the heap."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
