@@ -76,6 +76,7 @@ _ORDER = [
     # pq_max rides pq_sum's instant-rollup exchange; jaccard_pairs is
     # minhash_pairs' exact anchor; interp rides gapfill; irate/dod ride
     # rate; dq_changes/dq_median ride dq_histq's sample-stream exchange)
+    "pq_sum_by_event_1m_lb2m",  # general-lookback instant grid (r5)
     "jaccard_pairs", "dq_changes_1h", "dq_median_1h",
     "events_interp_1m", "events_irate_1h", "events_dod_delta",
     "pq_max_by_event_1h", "events_quantile_1h",

@@ -619,6 +619,30 @@ ORACLES = {
         SELECT tick, event_type, user_mod, value
         FROM ranked WHERE rn <= 3 ORDER BY tick, event_type, user_mod
     """,
+    "pq_sum_by_event_1m_lb2m": f"""
+        WITH params AS (
+            SELECT (SELECT MIN(epoch_ms(ts)) FROM events) + {MINUTE} - 1 AS first,
+                   (SELECT MAX(epoch_ms(ts)) FROM events) AS last_ts
+        ),
+        s AS (
+            SELECT epoch_ms(ts) AS ts_ms, event_type,
+                   CAST(user_id % 10 AS VARCHAR) AS user_mod, value
+            FROM events
+        ),
+        ticks AS (
+            SELECT unnest(generate_series(p.first, p.last_ts + {2 * MINUTE} - 1, {MINUTE})) AS tick
+            FROM params p
+        ),
+        instant AS (
+            SELECT t.tick, s.event_type, s.user_mod,
+                   arg_max(s.value, s.ts_ms) AS iv
+            FROM ticks t JOIN s
+              ON s.ts_ms > t.tick - {2 * MINUTE} AND s.ts_ms <= t.tick
+            GROUP BY 1, 2, 3
+        )
+        SELECT tick, event_type, ROUND(SUM(iv), 6) AS sum_value
+        FROM instant GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "pq_count_over_time_5m": f"""
         WITH params AS (
             SELECT (SELECT MIN(epoch_ms(ts)) FROM events) + {MINUTE} - 1 AS first,
@@ -637,8 +661,18 @@ ORACLES = {
     """,
 }
 
+def q_pq_sum_by_event_1m_lb2m(sf_dir: str) -> pd.DataFrame:
+    """The general-lookback face of the instant grid (VERDICT r4 #5) as
+    a driver-hashable row: ``sum(value) by (event_type)`` @ interval 1m
+    with lookback 2m — each sample is the latest-in-window candidate
+    for TWO ticks, exercising _exploded_instant_partials end-to-end
+    against a generate_series + windowed-join SQL oracle."""
+    return q_pq_sum_by_event_1m(sf_dir, lookback=2 * MINUTE)
+
+
 QUERIES = {
     "pq_sum_by_event_1m": q_pq_sum_by_event_1m,
+    "pq_sum_by_event_1m_lb2m": q_pq_sum_by_event_1m_lb2m,
     "pq_stddev_by_event_1h": q_pq_stddev_by_event_1h,
     "pq_quantile09_by_event_1h": q_pq_quantile09_by_event_1h,
     "pq_max_by_event_1h": q_pq_max_by_event_1h,

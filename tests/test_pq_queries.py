@@ -135,3 +135,13 @@ def test_distributed_general_lookback_matches_local_engine(
 
     dist = q_pq_sum_by_event_1m(SF, lookback=lb_mult * MINUTE)
     _compare(dist, local)
+
+
+def test_lookback2m_query_oracle_parity(ray_session, con):
+    """The driver-registered general-lookback row hashes against its
+    generate_series + windowed-join oracle."""
+    from pq_ray.pipelines.pq_queries import ORACLES, QUERIES
+
+    got = QUERIES["pq_sum_by_event_1m_lb2m"](SF)
+    exp = con.sql(ORACLES["pq_sum_by_event_1m_lb2m"]).df()
+    _compare(got, exp)
