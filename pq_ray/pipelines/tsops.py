@@ -162,9 +162,30 @@ def q_distinct_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
             }
         )
 
+    def combine_fn(t: pa.Table) -> pa.Table:
+        # tree-gather combine: cross-part dedup of the distinct triples
+        # (set union is associative) — a bucket's final reduce never
+        # concatenates the whole raw bucket at 100x
+        keep = ["series_id", "window_ts", "user_id"]
+        if t.num_rows == 0:
+            return t.select([c for c in keep if c in t.schema.names])
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        usr = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        sid_d, win_d, usr_d, _ = _dedup_triples(gkey, sid, win, usr)
+        return pa.table(
+            {
+                "series_id": pa.array(sid_d, type=pa.uint64()),
+                "window_ts": pa.array(win_d),
+                "user_id": pa.array(usr_d),
+            }
+        )
+
     ds = _read_events_users(sf_dir, ["ts", "event_type", "user_id"])
     pts = hash_exchange(
-        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket",
+        num_buckets, reduce_fn, combine_fn=combine_fn,
     )
     out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
     return (
@@ -297,9 +318,31 @@ def q_hll_1h(sf_dir: str, interval_ms: int = HOUR_MS) -> pd.DataFrame:
             }
         )
 
+    def combine_fn(t: pa.Table) -> pa.Table:
+        # tree-gather combine: register-max merge is associative and
+        # saturates at HLL_M rows per group whatever the part count
+        keep = ["series_id", "window_ts", "reg", "rho"]
+        if t.num_rows == 0:
+            return t.select([c for c in keep if c in t.schema.names])
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        reg = t["reg"].combine_chunks().to_numpy(zero_copy_only=False)
+        rho = t["rho"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        sid_m, win_m, reg_m, rho_m, _ = _hll_max_per(gkey, sid, win, reg, rho)
+        return pa.table(
+            {
+                "series_id": pa.array(sid_m, type=pa.uint64()),
+                "window_ts": pa.array(win_m),
+                "reg": pa.array(reg_m),
+                "rho": pa.array(rho_m),
+            }
+        )
+
     ds = _read_events_users(sf_dir, ["ts", "event_type", "user_id"])
     pts = hash_exchange(
-        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket",
+        num_buckets, reduce_fn, combine_fn=combine_fn,
     )
     out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
     return (
@@ -490,10 +533,18 @@ def q_new_users_1h(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    def combine_fn(t: pa.Table) -> pa.Table:
+        # tree-gather combine: (user, window) set union — associative
+        keep = ["user_id", "window_ts"]
+        if t.num_rows == 0:
+            return t.select([c for c in keep if c in t.schema.names])
+        df = t.select(keep).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     ds = _read_events_users(sf_dir, ["ts", "user_id"])
     parts = hash_exchange(
         ds.map_batches(partial, batch_format="pyarrow"),
-        "bucket", num_buckets, reduce_fn,
+        "bucket", num_buckets, reduce_fn, combine_fn=combine_fn,
     ).to_pandas()
     out = (
         parts.groupby("window_ts", as_index=False)[["n_new", "n_returning"]]
@@ -575,10 +626,18 @@ def q_retention_7d(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    def combine_fn(t: pa.Table) -> pa.Table:
+        # tree-gather combine: (user, day) set union — associative
+        keep = ["user_id", "day"]
+        if t.num_rows == 0:
+            return t.select([c for c in keep if c in t.schema.names])
+        df = t.select(keep).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
     ds = _read_events_users(sf_dir, ["ts", "user_id"])
     parts = hash_exchange(
         ds.map_batches(partial, batch_format="pyarrow"),
-        "bucket", num_buckets, reduce_fn,
+        "bucket", num_buckets, reduce_fn, combine_fn=combine_fn,
     ).to_pandas()
     out = (
         parts.groupby("cohort_day", as_index=False)[

@@ -111,6 +111,7 @@ def tree_combine_parts(parts: list, combine_fn, fanin: int = GATHER_FANIN) -> li
     ``fanin`` parts and combines them, so no single task ever sees the
     whole raw bucket.  Returns the (possibly original) part-ref list for
     the caller's final gather."""
+    fanin = max(2, fanin)  # fanin < 2 would never shrink the list
     while len(parts) > fanin:
         parts = [
             _gather.remote(combine_fn, *parts[k : k + fanin])

@@ -690,3 +690,28 @@ def test_retention_7d_matches_oracle(ray_session):
     assert (got["n_retained_7d"] <= got["n_cohort"]).all()
     n_users = _oracle("SELECT COUNT(DISTINCT user_id) AS n FROM events")["n"][0]
     assert got["n_cohort"].sum() == n_users  # every user in ONE cohort
+
+
+@pytest.mark.parametrize(
+    "name", ["events_distinct_1h", "events_hll_1h",
+             "events_new_users_1h", "events_retention_7d"]
+)
+def test_tree_gather_parity_tsops(ray_session, name):
+    """Forcing a deep tree gather (fanin 2) on the set-union /
+    register-max combines reproduces the single-level result exactly —
+    the combines are associative, so the 100x memory-safe path is
+    correctness-free."""
+    import pq_ray.stages.exchange as ex
+    from pq_ray.pipelines.tsops import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    base = QUERIES[name](sf)
+    old = ex.GATHER_FANIN
+    try:
+        ex.GATHER_FANIN = 2
+        tree = QUERIES[name](sf)
+    finally:
+        ex.GATHER_FANIN = old
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True), tree.reset_index(drop=True)
+    )
