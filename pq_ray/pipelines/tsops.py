@@ -1179,9 +1179,36 @@ def q_topusers_1h(sf_dir: str, k: int = 3, interval_ms: int = HOUR_MS) -> pd.Dat
             }
         )
 
+    def combine_fn(t: pa.Table) -> pa.Table:
+        # tree-gather combine: per (group, user) count-sum — associative
+        keep = ["series_id", "window_ts", "user_id", "n"]
+        if t.num_rows == 0:
+            return t.select([c for c in keep if c in t.schema.names])
+        sid = t["series_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        win = t["window_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        usr = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        gkey = _group_key(sid, win)
+        order = np.lexsort((usr, gkey))
+        gs, us = gkey[order], usr[order]
+        starts = np.ones(len(order), dtype=bool)
+        starts[1:] = (gs[1:] != gs[:-1]) | (us[1:] != us[:-1])
+        first = np.nonzero(starts)[0]
+        tot = np.add.reduceat(n[order], first)
+        idx = order[first]
+        return pa.table(
+            {
+                "series_id": pa.array(sid[idx], type=pa.uint64()),
+                "window_ts": pa.array(win[idx]),
+                "user_id": pa.array(usr[idx]),
+                "n": pa.array(tot.astype(np.int64)),
+            }
+        )
+
     ds = _read_events_users(sf_dir, ["ts", "event_type", "user_id"])
     pts = hash_exchange(
-        ds.map_batches(partial, batch_format="pyarrow"), "bucket", num_buckets, reduce_fn
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket",
+        num_buckets, reduce_fn, combine_fn=combine_fn,
     )
     out = pts.to_pandas().merge(_event_type_map(sf_dir), on="series_id", sort=False)
     return (

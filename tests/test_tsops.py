@@ -694,7 +694,8 @@ def test_retention_7d_matches_oracle(ray_session):
 
 @pytest.mark.parametrize(
     "name", ["events_distinct_1h", "events_hll_1h",
-             "events_new_users_1h", "events_retention_7d"]
+             "events_new_users_1h", "events_retention_7d",
+             "events_topusers_1h"]
 )
 def test_tree_gather_parity_tsops(ray_session, name):
     """Forcing a deep tree gather (fanin 2) on the set-union /
