@@ -600,11 +600,17 @@ def _selector_partials_impl(sel: VectorSelector, ctx: DistributedContext,
             }
         )
 
+    # the mergeable-partial reduce is a pure associative merge (its
+    # output schema IS the partial schema), so it doubles as the
+    # tree-gather combine; the sample plan's kernel is
+    # sequence-dependent and must see complete (sid, tick) groups —
+    # no intermediate combine there
     pts_ds = hash_exchange(
         filtered.map_batches(explode_partial, batch_format="pyarrow"),
         "bucket",
         ctx.num_buckets,
         sample_reduce if sample_kernel else reduce_fn,
+        combine_fn=None if sample_kernel else reduce_fn,
     )
     return ticks, pts_ds, distinct, cols
 

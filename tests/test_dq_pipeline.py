@@ -32,3 +32,35 @@ def test_dq_oracle_parity(ray_session, con, name):
             assert (a == b.astype(a.dtype)).all(), c  # exact (cents plan)
         else:
             assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_selector_partials_tree_gather_parity(ray_session):
+    """The selector-partials reduce is its own associative combine;
+    forcing a deep tree gather must not change any oracled result."""
+    import duckdb
+
+    import pq_ray.stages.exchange as ex
+    from pq_ray.pipelines.dq import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    name = "dq_agg_div_1h"
+    old = ex.GATHER_FANIN
+    try:
+        ex.GATHER_FANIN = 2
+        got = QUERIES[name](sf)
+    finally:
+        ex.GATHER_FANIN = old
+    con = duckdb.connect()
+    con.sql(
+        f"create view events as select * from "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    exp = con.sql(ORACLES[name]).df()
+    g = got.sort_values(list(got.columns)).reset_index(drop=True)[
+        sorted(got.columns)
+    ]
+    x = exp.sort_values(list(exp.columns)).reset_index(drop=True)[
+        sorted(exp.columns)
+    ]
+    assert len(g) == len(x)
+    assert g.astype(str).equals(x.astype(str))
