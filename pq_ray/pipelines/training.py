@@ -166,31 +166,81 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: one surviving doc (min doc_id) per distinct text.
 
     Plan: vectorized 128-bit content hash per batch (off the Arrow
-    string buffers — no per-row Python) → hash-bucket shuffle →
-    per-bucket lexsort groupby.  At 100 TB the only data moved is
-    (hash, doc_id) triples, never text.  The oracle groups by the text
-    itself, so the engine's hash choice is an internal detail.
+    string buffers — no per-row Python) → per-batch collapse to
+    (hash → min doc_id, count) partials BEFORE the wire (combine-before-
+    exchange: duplicate docs inside one batch never leave it) →
+    hash-bucket shuffle with an associative tree-gather combine →
+    per-bucket merge.  At 100 TB the only data moved is one
+    (hash, min-doc, count) row per distinct text per batch, never text.
+    The oracle groups by the text itself, so the engine's hash choice
+    is an internal detail.
     """
     ds = _read_docs(sf_dir)
 
-    def winners(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_id": pa.array([], type=pa.int64()),
-             "n_dups": pa.array([], type=pa.int64())}
+    merged_empty = pa.table(
+        {
+            "h1": pa.array([], type=pa.uint64()),
+            "h2": pa.array([], type=pa.uint64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_dups": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def _merge_cols(t: pa.Table) -> pa.Table:
+        """Per (h1, h2): min doc_id + summed count — associative, so it
+        is the batch partial, the tree combine AND the bucket merge."""
+        h1 = t["h1"].combine_chunks().to_numpy(zero_copy_only=False)
+        h2 = t["h2"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = (
+            t["n_dups"].combine_chunks().to_numpy(zero_copy_only=False)
+            if "n_dups" in t.schema.names
+            else np.ones(t.num_rows, dtype=np.int64)
         )
-        if t.num_rows == 0:
-            return empty
-        sd, starts, counts = _hash_groups(t)
+        order = np.lexsort((did, h2, h1))
+        s1, s2 = h1[order], h2[order]
+        boundary = np.nonzero((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1]))[0] + 1
+        starts = np.concatenate(([0], boundary))
         return pa.table(
-            {"doc_id": pa.array(sd[starts]),
-             "n_dups": pa.array(counts.astype(np.int64))}
+            {
+                "h1": pa.array(s1[starts], type=pa.uint64()),
+                "h2": pa.array(s2[starts], type=pa.uint64()),
+                "doc_id": pa.array(did[order][starts]),
+                "n_dups": pa.array(
+                    np.add.reduceat(n[order], starts).astype(np.int64)
+                ),
+            }
         )
 
+    def partial(t: pa.Table) -> pa.Table:
+        hashed = _add_text_hash(t)
+        if hashed.num_rows == 0:
+            return merged_empty.append_column(
+                "bucket", pa.array([], type=pa.int32())
+            )
+        merged = _merge_cols(hashed.drop_columns(["bucket"]))
+        return merged.append_column(
+            "bucket",
+            pa.array(_bucket_of_u64(
+                merged["h1"].combine_chunks().to_numpy(zero_copy_only=False)
+            )),
+        )
+
+    def combine_or_reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return merged_empty
+        return _merge_cols(t)
+
+    def winners(t: pa.Table) -> pa.Table:
+        m = combine_or_reduce(t)
+        return m.select(["doc_id", "n_dups"])
+
     out = hash_exchange(
-        ds.map_batches(_add_text_hash, batch_format="pyarrow"),
+        ds.map_batches(partial, batch_format="pyarrow"),
         "bucket",
         NUM_BUCKETS,
         winners,
+        combine_fn=combine_or_reduce,
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "n_dups"]]
 

@@ -590,3 +590,29 @@ def test_simhash_fingerprints_oracle_parity(ray_session, name):
     ]
     assert len(g) == len(x)
     assert g.astype(str).equals(x.astype(str)), name
+
+
+def test_dedup_exact_tree_gather_parity(ray_session):
+    """dedup_exact's (hash -> min doc, count) merge is associative; a
+    forced deep tree gather reproduces the oracle exactly."""
+    import duckdb
+
+    import pq_ray.stages.exchange as ex
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    old = ex.GATHER_FANIN
+    try:
+        ex.GATHER_FANIN = 2
+        got = QUERIES["dedup_exact"](sf)
+    finally:
+        ex.GATHER_FANIN = old
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = con.sql(ORACLES["dedup_exact"]).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    x = exp.sort_values("doc_id").reset_index(drop=True)[sorted(exp.columns)]
+    assert g.astype(str).equals(x.astype(str))
