@@ -2526,10 +2526,21 @@ def q_vocab_topk(
         g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def combine_fn(t: pa.Table) -> pa.Table:
+        # tree-gather combine: token-count sum (associative; the top-k
+        # trim stays in the FINAL fold only)
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        df = t.select(["token", "n"]).to_pandas()
+        g = df.groupby("token", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     from ..stages.exchange import hash_exchange
 
     cand = hash_exchange(
-        ds.map_batches(partial, batch_format="pandas"), "bucket", num_buckets, fold
+        ds.map_batches(partial, batch_format="pandas"), "bucket",
+        num_buckets, fold, combine_fn=combine_fn,
     ).to_pandas()
     cand = cand.sort_values(["n", "token"], ascending=[False, True]).head(k)
     return cand.reset_index(drop=True)
