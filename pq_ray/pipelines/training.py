@@ -2604,6 +2604,16 @@ def q_tfidf_topterm(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    def df_combine(t: pa.Table) -> pa.Table:
+        # tree-gather combine: doc-frequency sums are associative
+        if t.num_rows == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        g = t.select(["token", "n"]).to_pandas().groupby(
+            "token", as_index=False
+        )["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     # per-batch partials fold in the EXCHANGE (disjoint vocab slices per
     # bucket), so the driver collects one row per distinct token — not
     # |blocks| × batch-vocab partial rows
@@ -2612,6 +2622,7 @@ def q_tfidf_topterm(sf_dir: str) -> pd.DataFrame:
         "bucket",
         NUM_BUCKETS,
         df_fold,
+        combine_fn=df_combine,
     ).to_pandas()
     df_ref = ray.put(df_tbl)
 

@@ -29,6 +29,19 @@ associative ``combine_fn``, the gather grows a tree: intermediate
 combine tasks collapse duplicate keys ``gather_fanin`` parts at a time,
 so the final reduce concatenates at most ``gather_fanin`` already-
 combined tables instead of the whole raw bucket (VERDICT r4 #1).
+
+Which exchanges have a tree combine (and which intentionally don't):
+every mergeable-partial reduce (rollup/cascade, the distributed query
+selector partials and instant grids), set-union dedups (exact distinct,
+new-users, retention), register-max (HLL), count-sums (top-users,
+vocab/df), and dedup_exact's (hash -> min doc, count) merge.  Staying
+single-level BY DESIGN: sequence-dependent kernels (changes/resets/
+quantile_over_time/holt_winters — need the complete chronological
+group), joins and pair generators (need complete co-partitioned
+groups), the regression exchange (Chan merge order is part of its
+bit-exact oracle contract), dedup_keep/curation (emit per-doc rows, so
+group completeness is the output), and the quantile/sessions exchanges
+(whole-group statistics over raw values).
 """
 
 from __future__ import annotations
