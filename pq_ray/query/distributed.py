@@ -1410,25 +1410,36 @@ def _dist_aggregate(node, child: DistVectorStream,
         return pa.table(arrays).cast(part_schema)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce: np.unique codes sort the byte
+        # keys, no pandas round-trip inside the exchange
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        pdf = pdf.sort_values(["tick", "gsig", "fkey"], kind="stable")
-        tick = pdf["tick"].to_numpy(dtype=np.int64)
-        gsig = pdf["gsig"].to_numpy(dtype=object)
+        tick_all = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gsig_all = t["gsig"].combine_chunks().to_numpy(zero_copy_only=False)
+        fkey_all = t["fkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        g_codes = np.unique(gsig_all, return_inverse=True)[1]
+        f_codes = np.unique(fkey_all, return_inverse=True)[1]
+        order = np.lexsort((f_codes, g_codes, tick_all))
+        tick = tick_all[order]
+        gsig = gsig_all[order]
+        num = {
+            k: t[k].combine_chunks().to_numpy(zero_copy_only=False)[order]
+            for k in ("cnt", "sum", "fv", "mn", "mx", "s2")
+        }
         boundary = np.nonzero(
-            (tick[1:] != tick[:-1]) | (gsig[1:] != gsig[:-1])
+            (tick[1:] != tick[:-1]) | (g_codes[order][1:] != g_codes[order][:-1])
         )[0] + 1
         starts = np.concatenate(([0], boundary))
-        n = np.add.reduceat(pdf["cnt"].to_numpy(dtype=np.int64), starts)
-        s1 = np.add.reduceat(pdf["sum"].to_numpy(dtype=np.float64), starts)
-        first = pdf["fv"].to_numpy(dtype=np.float64)[starts]
+        n = np.add.reduceat(num["cnt"].astype(np.int64), starts)
+        s1 = np.add.reduceat(num["sum"].astype(np.float64), starts)
+        first = num["fv"].astype(np.float64)[starts]
         if op == "sum":
             val = s1
         elif op == "min":
-            val = np.fmin.reduceat(pdf["mn"].to_numpy(np.float64), starts)
+            val = np.fmin.reduceat(num["mn"].astype(np.float64), starts)
         elif op == "max":
-            val = np.fmax.reduceat(pdf["mx"].to_numpy(np.float64), starts)
+            val = np.fmax.reduceat(num["mx"].astype(np.float64), starts)
         elif op == "avg":
             val = s1 / n
         elif op == "count":
@@ -1436,22 +1447,18 @@ def _dist_aggregate(node, child: DistVectorStream,
         elif op == "group":
             val = np.where(n == 1, first, 1.0)
         elif op in ("stddev", "stdvar"):
-            s2 = np.add.reduceat(pdf["s2"].to_numpy(np.float64), starts)
+            s2 = np.add.reduceat(num["s2"].astype(np.float64), starts)
             var = np.maximum(s2 / n - (s1 / n) ** 2, 0.0)
             val = var if op == "stdvar" else np.sqrt(var)
         else:  # pragma: no cover — gated by _DIST_AGG_OPS
             raise QueryError(f"aggregation operator {op!r} is not distributed")
         sig = gsig[starts]
+        take = pa.array(order[starts])
         arrays = {
             "tick": pa.array(tick[starts], type=pa.int64()),
             "value": pa.array(val, type=pa.float64()),
-            "name": pa.array([None] * len(starts), type=pa.string()),
-            **{
-                L(c): pa.array(
-                    pdf[L(c)].to_numpy(dtype=object)[starts], type=pa.string()
-                )
-                for c in gcols
-            },
+            "name": pa.nulls(len(starts), pa.string()),
+            **{L(c): t[L(c)].combine_chunks().take(take) for c in gcols},
             "sig": pa.array(sig, type=pa.binary()),
             "osig": pa.array(sig, type=pa.binary()),
         }
@@ -1571,29 +1578,42 @@ def _dist_topk(node, child: DistVectorStream,
         return pa.table(arrays).cast(part_schema)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce (osig embeds (gsig, value-order
+        # key, sig): one sort ranks every group; a duplicate (tick, sig)
+        # row across partials is the same series twice and cannot occur
+        # post-rollup)
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        # osig embeds (gsig, value-order key, sig): one sort ranks every
-        # group; a duplicate (tick, sig) row across partials is the same
-        # series twice and cannot occur post-rollup
-        pdf = pdf.sort_values(["tick", "osig"], kind="stable")
-        pos = pdf.groupby(["tick", "gsig"], sort=False).cumcount()
-        pdf = pdf[pos.to_numpy() < k]
+        n = t.num_rows
+        tick = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gsig = t["gsig"].combine_chunks().to_numpy(zero_copy_only=False)
+        osig = t["osig"].combine_chunks().to_numpy(zero_copy_only=False)
+        o_codes = np.unique(osig, return_inverse=True)[1]
+        g_codes = np.unique(gsig, return_inverse=True)[1]
+        order = np.lexsort((o_codes, tick))
+        s_tick = tick[order]
+        s_g = g_codes[order]
+        boundary = np.nonzero(
+            (s_tick[1:] != s_tick[:-1]) | (s_g[1:] != s_g[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], boundary))
+        pos = np.arange(n) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [n])))
+        )
+        keep_order = order[pos < k]
+        take = pa.array(keep_order)
         arrays = {
-            "tick": pa.array(pdf["tick"].to_numpy(np.int64)),
-            "value": pa.array(pdf["value"].to_numpy(np.float64)),
-            "name": pa.array(pdf["name"].to_numpy(dtype=object),
-                             type=pa.string()),
+            "tick": pa.array(tick[keep_order], type=pa.int64()),
+            "value": pc.cast(t["value"], pa.float64())
+            .combine_chunks().take(take),
+            "name": t["name"].combine_chunks().take(take),
             **{
-                L(c): pa.array(pdf[L(c)].to_numpy(dtype=object),
-                               type=pa.string())
+                L(c): t[L(c)].combine_chunks().take(take)
                 for c in label_cols
             },
-            "sig": pa.array(pdf["sig"].to_numpy(dtype=object),
-                            type=pa.binary()),
-            "osig": pa.array(pdf["osig"].to_numpy(dtype=object),
-                             type=pa.binary()),
+            "sig": t["sig"].combine_chunks().take(take),
+            "osig": t["osig"].combine_chunks().take(take),
         }
         return pa.table(arrays).cast(schema)
 
@@ -1647,15 +1667,21 @@ def _dist_quantile(node, child: DistVectorStream,
         return pa.table(arrays).cast(part_schema)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        pdf = pdf.sort_values(["tick", "gsig"], kind="stable")
-        tick = pdf["tick"].to_numpy(np.int64)
-        gsig = pdf["gsig"].to_numpy(dtype=object)
-        vals = pdf["value"].to_numpy(np.float64)
+        tick_all = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gsig_all = t["gsig"].combine_chunks().to_numpy(zero_copy_only=False)
+        g_codes = np.unique(gsig_all, return_inverse=True)[1]
+        order = np.lexsort((g_codes, tick_all))
+        tick = tick_all[order]
+        gsig = gsig_all[order]
+        vals = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)[order]
+        s_g = g_codes[order]
         boundary = np.nonzero(
-            (tick[1:] != tick[:-1]) | (gsig[1:] != gsig[:-1])
+            (tick[1:] != tick[:-1]) | (s_g[1:] != s_g[:-1])
         )[0] + 1
         starts = np.concatenate(([0], boundary))
         counts = np.diff(np.concatenate((starts, [len(vals)])))
@@ -1664,17 +1690,12 @@ def _dist_quantile(node, child: DistVectorStream,
              for s, c in zip(starts, counts)]
         )
         sig = gsig[starts]
+        take = pa.array(order[starts])
         arrays = {
             "tick": pa.array(tick[starts], type=pa.int64()),
             "value": pa.array(val, type=pa.float64()),
-            "name": pa.array([None] * len(starts), type=pa.string()),
-            **{
-                L(c): pa.array(
-                    pdf[L(c)].to_numpy(dtype=object)[starts],
-                    type=pa.string(),
-                )
-                for c in gcols
-            },
+            "name": pa.nulls(len(starts), pa.string()),
+            **{L(c): t[L(c)].combine_chunks().take(take) for c in gcols},
             "sig": pa.array(sig, type=pa.binary()),
             "osig": pa.array(sig, type=pa.binary()),
         }
