@@ -29,7 +29,9 @@ def main() -> int:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--tiers", default="1000,60000,3600000,86400000")
-    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="exchange bucket count; default self-sizes from "
+                         "corpus parquet metadata (stages/sizing.py)")
     ap.add_argument("--retention-now", type=int, default=None,
                     help="apply the retention policy as of this Unix ms")
     args = ap.parse_args()
