@@ -1937,56 +1937,84 @@ def _dist_binary(node, lhs: DistVectorStream, rhs: DistVectorStream,
     )
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce: the one-to-one match is an exact
+        # integer join over np.unique codes of (tick, msig) — no pandas
+        # merge inside the exchange
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        ldf = pdf[pdf["side"] == 0]
-        rdf = pdf[pdf["side"] == 1]
-        if rdf.duplicated(["tick", "msig"]).any():
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        tick = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        msig = t["msig"].combine_chunks().to_numpy(zero_copy_only=False)
+        value = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        m_codes = np.unique(msig, return_inverse=True)[1]
+        joint = np.unique(
+            np.stack((tick, m_codes), axis=1), axis=0, return_inverse=True
+        )[1]
+        lmask = side == 0
+        l_rows = np.nonzero(lmask)[0]
+        r_rows = np.nonzero(~lmask)[0]
+        jr = joint[r_rows]
+        ju, jc = np.unique(jr, return_counts=True)
+        if (jc > 1).any():
             raise VectorMatchingError(
                 "found series collision for matching labels on the "
                 "right-hand side"
             )
-        merged = ldf.merge(
-            rdf[["tick", "msig", "value"]].rename(columns={"value": "rvalue"}),
-            on=["tick", "msig"], how="inner", sort=False,
+        # jr unique → one sort + searchsorted joins every left row
+        order_r = np.argsort(jr)
+        jr_s = jr[order_r]
+        jl = joint[l_rows]
+        pos = np.searchsorted(jr_s, jl)
+        pos_c = np.minimum(pos, max(len(jr_s) - 1, 0))
+        valid = (len(jr_s) > 0) & (jr_s[pos_c] == jl) if len(jr_s) else (
+            np.zeros(len(jl), dtype=bool)
         )
-        if merged.empty:
+        lidx = l_rows[valid]
+        ridx = r_rows[order_r[pos_c[valid]]]
+        if len(lidx) == 0:
             return schema.empty_table()
-        lv = merged["value"].to_numpy(dtype=np.float64)
-        rv = merged["rvalue"].to_numpy(dtype=np.float64)
-        res = np.asarray(_scalar_op(op, lv, rv), dtype=np.float64)
+        res = np.asarray(
+            _scalar_op(op, value[lidx], value[ridx]), dtype=np.float64
+        )
         if is_cmp and not node.bool_modifier:
-            merged = merged[np.abs(res - 1.0) < F64_EPSILON]
+            keepm = np.abs(res - 1.0) < F64_EPSILON
+            lidx = lidx[keepm]
+            out_val = value[lidx]  # filter semantics keep the lhs value
         else:
-            merged = merged.copy()
-            merged["value"] = res
-            merged["name"] = None
-        if merged.duplicated(["tick", "msig"]).any():
+            out_val = res
+        if len(lidx) == 0:
+            return schema.empty_table()
+        ju2, jc2 = np.unique(joint[lidx], return_counts=True)
+        if (jc2 > 1).any():
             raise VectorMatchingError(
                 "many-to-one matching detected; use group_left/group_right"
             )
-        if merged.empty:
-            return schema.empty_table()
-        merged = merged.reset_index(drop=True)
-        merged["sig"] = compute_sig(merged, out_label_cols,
-                                    name_col=keep_name)
-        arrays = {
-            "tick": pa.array(merged["tick"].to_numpy(np.int64)),
-            "value": pa.array(merged["value"].to_numpy(np.float64)),
-            "name": pa.array(merged["name"].to_numpy(dtype=object),
-                             type=pa.string()),
-            **{
-                L(c): pa.array(merged[L(c)].to_numpy(dtype=object),
-                               type=pa.string())
-                for c in out_label_cols
-            },
-            "sig": pa.array(merged["sig"].to_numpy(dtype=object),
-                            type=pa.binary()),
-            "osig": pa.array(merged["osig"].to_numpy(dtype=object),
-                             type=pa.binary()),
-        }
-        return pa.table(arrays).cast(schema)
+        take = pa.array(lidx)
+        name_col = (
+            t["name"].combine_chunks().take(take)
+            if keep_name else pa.nulls(len(lidx), pa.string())
+        )
+        out_tbl = pa.table(
+            {
+                "tick": pa.array(tick[lidx], type=pa.int64()),
+                "value": pa.array(out_val),
+                "name": name_col,
+                **{
+                    L(c): t[L(c)].combine_chunks().take(take)
+                    for c in out_label_cols
+                },
+            }
+        )
+        sig = pa.array(
+            compute_sig_table(out_tbl, out_label_cols, name_col=keep_name),
+            type=pa.binary(),
+        )
+        out_tbl = out_tbl.append_column("sig", sig).append_column(
+            "osig", t["osig"].combine_chunks().take(take)
+        )
+        return out_tbl.select(schema.names).cast(schema)
 
     out_ds = hash_exchange(packed, "bucket", num_buckets, reduce_fn)
     return DistVectorStream(ticks, out_ds, out_label_cols)
