@@ -1132,40 +1132,43 @@ def _dist_histogram_quantile(phi: float, child: DistVectorStream,
         return pa.table(arrays).cast(prep_schema)
 
     def reduceq(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce (VERDICT r4 #2): np.unique codes
+        # sort the byte keys; bucketQuantile runs once per (tick, gsig)
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        gsig = pdf["gsig"].to_numpy(dtype=object)
-        tick = pdf["tick"].to_numpy(dtype=np.int64)
-        les = pdf["_le"].to_numpy(dtype=np.float64)
-        order = np.lexsort((les, sig_codes(gsig), tick))
-        pdf = pdf.iloc[order].reset_index(drop=True)
-        gsig, tick, les = gsig[order], tick[order], les[order]
-        vals = pdf["value"].to_numpy(dtype=np.float64)
+        gsig_all = t["gsig"].combine_chunks().to_numpy(zero_copy_only=False)
+        tick_all = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        les_all = t["_le"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        vals_all = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((les_all, sig_codes(gsig_all), tick_all))
+        gsig, tick, les = gsig_all[order], tick_all[order], les_all[order]
+        vals = vals_all[order]
         boundary = np.nonzero(
             (tick[1:] != tick[:-1]) | (gsig[1:] != gsig[:-1])
         )[0] + 1
         starts = np.concatenate(([0], boundary))
-        counts = np.diff(np.concatenate((starts, [len(pdf)])))
+        counts = np.diff(np.concatenate((starts, [len(order)])))
         q = np.array(
             [
                 _bucket_quantile(phi, les[st: st + c], vals[st: st + c])
                 for st, c in zip(starts, counts)
             ]
         )
-        heads = pdf.iloc[starts].reset_index(drop=True)
+        take = pa.array(order[starts])
+        sig_arr = pa.array(gsig[starts], type=pa.binary())
         arrays = {
             "tick": pa.array(tick[starts], type=pa.int64()),
             "value": pa.array(q, type=pa.float64()),
-            "name": pa.array([None] * len(heads), type=pa.string()),
+            "name": pa.nulls(len(starts), pa.string()),
             **{
-                L(c): pa.array(
-                    heads[L(c)].to_numpy(dtype=object), type=pa.string()
-                )
+                L(c): t[L(c)].combine_chunks().take(take)
                 for c in out_label_cols
             },
-            "sig": pa.array(gsig[starts], type=pa.binary()),
-            "osig": pa.array(gsig[starts], type=pa.binary()),
+            "sig": sig_arr,
+            "osig": sig_arr,
         }
         return pa.table(arrays).cast(schema)
 
@@ -1773,32 +1776,46 @@ def _dist_count_values(node, child: DistVectorStream,
         return pa.table(arrays).cast(part_schema)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce (VERDICT r4 #2): np.unique codes
+        # sort the byte keys, no pandas round-trip inside the exchange
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        g = (
-            pdf.groupby(["tick", "gsig", "vrepr"], sort=False)
-            .agg(n=("n", "sum"),
-                 **{L(c): (L(c), "first") for c in gcols})
-            .reset_index()
-        )
+        tick_all = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gsig_all = t["gsig"].combine_chunks().to_numpy(zero_copy_only=False)
+        vrepr_all = t["vrepr"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n_all = t["n"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g_codes = np.unique(gsig_all, return_inverse=True)[1]
+        v_codes = np.unique(vrepr_all, return_inverse=True)[1]
+        order = np.lexsort((v_codes, g_codes, tick_all))
+        s_tick = tick_all[order]
+        s_g = g_codes[order]
+        s_v = v_codes[order]
+        boundary = np.nonzero(
+            (s_tick[1:] != s_tick[:-1]) | (s_g[1:] != s_g[:-1])
+            | (s_v[1:] != s_v[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], boundary))
+        nsum = np.add.reduceat(n_all[order], starts)
+        firsts = order[starts]
+        take = pa.array(firsts)
         # the value-repr label overwrites a same-named group label
         # (engine.py _eval_count_values does the same via assignment)
-        g[L(label)] = g["vrepr"]
-        sig = compute_sig(g, out_cols, name_col=False)
-        arrays = {
-            "tick": pa.array(g["tick"].to_numpy(np.int64)),
-            "value": pa.array(g["n"].to_numpy(np.float64)),
-            "name": pa.array([None] * len(g), type=pa.string()),
-            **{
-                L(c): pa.array(g[L(c)].to_numpy(dtype=object),
-                               type=pa.string())
-                for c in out_cols
-            },
-            "sig": pa.array(sig, type=pa.binary()),
-            "osig": pa.array(sig, type=pa.binary()),
-        }
-        return pa.table(arrays).cast(schema)
+        lbl = {L(c): t[L(c)].combine_chunks().take(take) for c in gcols}
+        lbl[L(label)] = pa.array(vrepr_all[firsts], type=pa.string())
+        out_t = pa.table({
+            "tick": pa.array(tick_all[firsts], type=pa.int64()),
+            "value": pa.array(nsum.astype(np.float64)),
+            "name": pa.nulls(len(firsts), pa.string()),
+            **{L(c): lbl[L(c)] for c in out_cols},
+        })
+        sig = compute_sig_table(out_t, out_cols, name_col=False)
+        sig_arr = pa.array(sig, type=pa.binary())
+        out_t = out_t.append_column("sig", sig_arr)
+        out_t = out_t.append_column("osig", sig_arr)
+        return out_t.cast(schema)
 
     out_ds = hash_exchange(
         child.ds.map_batches(partial, batch_format="pyarrow"),
@@ -2117,45 +2134,35 @@ def _dist_logical(node, lhs: DistVectorStream, rhs: DistVectorStream,
     )
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce (VERDICT r4 #2): the set
+        # semantics are np.isin over dense (tick, msig) codes — semi
+        # ("and"), anti ("unless"), union-preferring-left ("or"); no
+        # pandas merge round-trip inside the exchange
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        ldf = pdf[pdf["side"] == 0]
-        rdf = pdf[pdf["side"] == 1]
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        tick = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        msig = t["msig"].combine_chunks().to_numpy(zero_copy_only=False)
+        m_codes = np.unique(msig, return_inverse=True)[1]
+        key_codes = np.unique(
+            np.stack([tick, m_codes], axis=1), axis=0, return_inverse=True
+        )[1]
+        lmask = side == 0
+        rmask = ~lmask
         if op == "and":
-            rkeys = rdf[["tick", "msig"]].drop_duplicates()
-            out = ldf.merge(rkeys, on=["tick", "msig"], how="inner",
-                            sort=False)
+            keep = lmask & np.isin(key_codes, key_codes[rmask])
         elif op == "unless":
-            rkeys = rdf[["tick", "msig"]].drop_duplicates()
-            out = ldf.merge(rkeys, on=["tick", "msig"], how="left",
-                            indicator=True, sort=False)
-            out = out[out["_merge"] == "left_only"].drop(columns=["_merge"])
+            keep = lmask & ~np.isin(key_codes, key_codes[rmask])
         else:  # or
-            lkeys = ldf[["tick", "msig"]].drop_duplicates()
-            extra = rdf.merge(lkeys, on=["tick", "msig"], how="left",
-                              indicator=True, sort=False)
-            extra = extra[extra["_merge"] == "left_only"].drop(
-                columns=["_merge"])
-            out = pd.concat([ldf, extra], ignore_index=True)
-        if out.empty:
+            keep = lmask | ~np.isin(key_codes, key_codes[lmask])
+        out = t.filter(pa.array(keep))
+        if out.num_rows == 0:
             return schema.empty_table()
-        arrays = {
-            "tick": pa.array(out["tick"].to_numpy(np.int64)),
-            "value": pa.array(out["value"].to_numpy(np.float64)),
-            "name": pa.array(out["name"].to_numpy(dtype=object),
-                             type=pa.string()),
-            **{
-                L(c): pa.array(out[L(c)].to_numpy(dtype=object),
-                               type=pa.string())
-                for c in out_label_cols
-            },
-            "sig": pa.array(out["sig"].to_numpy(dtype=object),
-                            type=pa.binary()),
-            "osig": pa.array(out["osig"].to_numpy(dtype=object),
-                             type=pa.binary()),
-        }
-        return pa.table(arrays).cast(schema)
+        return out.select(
+            ["tick", "value", "name", *[L(c) for c in out_label_cols],
+             "sig", "osig"]
+        ).cast(schema)
 
     out_ds = hash_exchange(packed, "bucket", num_buckets, reduce_fn)
     return DistVectorStream(ticks, out_ds, out_label_cols)
@@ -2202,60 +2209,77 @@ def _dist_grouped_binary(node, lhs: DistVectorStream, rhs: DistVectorStream,
     )
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce (VERDICT r4 #2): the many-to-one
+        # match is an exact integer join over np.unique codes of
+        # (tick, msig), collision-checked on the one side — no pandas
+        # merge inside the exchange
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        mdf = pdf[pdf["side"] == 0]
-        odf = pdf[pdf["side"] == 1]
-        if odf.duplicated(["tick", "msig"]).any():
+        side = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        tick = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        msig = t["msig"].combine_chunks().to_numpy(zero_copy_only=False)
+        value = t["value"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        m_codes = np.unique(msig, return_inverse=True)[1]
+        joint = np.unique(
+            np.stack((tick, m_codes), axis=1), axis=0, return_inverse=True
+        )[1]
+        mmask = side == 0
+        m_rows = np.nonzero(mmask)[0]
+        o_rows = np.nonzero(~mmask)[0]
+        jo = joint[o_rows]
+        if len(jo) != len(np.unique(jo)):
             raise VectorMatchingError(
                 "found series collision for matching labels on the one side"
             )
-        ocols_take = ["tick", "msig", "value"] + [
-            L(c) for c in extra_labels
-        ]
-        merged = mdf.merge(
-            odf[ocols_take].rename(
-                columns={"value": "ovalue",
-                         **{L(c): f"x_{c}" for c in extra_labels}}
-            ),
-            on=["tick", "msig"], how="inner", sort=False,
-        )
-        if merged.empty:
+        if len(jo) == 0:
             return schema.empty_table()
-        mv = merged["value"].to_numpy(dtype=np.float64)
-        ov = merged["ovalue"].to_numpy(dtype=np.float64)
+        order_o = np.argsort(jo)
+        jo_s = jo[order_o]
+        jm = joint[m_rows]
+        pos = np.searchsorted(jo_s, jm)
+        pos_c = np.minimum(pos, len(jo_s) - 1)
+        valid = jo_s[pos_c] == jm
+        midx = m_rows[valid]
+        oidx = o_rows[order_o[pos_c[valid]]]
+        if len(midx) == 0:
+            return schema.empty_table()
+        mv, ov = value[midx], value[oidx]
         lv, rv = (mv, ov) if kind == "left" else (ov, mv)
         res = np.asarray(_scalar_op(node.op, lv, rv), dtype=np.float64)
         if is_cmp and not node.bool_modifier:
-            merged = merged[np.abs(res - 1.0) < F64_EPSILON]
+            keepm = np.abs(res - 1.0) < F64_EPSILON
+            midx, oidx = midx[keepm], oidx[keepm]
+            out_val = value[midx]  # filter semantics keep the many value
         else:
-            merged = merged.copy()
-            merged["value"] = res
-            merged["name"] = None
-        if merged.empty:
+            out_val = res
+        if len(midx) == 0:
             return schema.empty_table()
-        merged = merged.reset_index(drop=True)
-        for c in extra_labels:
-            # copy from the one side only where it HAS the label
+        mtake, otake = pa.array(midx), pa.array(oidx)
+        lbl = {}
+        for c in out_label_cols:
+            col = t[L(c)].combine_chunks()
+            # extra labels copy from the one side when it HAS the label
             # (engine.py keeps the many side's value otherwise)
-            if c in one_label_cols:
-                merged[L(c)] = merged[f"x_{c}"]
-        sig = compute_sig(merged, out_label_cols, name_col=keep_name)
-        arrays = {
-            "tick": pa.array(merged["tick"].to_numpy(np.int64)),
-            "value": pa.array(merged["value"].to_numpy(np.float64)),
-            "name": pa.array(merged["name"].to_numpy(dtype=object),
-                             type=pa.string()),
-            **{
-                L(c): pa.array(merged[L(c)].to_numpy(dtype=object),
-                               type=pa.string())
-                for c in out_label_cols
-            },
-            "sig": pa.array(sig, type=pa.binary()),
-            "osig": pa.array(sig, type=pa.binary()),
-        }
-        return pa.table(arrays).cast(schema)
+            src = otake if (c in extra_labels and c in one_label_cols) \
+                else mtake
+            lbl[L(c)] = col.take(src)
+        name_arr = (
+            t["name"].combine_chunks().take(mtake) if keep_name
+            else pa.nulls(len(midx), pa.string())
+        )
+        out_t = pa.table({
+            "tick": pa.array(tick[midx], type=pa.int64()),
+            "value": pa.array(out_val, type=pa.float64()),
+            "name": name_arr,
+            **lbl,
+        })
+        sig = compute_sig_table(out_t, out_label_cols, name_col=keep_name)
+        sig_arr = pa.array(sig, type=pa.binary())
+        out_t = out_t.append_column("sig", sig_arr)
+        out_t = out_t.append_column("osig", sig_arr)
+        return out_t.cast(schema)
 
     out_ds = hash_exchange(packed, "bucket", num_buckets, reduce_fn)
     return DistVectorStream(ticks, out_ds, out_label_cols)
@@ -2377,16 +2401,22 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
             return pa.table(arrays).cast(samp_schema)
 
         def kernel_reduce(t: pa.Table) -> pa.Table:
+            # pyarrow-native gather reduce (VERDICT r4 #2): np.unique
+            # codes sort the byte keys; the sequence kernel runs over
+            # chronological (tick, sig) segments — no pandas round-trip
             if t.num_rows == 0:
                 return schema.empty_table()
-            pdf = t.to_pandas()
-            sig = pdf["sig"].to_numpy(dtype=object)
-            tick = pdf["tick"].to_numpy(dtype=np.int64)
-            ts = pdf["ts"].to_numpy(dtype=np.int64)
-            order = np.lexsort((ts, sig_codes(sig), tick))
-            pdf = pdf.iloc[order].reset_index(drop=True)
-            sig, tick, ts = sig[order], tick[order], ts[order]
-            vals = pdf["value"].to_numpy(dtype=np.float64)
+            sig_all = t["sig"].combine_chunks().to_numpy(
+                zero_copy_only=False)
+            tick_all = t["tick"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ts_all = t["ts"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            vals_all = t["value"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            order = np.lexsort((ts_all, sig_codes(sig_all), tick_all))
+            sig, tick, ts = sig_all[order], tick_all[order], ts_all[order]
+            vals = vals_all[order]
             boundary = np.nonzero(
                 (tick[1:] != tick[:-1]) | (sig[1:] != sig[:-1])
             )[0] + 1
@@ -2396,30 +2426,27 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
                 fname, vals, ts, starts, counts, fn_args,
                 ref_t=tick[starts],
             )
-            heads = pdf.iloc[starts].reset_index(drop=True)
+            heads = order[starts]
             if keepm is not None and not bool(keepm.all()):
                 val = val[keepm]
-                heads = heads[keepm].reset_index(drop=True)
-            osig = compute_sig(heads, label_cols, name_col=False)
-            arrays = {
-                "tick": pa.array(
-                    heads["tick"].to_numpy(dtype=np.int64), type=pa.int64()
-                ),
+                heads = heads[keepm]
+            take = pa.array(heads)
+            out_t = pa.table({
+                "tick": pa.array(tick_all[heads], type=pa.int64()),
                 "value": pa.array(val, type=pa.float64()),
-                "name": pa.array([None] * len(heads), type=pa.string()),
+                "name": pa.nulls(len(heads), pa.string()),
                 **{
-                    L(c2): pa.array(
-                        heads[L(c2)].to_numpy(dtype=object), type=pa.string()
-                    )
+                    L(c2): t[L(c2)].combine_chunks().take(take)
                     for c2 in label_cols
                 },
-                "sig": pa.array(osig, type=pa.binary()),
-                # emission order follows the inner matrix order = FULL sig
-                "osig": pa.array(
-                    heads["sig"].to_numpy(dtype=object), type=pa.binary()
-                ),
-            }
-            return pa.table(arrays).cast(schema)
+            })
+            osig = compute_sig_table(out_t, label_cols, name_col=False)
+            out_t = out_t.append_column(
+                "sig", pa.array(osig, type=pa.binary()))
+            # emission order follows the inner matrix order = FULL sig
+            out_t = out_t.append_column(
+                "osig", pa.array(sig_all[heads], type=pa.binary()))
+            return out_t.cast(schema)
 
         out_ds = hash_exchange(
             inner.ds.map_batches(explode_rows, batch_format="pyarrow"),
@@ -2513,50 +2540,64 @@ def _dist_subquery_overtime(fname: str, sub, ctx: DistributedContext,
         return pa.table(arrays).cast(part_schema)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
+        # pyarrow-native gather reduce (VERDICT r4 #2): np.unique codes
+        # sort the byte keys, reduceat merges the partial structs — no
+        # pandas round-trip inside the exchange
         if t.num_rows == 0:
             return schema.empty_table()
-        pdf = t.to_pandas()
-        pdf = pdf.sort_values(["tick", "sig", "first_key"], kind="stable")
-        tick = pdf["tick"].to_numpy(dtype=np.int64)
-        sig = pdf["sig"].to_numpy(dtype=object)
+        tick_all = t["tick"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sig_all = t["sig"].combine_chunks().to_numpy(zero_copy_only=False)
+        fk_all = t["first_key"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s_codes = sig_codes(sig_all)
+        order = np.lexsort((fk_all, s_codes, tick_all))
+        tick, sig = tick_all[order], sig_all[order]
+        col = {
+            k: t[k].combine_chunks().to_numpy(
+                zero_copy_only=False)[order]
+            for k in ("sum", "cnt", "mn", "mx", "s2", "first_v", "last_v")
+        }
         boundary = np.nonzero(
             (tick[1:] != tick[:-1]) | (sig[1:] != sig[:-1])
         )[0] + 1
         starts = np.concatenate(([0], boundary))
         c = {
-            "sum": np.add.reduceat(pdf["sum"].to_numpy(np.float64), starts),
-            "count": np.add.reduceat(pdf["cnt"].to_numpy(np.int64), starts),
-            "min": np.fmin.reduceat(pdf["mn"].to_numpy(np.float64), starts),
-            "max": np.fmax.reduceat(pdf["mx"].to_numpy(np.float64), starts),
-            "s2": np.add.reduceat(pdf["s2"].to_numpy(np.float64), starts),
-            "first_v": pdf["first_v"].to_numpy(np.float64)[starts],
+            "sum": np.add.reduceat(col["sum"].astype(np.float64), starts),
+            "count": np.add.reduceat(col["cnt"].astype(np.int64), starts),
+            "min": np.fmin.reduceat(col["mn"].astype(np.float64), starts),
+            "max": np.fmax.reduceat(col["mx"].astype(np.float64), starts),
+            "s2": np.add.reduceat(col["s2"].astype(np.float64), starts),
+            "first_v": col["first_v"].astype(np.float64)[starts],
         }
         # last = max first/last key across partials
-        o2 = np.lexsort((pdf["last_key"].to_numpy(np.int64), sig_codes(sig),
-                         tick))
+        lk_all = t["last_key"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o2 = np.lexsort((lk_all, s_codes, tick_all))
         ends = starts + np.diff(np.concatenate((starts, [len(tick)]))) - 1
-        c["last_v"] = pdf["last_v"].to_numpy(np.float64)[o2][ends]
+        lv_all = t["last_v"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c["last_v"] = lv_all[o2][ends]
         value = _kernel_values(fname, c, d)
         # output sig drops __name__ (function.rs:49) — recompute from the
         # carried label columns; ORDER stays the full inner sig
-        heads = pdf.iloc[starts].reset_index(drop=True)
-        osig = compute_sig(heads, label_cols, name_col=False)
-        arrays = {
+        take = pa.array(order[starts])
+        out_t = pa.table({
             "tick": pa.array(tick[starts], type=pa.int64()),
             "value": pa.array(value, type=pa.float64()),
-            "name": pa.array([None] * len(starts), type=pa.string()),
+            "name": pa.nulls(len(starts), pa.string()),
             **{
-                L(c2): pa.array(
-                    pdf[L(c2)].to_numpy(dtype=object)[starts],
-                    type=pa.string(),
-                )
+                L(c2): t[L(c2)].combine_chunks().take(take)
                 for c2 in label_cols
             },
-            "sig": pa.array(osig, type=pa.binary()),
-            # emission order follows the inner matrix order = FULL sig
-            "osig": pa.array(sig[starts], type=pa.binary()),
-        }
-        return pa.table(arrays).cast(schema)
+        })
+        osig = compute_sig_table(out_t, label_cols, name_col=False)
+        out_t = out_t.append_column(
+            "sig", pa.array(osig, type=pa.binary()))
+        # emission order follows the inner matrix order = FULL sig
+        out_t = out_t.append_column(
+            "osig", pa.array(sig[starts], type=pa.binary()))
+        return out_t.cast(schema)
 
     out_ds = hash_exchange(
         inner.ds.map_batches(rewindow, batch_format="pyarrow"),
