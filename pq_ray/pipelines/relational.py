@@ -433,22 +433,29 @@ def q_rel_users_outer_customers(
     # fold counts after the join.  A bucket block holds EVERY row of its
     # users (hash-by-user exchange), so the fold is exact per block —
     # which is what lets the sink path stream without a driver fold.
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "key": df["user_id"].astype(np.int64),
-                "n_events": df["n_events"].fillna(0).astype(np.int64),
-                "mktsegment": df["c_mktsegment"].fillna("<none>"),
-            }
+    def fold(t: pa.Table) -> pa.Table:
+        tmp = pa.table({
+            "key": pc.cast(t["user_id"], pa.int64()),
+            "mktsegment": pc.coalesce(
+                t["c_mktsegment"], pa.scalar("<none>", pa.string())
+            ),
+            "n_events": pc.coalesce(
+                pc.cast(t["n_events"], pa.int64()),
+                pa.scalar(0, pa.int64()),
+            ),
+        })
+        g = tmp.group_by(["key", "mktsegment"]).aggregate(
+            [("n_events", "sum")]
         )
-        out = (
-            out.groupby(["key", "mktsegment"], as_index=False)["n_events"]
-            .sum()
-        )
-        out["has_events"] = out["n_events"] > 0
-        return out[["key", "n_events", "mktsegment", "has_events"]]
+        n = pc.cast(g["n_events_sum"], pa.int64())
+        return pa.table({
+            "key": g["key"],
+            "n_events": n,
+            "mktsegment": g["mktsegment"],
+            "has_events": pc.greater(n, pa.scalar(0, pa.int64())),
+        })
 
-    folded = joined.map_batches(fold, batch_format="pandas")
+    folded = joined.map_batches(fold, batch_format="pyarrow")
     if sink_dir is not None:
         # 100x path (VERDICT r4 #4): the user-cardinality result streams
         # to a partitioned parquet sink with a manifest; the driver sees
