@@ -1379,6 +1379,27 @@ def _read_emb(sf_dir: str):
     )
 
 
+def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_ids, L2-normalized (n, dim) float64 matrix) from an Arrow
+    batch: the list<float> column flattens ONCE and reshapes — no
+    per-row ndarray objects (the pandas np.stack path built one Python
+    object per row before stacking)."""
+    arr = t["embedding"].combine_chunks()
+    ids = t["vec_id"].combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = len(arr)
+    if n == 0:
+        return ids, np.empty((0, 0), dtype=np.float64)
+    lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    dim = int(lens[0])
+    if not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    M = arr.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64).reshape(n, dim)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    return ids, M
+
+
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-k against one query vector (vec_id = min).
 
@@ -1392,16 +1413,21 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     qv /= np.linalg.norm(qv)
     qref = ray.put(qv)
 
-    def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def topk_batch(t: pa.Table) -> pa.Table:
+        # pyarrow-native: flatten-reshape the list column, one matmul
         q = ray.get(qref)
-        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        sim = M @ q
-        out = pd.DataFrame({"vec_id": df["vec_id"], "sim": np.round(sim, 6)})
-        out = out[out["vec_id"] != qid]
-        return out.sort_values(["sim", "vec_id"], ascending=[False, True]).head(ANN_K)
+        ids, M = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        sim = np.round(M @ q, 6)
+        keep = ids != qid
+        ids, sim = ids[keep], sim[keep]
+        top = np.lexsort((ids, -sim))[:ANN_K]
+        return pa.table({"vec_id": pa.array(ids[top], type=pa.int64()),
+                         "sim": pa.array(sim[top], type=pa.float64())})
 
-    out = emb.map_batches(topk_batch, batch_format="pandas").to_pandas()
+    out = emb.map_batches(topk_batch, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["sim", "vec_id"], ascending=[False, True]).head(ANN_K)
     out["vec_id"] = out["vec_id"].astype(np.int64)
     return out.reset_index(drop=True)
@@ -1422,32 +1448,36 @@ def q_ann_topk_multi(sf_dir: str) -> pd.DataFrame:
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
     qref = ray.put((qids, Q))
 
-    def topk_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def topk_batch(t: pa.Table) -> pa.Table:
+        # pyarrow-native: flatten-reshape the list column, ONE matmul
+        # for every query
         qs_ids, Qm = ray.get(qref)
-        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        ids, M = _emb_matrix(t)
+        empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if len(ids) == 0:
+            return empty
         S = M @ Qm.T  # (batch, nq)
-        outs = []
+        qid_col, vid_col, sim_col = [], [], []
         k = min(ANN_K + 1, len(ids))  # +1: self may rank, dropped below
         for qi in range(len(qs_ids)):
             # deterministic local top-k: (sim desc, vec_id asc) so a
             # boundary TIE keeps the same candidate the global rerank
             # (and the SQL oracle) would pick
             top = np.lexsort((ids, -S[:, qi]))[:k]
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "qid": qs_ids[qi],
-                        "vec_id": ids[top],
-                        "sim": np.round(S[top, qi], 6),
-                    }
-                )
-            )
-        out = pd.concat(outs, ignore_index=True)
-        return out[out["vec_id"] != out["qid"]]
+            qid_col.append(np.full(len(top), qs_ids[qi], dtype=np.int64))
+            vid_col.append(ids[top])
+            sim_col.append(np.round(S[top, qi], 6))
+        qid_a = np.concatenate(qid_col)
+        vid_a = np.concatenate(vid_col)
+        sim_a = np.concatenate(sim_col)
+        keep = vid_a != qid_a
+        return pa.table({"qid": pa.array(qid_a[keep], type=pa.int64()),
+                         "vec_id": pa.array(vid_a[keep], type=pa.int64()),
+                         "sim": pa.array(sim_a[keep], type=pa.float64())})
 
-    cand = _read_emb(sf_dir).map_batches(topk_batch, batch_format="pandas").to_pandas()
+    cand = _read_emb(sf_dir).map_batches(topk_batch, batch_format="pyarrow").to_pandas()
     out = (
         cand.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
         .groupby("qid", sort=True)
@@ -1472,21 +1502,28 @@ def q_embed_neardup(sf_dir: str) -> pd.DataFrame:
 
     ds = _read_emb(sf_dir)
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs(t: pa.Table) -> pa.Table:
+        # pyarrow-native: flatten-reshape the list column, one matmul
         all_ids, allM = ray.get(mref)
-        B = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
-        bids = df["vec_id"].to_numpy(dtype=np.int64)
+        bids, B = _emb_matrix(t)
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if len(bids) == 0:
+            return empty
         S = B @ allM.T
         bi, aj = np.nonzero(np.round(S, 6) >= COSINE_TAU)
         a = bids[bi]
         b = all_ids[aj]
         keep = a < b
-        return pd.DataFrame(
-            {"a": a[keep], "b": b[keep], "sim": np.round(S[bi, aj][keep], 6)}
-        )
+        return pa.table({
+            "a": pa.array(a[keep], type=pa.int64()),
+            "b": pa.array(b[keep], type=pa.int64()),
+            "sim": pa.array(np.round(S[bi, aj][keep], 6),
+                            type=pa.float64()),
+        })
 
-    out = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
     out["a"] = out["a"].astype(np.int64)
     out["b"] = out["b"].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -1665,19 +1702,23 @@ def q_ann_ivf(sf_dir: str, n_probes: int = _IVF_PROBES) -> pd.DataFrame:
     probe_lists = np.argsort(-(C @ qv))[:n_probes]
     probes = set(int(p) for p in probe_lists)
 
-    def assign_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+    def assign_and_filter(t: pa.Table) -> pa.Table:
+        # pyarrow-native: flatten-reshape the list column, one matmul
         cents = ray.get(cref)
-        B = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        ids, B = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
         lists = (B @ cents.T).argmax(axis=1)
         keep = np.isin(lists, list(probes))
-        out = df[keep].copy()
-        out["sim"] = np.round(B[keep] @ qv, 6)
-        return out[["vec_id", "sim"]]
+        return pa.table({
+            "vec_id": pa.array(ids[keep], type=pa.int64()),
+            "sim": pa.array(np.round(B[keep] @ qv, 6), type=pa.float64()),
+        })
 
     cand = (
         _read_emb(sf_dir)
-        .map_batches(assign_and_filter, batch_format="pandas")
+        .map_batches(assign_and_filter, batch_format="pyarrow")
         .to_pandas()
     )
     cand = cand[cand["vec_id"] != qid]
@@ -1705,10 +1746,16 @@ def _embed_pairs_lsh_ds(sf_dir: str):
     scale bits grow with log2(N/bucket_target) to bound bucket sizes.
     """
 
-    def sketch(df: pd.DataFrame) -> pa.Table:
-        B = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
-        ids = df["vec_id"].to_numpy(dtype=np.int64)
+    def sketch(t: pa.Table) -> pa.Table:
+        # pyarrow-native: flatten-reshape the list column, one matmul
+        ids, B = _emb_matrix(t)
+        if len(ids) == 0:
+            return pa.table({
+                "key": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "vec": pa.array([], type=pa.list_(pa.float64())),
+                "bucket": pa.array([], type=pa.int32()),
+            })
         n, dim = B.shape
         rng = np.random.default_rng(_LSH_SEED)  # same planes on every worker
         tables, codes, out_ids, rows = [], [], [], []
@@ -1808,7 +1855,7 @@ def _embed_pairs_lsh_ds(sf_dir: str):
             {"a": pa.array(a[keep]), "b": pa.array(b[keep]), "sim": pa.array(s[keep])}
         )
 
-    sketched = _read_emb(sf_dir).map_batches(sketch, batch_format="pandas")
+    sketched = _read_emb(sf_dir).map_batches(sketch, batch_format="pyarrow")
     pairs = hash_exchange(sketched, "bucket", NUM_BUCKETS, bucket_pairs)
     return hash_exchange(pairs, "pbucket", 8, dedupe)
 
@@ -1852,13 +1899,18 @@ def q_ann_ivf_multi(sf_dir: str) -> pd.DataFrame:
         probe_mask[qi, order[qi]] = True
     bref = ray.put((qids, Q, C, probe_mask))
 
-    def assign_and_score(df: pd.DataFrame) -> pd.DataFrame:
+    def assign_and_score(t: pa.Table) -> pa.Table:
+        # pyarrow-native: flatten-reshape the list column, one matmul
+        # for the centroid assign and one for every query
         qs_ids, Qm, cents, probes = ray.get(bref)
-        B = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        B /= np.linalg.norm(B, axis=1, keepdims=True)
-        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        ids, B = _emb_matrix(t)
+        empty = pa.table({"qid": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if len(ids) == 0:
+            return empty
         lists = (B @ cents.T).argmax(axis=1)
-        outs = []
+        qid_col, vid_col, sim_col = [], [], []
         k = min(ANN_K + 1, len(ids))
         S = B @ Qm.T  # one matmul for every query
         for qi in range(len(qs_ids)):
@@ -1869,22 +1921,21 @@ def q_ann_ivf_multi(sf_dir: str) -> pd.DataFrame:
             sims = np.round(S[keep, qi], 6)
             kk = min(k, len(cand_ids))
             top = np.lexsort((cand_ids, -sims))[:kk]
-            outs.append(
-                pd.DataFrame(
-                    {"qid": qs_ids[qi], "vec_id": cand_ids[top], "sim": sims[top]}
-                )
-            )
-        if not outs:
-            return pd.DataFrame(
-                {"qid": pd.Series(dtype=np.int64),
-                 "vec_id": pd.Series(dtype=np.int64),
-                 "sim": pd.Series(dtype=np.float64)}
-            )
-        out = pd.concat(outs, ignore_index=True)
-        return out[out["vec_id"] != out["qid"]]
+            qid_col.append(np.full(len(top), qs_ids[qi], dtype=np.int64))
+            vid_col.append(cand_ids[top])
+            sim_col.append(sims[top])
+        if not qid_col:
+            return empty
+        qid_a = np.concatenate(qid_col)
+        vid_a = np.concatenate(vid_col)
+        sim_a = np.concatenate(sim_col)
+        keepq = vid_a != qid_a
+        return pa.table({"qid": pa.array(qid_a[keepq], type=pa.int64()),
+                         "vec_id": pa.array(vid_a[keepq], type=pa.int64()),
+                         "sim": pa.array(sim_a[keepq], type=pa.float64())})
 
     cand = (
-        _read_emb(sf_dir).map_batches(assign_and_score, batch_format="pandas")
+        _read_emb(sf_dir).map_batches(assign_and_score, batch_format="pyarrow")
         .to_pandas()
     )
     out = (
