@@ -85,6 +85,9 @@ _ORDER = [
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "simhash",
     "simhash_pairs", "fingerprints",
+    # round-5 additions: corpus-internal span-dedup signal + chunk-level
+    # exact dedup with doc reassembly (both fully SQL-oracled)
+    "span_dup_stats", "chunk_dedup",
 ]
 
 

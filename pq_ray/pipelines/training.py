@@ -2834,3 +2834,411 @@ ORACLES["decontaminate"] = """
     WHERE d.doc_id % 97 <> 0
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# span-level duplicate detection (round 5): per-doc duplicated word
+# 8-gram statistics — the corpus-internal span-dedup signal (detect docs
+# dominated by text repeated elsewhere in the corpus, the exact-substring
+# dedup criterion of Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better") as distinct from decontaminate (overlap vs a
+# held-out set) and jaccard (pairwise whole-doc similarity).
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8          # words per span gram
+SPAN_DUP_MAX = 0.5  # keep docs whose duplicated-gram share is <= this
+
+
+def _doc_kgram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct word k-gram 64-bit hashes per document, vectorized — the
+    k-ary generalization of ``_doc_shingles``: one cython token-hash
+    pass, then k numpy passes build the position-weighted polynomial
+    gram hash (never a per-gram Python loop)."""
+    s = pd.Series(texts, dtype=object)
+    toks = s.str.split(" ")
+    counts = toks.str.len().to_numpy().astype(np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    th = pd.util.hash_array(flat).astype(np.uint64)
+    n = len(s)
+    ng = np.maximum(counts - (k - 1), 0)
+    total = int(ng.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(ng)[:-1])), ng
+    )
+    first_idx = within + np.repeat(tok_starts, ng)
+    gh = np.zeros(total, dtype=np.uint64)
+    for j in range(k):  # k vectorized passes over all grams at once
+        gh = gh * _PHI ^ th[first_idx + j] * _PHI2
+    didx = np.repeat(np.arange(n, dtype=np.int64), ng)
+    order = np.lexsort((gh, didx))
+    db, hb = didx[order], gh[order]
+    keep = np.ones(len(db), dtype=bool)
+    keep[1:] = (db[1:] != db[:-1]) | (hb[1:] != hb[:-1])
+    return db[keep], hb[keep]
+
+
+_EMPTY_SPAN_PART = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_grams": pa.array([], type=pa.int64()),
+        "n_dup": pa.array([], type=pa.int64()),
+        "dbucket": pa.array([], type=pa.int32()),
+    }
+)
+_EMPTY_SPAN_OUT = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_grams": pa.array([], type=pa.int64()),
+        "n_dup": pa.array([], type=pa.int64()),
+        "dup_ratio": pa.array([], type=pa.float64()),
+        "keep": pa.array([], type=pa.bool_()),
+    }
+)
+
+
+def _span_gram_rows(nb: int):
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        didx, ghs = _doc_kgram_hashes(df["text"].to_numpy(), SPAN_N)
+        doc_ids = df["doc_id"].to_numpy()
+        out = pd.DataFrame({"gh": ghs, "doc_id": doc_ids[didx].astype(np.int64)})
+        out["bucket"] = _bucket_of_u64(ghs, nb)
+        return out
+
+    return rows
+
+
+def _span_zero_rows(nb: int):
+    """One (doc_id, 0, 0) presence row per doc so gram-less docs (fewer
+    than SPAN_N words) still appear in the final per-doc table."""
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        z = np.zeros(len(ids), dtype=np.int64)
+        out = pd.DataFrame({"doc_id": ids, "n_grams": z, "n_dup": z})
+        out["dbucket"] = _bucket_of_i64(ids, nb)
+        return out
+
+    return rows
+
+
+def _span_df_reduce(nb: int):
+    """Gram-bucket reduce: document frequency per gram (needs the whole
+    gram group — single-level gather by necessity, like the jaccard pair
+    emission), folded immediately into per-doc partial counts so only
+    O(|docs in bucket|) rows hit the second wire."""
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        gh = df["gh"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        order = np.argsort(gh, kind="stable")
+        g = gh[order]
+        starts = np.concatenate(([0], np.nonzero(g[1:] != g[:-1])[0] + 1))
+        sizes = np.diff(np.concatenate((starts, [len(g)])))
+        dup = np.repeat(sizes > 1, sizes).astype(np.int64)
+        ids_s = ids[order]
+        o2 = np.argsort(ids_s, kind="stable")
+        i2, d2 = ids_s[o2], dup[o2]
+        s2 = np.concatenate(([0], np.nonzero(i2[1:] != i2[:-1])[0] + 1))
+        n_part = np.diff(np.concatenate((s2, [len(i2)]))).astype(np.int64)
+        dup_part = np.add.reduceat(d2, s2)
+        doc = i2[s2].astype(np.int64)
+        out = pd.DataFrame(
+            {"doc_id": doc, "n_grams": n_part, "n_dup": dup_part}
+        )
+        out["dbucket"] = _bucket_of_i64(doc, nb)
+        return out
+
+    return reduce
+
+
+def _span_sum(df: pd.DataFrame) -> pd.DataFrame:
+    ids = df["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    i = ids[order]
+    starts = np.concatenate(([0], np.nonzero(i[1:] != i[:-1])[0] + 1))
+    ng = np.add.reduceat(df["n_grams"].to_numpy().astype(np.int64)[order], starts)
+    nd = np.add.reduceat(df["n_dup"].to_numpy().astype(np.int64)[order], starts)
+    return pd.DataFrame({"doc_id": i[starts], "n_grams": ng, "n_dup": nd})
+
+
+def _span_combine(df: pd.DataFrame) -> pd.DataFrame:
+    """Associative per-doc count-sum — the tree-gather combine."""
+    out = _span_sum(df)
+    out["dbucket"] = df["dbucket"].iloc[0] if len(df) else np.int32(0)
+    out["dbucket"] = out["dbucket"].astype(np.int32)
+    return out
+
+
+def _span_final(df: pd.DataFrame) -> pd.DataFrame:
+    out = _span_sum(df)
+    ng = out["n_grams"].to_numpy()
+    nd = out["n_dup"].to_numpy()
+    ratio = np.where(ng > 0, nd / np.maximum(ng, 1), 0.0)
+    out["dup_ratio"] = ratio
+    out["keep"] = ratio <= SPAN_DUP_MAX
+    return out
+
+
+def q_span_dup_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-doc duplicated-span statistics: n_grams (distinct word
+    8-grams), n_dup (those appearing in >= 2 docs corpus-wide),
+    dup_ratio and a keep flag (ratio <= 0.5).
+
+    Ray plan (2 exchanges, mirroring the jaccard inverted-index shape):
+    docs -> distinct gram-hash rows -> gram-bucket exchange (df per gram,
+    folded to per-doc partials before the wire) unioned with per-doc
+    presence rows -> doc-bucket exchange with an associative count-sum
+    tree combine.  Grams are 64-bit polynomial hashes of token siphashes
+    (collision odds ~n^2/2^64 — the documented non-adversarial bound);
+    the DuckDB oracle compares distinct gram STRINGS, so agreement is
+    exact up to that bound."""
+    nb = buckets_for_table(sf_dir, "documents")
+    ds = _read_docs(sf_dir)
+    rows = ds.map_batches(_arrow_map(_span_gram_rows(nb)), batch_format="pandas")
+    partials = hash_exchange(
+        rows, "bucket", nb, _pandas_reduce(_span_df_reduce(nb), _EMPTY_SPAN_PART)
+    )
+    zeros = _read_docs(sf_dir).map_batches(
+        _arrow_map(_span_zero_rows(nb)), batch_format="pandas"
+    )
+    out = hash_exchange(
+        partials.union(zeros),
+        "dbucket",
+        nb,
+        _pandas_reduce(_span_final, _EMPTY_SPAN_OUT),
+        combine_fn=_pandas_reduce(_span_combine, _EMPTY_SPAN_PART),
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["span_dup_stats"] = q_span_dup_stats
+ORACLES["span_dup_stats"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, GREATEST(len(w) - {SPAN_N - 1}, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + {SPAN_N - 1}), ' ')
+               )) AS gram
+        FROM d
+    ),
+    g AS (SELECT DISTINCT doc_id, gram FROM g0),
+    df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+    per AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM g JOIN df USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+                ELSE CAST(per.n_dup AS DOUBLE) / per.n_grams END AS dup_ratio,
+           (CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+                 ELSE CAST(per.n_dup AS DOUBLE) / per.n_grams
+            END) <= {SPAN_DUP_MAX} AS keep
+    FROM d LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup with reassembly (round 5): drop repeated
+# 32-word chunks corpus-wide (first occurrence by (doc_id, idx) wins)
+# and reassemble each doc from its surviving chunks — the C4/RefinedWeb
+# line-dedup shape applied at fixed word-chunk granularity, i.e. a doc
+# REWRITE operator rather than a doc filter.
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 32
+
+_EMPTY_CHUNK_WIN = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "idx": pa.array([], type=pa.int64()),
+        "chunk": pa.array([], type=pa.string()),
+        "n_chunks": pa.array([], type=pa.int64()),
+        "dbucket": pa.array([], type=pa.int32()),
+    }
+)
+_EMPTY_CHUNK_OUT = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_chunks": pa.array([], type=pa.int64()),
+        "n_kept": pa.array([], type=pa.int64()),
+        "text_clean": pa.array([], type=pa.string()),
+    }
+)
+
+
+def _chunk_rows(nb: int):
+    """Explode docs into (chunk-hash, doc_id, idx, chunk text, n_chunks)
+    rows keyed by chunk-hash bucket.  The chunk text rides the first
+    exchange so winners can be reassembled without a second corpus read
+    — wire cost ~1x corpus text, same order as any corpus shuffle."""
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        n_chunks = (counts + CHUNK_WORDS - 1) // CHUNK_WORDS
+        flat = toks.explode().to_numpy(dtype=object)
+        row_rep = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            tok_starts, counts
+        )
+        key = (row_rep << np.int64(32)) | (within // CHUNK_WORDS)
+        cs = pd.Series(flat, dtype=object).groupby(key, sort=True).agg(" ".join)
+        karr = cs.index.to_numpy().astype(np.int64)
+        rowi = karr >> np.int64(32)
+        ci = karr & np.int64(0xFFFFFFFF)
+        chunks = cs.to_numpy(dtype=object)
+        ch = pd.util.hash_array(chunks).astype(np.uint64)
+        doc_ids = df["doc_id"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "ch": ch,
+                "doc_id": doc_ids[rowi].astype(np.int64),
+                "idx": ci.astype(np.int64),
+                "chunk": chunks,
+                "n_chunks": n_chunks[rowi].astype(np.int64),
+            }
+        )
+        out["bucket"] = _bucket_of_u64(ch, nb)
+        return out
+
+    return rows
+
+
+def _chunk_presence_rows(nb: int):
+    """One (doc_id, idx=-1) row per doc so docs whose every chunk loses
+    still appear (with text_clean = '') in the final table."""
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "idx": np.full(len(ids), -1, dtype=np.int64),
+                "chunk": np.full(len(ids), "", dtype=object),
+                "n_chunks": (counts + CHUNK_WORDS - 1) // CHUNK_WORDS,
+            }
+        )
+        out["dbucket"] = _bucket_of_i64(ids, nb)
+        return out
+
+    return rows
+
+
+def _chunk_winner_reduce(nb: int):
+    """Chunk-hash bucket reduce: per chunk group, the (doc_id, idx)-
+    minimal occurrence wins; losers are dropped here (never re-keyed),
+    so the doc-side exchange moves only surviving text."""
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        ch = df["ch"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        idx = df["idx"].to_numpy()
+        order = np.lexsort((idx, ids, ch))
+        c = ch[order]
+        starts = np.concatenate(([0], np.nonzero(c[1:] != c[:-1])[0] + 1))
+        win = order[starts]
+        out = df.iloc[win][["doc_id", "idx", "chunk", "n_chunks"]].reset_index(
+            drop=True
+        )
+        out["dbucket"] = _bucket_of_i64(out["doc_id"].to_numpy(), nb)
+        return out
+
+    return reduce
+
+
+def _chunk_assemble(df: pd.DataFrame) -> pd.DataFrame:
+    real = df[df["idx"] >= 0]
+    pres = df[df["idx"] < 0]
+    r = real.sort_values(["doc_id", "idx"])
+    joined = r.groupby("doc_id", sort=True)["chunk"].agg(" ".join)
+    kept = r.groupby("doc_id", sort=True)["idx"].size()
+    base = pres.drop_duplicates("doc_id").set_index("doc_id")["n_chunks"]
+    return pd.DataFrame(
+        {
+            "doc_id": base.index.to_numpy().astype(np.int64),
+            "n_chunks": base.to_numpy().astype(np.int64),
+            "n_kept": kept.reindex(base.index).fillna(0).to_numpy().astype(np.int64),
+            "text_clean": joined.reindex(base.index)
+            .fillna("")
+            .to_numpy(dtype=object),
+        }
+    ).reset_index(drop=True)
+
+
+def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide chunk dedup + doc reassembly: split every doc into
+    consecutive 32-word chunks, keep only the first occurrence of each
+    exact chunk (min (doc_id, idx)), and rebuild each doc's text from
+    its surviving chunks in order.
+
+    Ray plan (2 exchanges): chunk-hash exchange selects winners (losers
+    dropped before the second wire), then a doc-keyed exchange unions
+    winners with per-doc presence rows and reassembles.  Both reduces
+    need their whole group (a chunk's occurrence set / a doc's chunk
+    sequence) — single-level gathers by necessity, each bounded by
+    corpus/num_buckets.  Chunk identity is the 64-bit siphash of the
+    exact chunk string; the oracle groups by the string itself."""
+    nb = buckets_for_table(sf_dir, "documents")
+    rows = _read_docs(sf_dir).map_batches(
+        _arrow_map(_chunk_rows(nb)), batch_format="pandas"
+    )
+    winners = hash_exchange(
+        rows, "bucket", nb, _pandas_reduce(_chunk_winner_reduce(nb), _EMPTY_CHUNK_WIN)
+    )
+    presence = _read_docs(sf_dir).map_batches(
+        _arrow_map(_chunk_presence_rows(nb)), batch_format="pandas"
+    )
+    out = hash_exchange(
+        winners.union(presence),
+        "dbucket",
+        nb,
+        _pandas_reduce(_chunk_assemble, _EMPTY_CHUNK_OUT),
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["chunk_dedup"] = q_chunk_dedup
+ORACLES["chunk_dedup"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(w) / {CHUNK_WORDS}.0) AS INT)),
+                   i -> struct_pack(
+                       idx := i,
+                       chunk := array_to_string(
+                           list_slice(w, i * {CHUNK_WORDS} + 1,
+                                      i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' ')
+                   )
+               )) AS s
+        FROM d
+    ),
+    cc AS (SELECT doc_id, s.idx AS idx, s.chunk AS chunk FROM c0),
+    kept AS (
+        SELECT doc_id, idx, chunk FROM cc
+        QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) = 1
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY idx) AS text_clean
+        FROM kept GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM cc GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(agg.text_clean, '') AS text_clean
+    FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+    ORDER BY doc_id
+"""

@@ -616,3 +616,102 @@ def test_dedup_exact_tree_gather_parity(ray_session):
     g = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
     x = exp.sort_values("doc_id").reset_index(drop=True)[sorted(exp.columns)]
     assert g.astype(str).equals(x.astype(str))
+
+
+@pytest.mark.parametrize("name", ["span_dup_stats", "chunk_dedup"])
+def test_span_chunk_oracle_parity(ray_session, name):
+    """Round-5 ops: corpus-internal span-dedup stats and chunk-level
+    exact dedup with reassembly hash against DuckDB bit-for-bit."""
+    import duckdb
+
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = QUERIES[name](sf)
+    exp = con.sql(ORACLES[name]).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    x = exp.sort_values("doc_id").reset_index(drop=True)[sorted(exp.columns)]
+    assert len(g) == len(x) > 0
+    assert g.astype(str).equals(x.astype(str)), name
+
+
+def test_span_dup_stats_planted(ray_session, tmp_path):
+    """Engineered corpus: doc 2 copies doc 0's text verbatim (every gram
+    duplicated, keep=False at ratio 1.0), doc 1 is unique (ratio 0.0),
+    doc 3 is shorter than the gram width (0 grams, keep=True)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import q_span_dup_stats
+
+    base = " ".join(f"w{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    docs = [base, uniq, base, "a b c"]
+    table = pa.table(
+        {"doc_id": pa.array(range(4), type=pa.int64()), "text": pa.array(docs)}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    out = q_span_dup_stats(str(d)).set_index("doc_id")
+    assert out.loc[0, "n_grams"] == 13 and out.loc[0, "n_dup"] == 13
+    assert not out.loc[0, "keep"] and not out.loc[2, "keep"]
+    assert out.loc[1, "n_dup"] == 0 and out.loc[1, "keep"]
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "keep"]
+    assert out.loc[3, "dup_ratio"] == 0.0
+
+
+def test_span_dup_stats_tree_gather_parity(ray_session):
+    """The doc-keyed count-sum combine is associative: a forced fanin-2
+    tree gather reproduces the oracle exactly."""
+    import duckdb
+
+    import pq_ray.stages.exchange as ex
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    old = ex.GATHER_FANIN
+    try:
+        ex.GATHER_FANIN = 2
+        got = QUERIES["span_dup_stats"](sf)
+    finally:
+        ex.GATHER_FANIN = old
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = con.sql(ORACLES["span_dup_stats"]).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    x = exp.sort_values("doc_id").reset_index(drop=True)[sorted(exp.columns)]
+    assert g.astype(str).equals(x.astype(str))
+
+
+def test_chunk_dedup_planted(ray_session, tmp_path):
+    """Engineered corpus: doc 1 repeats doc 0's single chunk (loses it,
+    text_clean empty); doc 2 shares its first 32-word chunk with doc 0
+    but keeps its unique second chunk — reassembly preserves order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import CHUNK_WORDS, q_chunk_dedup
+
+    chunk_a = " ".join(f"w{i}" for i in range(CHUNK_WORDS))
+    chunk_b = " ".join(f"x{i}" for i in range(CHUNK_WORDS))
+    docs = [chunk_a, chunk_a, chunk_a + " " + chunk_b]
+    table = pa.table(
+        {"doc_id": pa.array(range(3), type=pa.int64()), "text": pa.array(docs)}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    out = q_chunk_dedup(str(d)).set_index("doc_id")
+    assert out.loc[0, "n_kept"] == 1 and out.loc[0, "text_clean"] == chunk_a
+    assert out.loc[1, "n_kept"] == 0 and out.loc[1, "text_clean"] == ""
+    assert out.loc[2, "n_chunks"] == 2 and out.loc[2, "n_kept"] == 1
+    assert out.loc[2, "text_clean"] == chunk_b
