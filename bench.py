@@ -148,6 +148,8 @@ _TRAINING_BENCH = [
     "ann_ivf",
     "embed_neardup_lsh",
     "dedup_clusters",
+    "span_dup_stats",
+    "chunk_dedup",
 ]
 
 
