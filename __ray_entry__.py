@@ -85,9 +85,10 @@ _ORDER = [
     "embed_clusters", "embed_neardup", "token_bpe", "dedup_keep",
     "ann_topk_multi", "ann_ivf", "simhash",
     "simhash_pairs", "fingerprints",
-    # round-5 additions: corpus-internal span-dedup signal + chunk-level
-    # exact dedup with doc reassembly (both fully SQL-oracled)
-    "span_dup_stats", "chunk_dedup",
+    # round-5 additions: corpus-internal span-dedup signal, chunk-level
+    # exact dedup with doc reassembly, sequence packing via distributed
+    # prefix sum (all fully SQL-oracled)
+    "span_dup_stats", "chunk_dedup", "pack_sequences",
 ]
 
 

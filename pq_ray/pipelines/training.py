@@ -3242,3 +3242,141 @@ ORACLES["chunk_dedup"] = f"""
     FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (round 5): concatenate the corpus in doc_id order and
+# split into fixed-length training sequences — each doc's global token
+# offset comes from a distributed RANGE-PARTITIONED PREFIX SUM (per-range
+# totals to the driver, cumulative bases broadcast back, per-range local
+# scan), the standard two-phase scan shape that stays exact at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+_EMPTY_PACK_OUT = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_tok": pa.array([], type=pa.int64()),
+        "start_off": pa.array([], type=pa.int64()),
+        "seq_first": pa.array([], type=pa.int64()),
+        "seq_last": pa.array([], type=pa.int64()),
+        "n_seqs": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy sequence packing: docs are concatenated in doc_id order
+    (token count = whitespace word count) and the stream is cut into
+    SEQ_LEN-token sequences; per doc: its global start offset, the
+    first/last sequence it lands in, and how many sequences it spans.
+
+    Ray plan — distributed prefix sum over doc_id RANGE partitions
+    (range bounds from parquet footer statistics, zero data read):
+      pass 1: map_batches folds per-batch (range, Σ n_tok) partials —
+        the driver receives O(num_ranges x blocks) tiny rows, cumsums
+        the num_ranges totals and closes the per-range BASE offsets
+        into the pass-2 reduce (num_ranges ints — broadcast-safe at any
+        corpus size);
+      pass 2: a range-keyed exchange; each reduce sorts its range by
+        doc_id and adds base + local cumsum.  The scan inside a range
+        is order-dependent (single-level gather by necessity, bounded
+        by corpus/num_ranges rows).
+    The DuckDB oracle is the same scan as one window function."""
+    from ..stages.sizing import parquet_col_range
+
+    path = f"{sf_dir}/documents.parquet"
+    nb = buckets_for_table(sf_dir, "documents")
+    lo, hi = parquet_col_range(path, "doc_id")
+    if hi < lo:  # no stats: single range (still exact, not partitioned)
+        lo, hi, nb = 0, 0, 1
+    rsize = max(1, -(-(hi - lo + 1) // nb))
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split(" ").str.len().to_numpy().astype(np.int64)
+        rb = ((df["doc_id"].to_numpy() - lo) // rsize).astype(np.int64)
+        order = np.argsort(rb, kind="stable")
+        r = rb[order]
+        starts = np.concatenate(([0], np.nonzero(r[1:] != r[:-1])[0] + 1))
+        return pd.DataFrame(
+            {
+                "rbucket": r[starts],
+                "tot": np.add.reduceat(n[order], starts),
+            }
+        )
+
+    tot = (
+        _read_docs(sf_dir)
+        .map_batches(_arrow_map(totals), batch_format="pandas")
+        .to_pandas()
+        .groupby("rbucket")["tot"]
+        .sum()
+        .reindex(range(nb), fill_value=0)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    bases = np.concatenate(([0], np.cumsum(tot)[:-1]))
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split(" ").str.len().to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tok": n,
+                "rbucket": ((ids - lo) // rsize).astype(np.int32),
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        rb = int(df["rbucket"].iloc[0])
+        d = df.sort_values("doc_id")
+        n = d["n_tok"].to_numpy()
+        start = bases[rb] + np.concatenate(([0], np.cumsum(n)[:-1]))
+        first = start // SEQ_LEN
+        last = (start + n - 1) // SEQ_LEN
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(),
+                "n_tok": n,
+                "start_off": start,
+                "seq_first": first,
+                "seq_last": last,
+                "n_seqs": last - first + 1,
+            }
+        )
+
+    out = hash_exchange(
+        _read_docs(sf_dir).map_batches(_arrow_map(rows), batch_format="pandas"),
+        "rbucket",
+        nb,
+        _pandas_reduce(scan, _EMPTY_PACK_OUT),
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLES["pack_sequences"] = f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    o AS (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_off
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(start_off // {SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((start_off + n_tok - 1) // {SEQ_LEN} AS BIGINT) AS seq_last,
+           CAST((start_off + n_tok - 1) // {SEQ_LEN}
+                - start_off // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+    FROM o
+    ORDER BY doc_id
+"""

@@ -158,3 +158,38 @@ def cascade_buckets(
     return int(
         min(max_buckets, max(floor, math.ceil(est / samples_per_bucket)))
     )
+
+
+@functools.lru_cache(maxsize=512)
+def parquet_col_range(path: str, col: str) -> tuple[int, int]:
+    """(min, max) of a column from parquet row-group statistics only —
+    no data pages touched.  Returns (0, -1) when stats are unavailable."""
+    import pyarrow.parquet as papq
+
+    lo, hi = None, None
+    try:
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        for f in files:
+            md = papq.ParquetFile(f).metadata
+            ci = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in ci:
+                return (0, -1)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci[col]).statistics
+                if st is None or not st.has_min_max:
+                    return (0, -1)
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+    except (OSError, ValueError, KeyError):
+        return (0, -1)
+    if lo is None:
+        return (0, -1)
+    return (int(lo), int(hi))

@@ -715,3 +715,50 @@ def test_chunk_dedup_planted(ray_session, tmp_path):
     assert out.loc[1, "n_kept"] == 0 and out.loc[1, "text_clean"] == ""
     assert out.loc[2, "n_chunks"] == 2 and out.loc[2, "n_kept"] == 1
     assert out.loc[2, "text_clean"] == chunk_b
+
+
+def test_pack_sequences_oracle_parity(ray_session):
+    """Round-5: sequence packing via the distributed range-partitioned
+    prefix sum equals the single window-function scan (8 ranges at this
+    scale, so cross-range base offsets are genuinely exercised)."""
+    import duckdb
+
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["pack_sequences"](sf)
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = con.sql(ORACLES["pack_sequences"]).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)[sorted(got.columns)]
+    x = exp.sort_values("doc_id").reset_index(drop=True)[sorted(exp.columns)]
+    assert len(g) == len(x) > 0
+    assert (g["n_seqs"] > 1).any()  # some docs straddle a sequence cut
+    assert g.astype(str).equals(x.astype(str))
+
+
+def test_pack_sequences_planted(ray_session, tmp_path):
+    """Engineered corpus: 3 docs of 300/300/300 words at SEQ_LEN=512 —
+    doc 0 sits in seq 0, doc 1 straddles seqs 0-1 (starts at 300),
+    doc 2 straddles seqs 1-2 (starts at 600, ends at 899... seq 1);
+    offsets are the exact running sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import q_pack_sequences
+
+    docs = [" ".join(f"w{i}" for i in range(300)) for _ in range(3)]
+    table = pa.table(
+        {"doc_id": pa.array(range(3), type=pa.int64()), "text": pa.array(docs)}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    out = q_pack_sequences(str(d)).set_index("doc_id")
+    assert list(out["start_off"]) == [0, 300, 600]
+    assert list(out["seq_first"]) == [0, 0, 1]
+    assert list(out["seq_last"]) == [0, 1, 1]
+    assert list(out["n_seqs"]) == [1, 2, 1]
