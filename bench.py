@@ -150,6 +150,7 @@ _TRAINING_BENCH = [
     "dedup_clusters",
     "span_dup_stats",
     "chunk_dedup",
+    "pack_sequences",
 ]
 
 

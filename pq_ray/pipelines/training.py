@@ -2982,7 +2982,7 @@ def _span_final(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def q_span_dup_stats(sf_dir: str) -> pd.DataFrame:
+def q_span_dup_stats(sf_dir: str, sink_dir: str | None = None):
     """Per-doc duplicated-span statistics: n_grams (distinct word
     8-grams), n_dup (those appearing in >= 2 docs corpus-wide),
     dup_ratio and a keep flag (ratio <= 0.5).
@@ -3011,6 +3011,13 @@ def q_span_dup_stats(sf_dir: str) -> pd.DataFrame:
         _pandas_reduce(_span_final, _EMPTY_SPAN_OUT),
         combine_fn=_pandas_reduce(_span_combine, _EMPTY_SPAN_PART),
     )
+    if sink_dir is not None:
+        # 100x path: per-doc stats stream to a partitioned parquet sink
+        from .sinks import sink_dataset
+
+        return sink_dataset(
+            out, sink_dir, input_path=sf_dir, query="span_dup_stats"
+        )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3176,7 +3183,7 @@ def _chunk_assemble(df: pd.DataFrame) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
-def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     """Corpus-wide chunk dedup + doc reassembly: split every doc into
     consecutive 32-word chunks, keep only the first occurrence of each
     exact chunk (min (doc_id, idx)), and rebuild each doc's text from
@@ -3205,6 +3212,15 @@ def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
         nb,
         _pandas_reduce(_chunk_assemble, _EMPTY_CHUNK_OUT),
     )
+    if sink_dir is not None:
+        # 100x path: the rewritten corpus streams to a partitioned
+        # parquet sink with a manifest — rewritten TEXT never reaches
+        # the driver
+        from .sinks import sink_dataset
+
+        return sink_dataset(
+            out, sink_dir, input_path=sf_dir, query="chunk_dedup"
+        )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3267,7 +3283,7 @@ _EMPTY_PACK_OUT = pa.table(
 )
 
 
-def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
     """Greedy sequence packing: docs are concatenated in doc_id order
     (token count = whitespace word count) and the stream is cut into
     SEQ_LEN-token sequences; per doc: its global start offset, the
@@ -3354,6 +3370,13 @@ def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
         nb,
         _pandas_reduce(scan, _EMPTY_PACK_OUT),
     )
+    if sink_dir is not None:
+        # 100x path: the packing map streams to a partitioned sink
+        from .sinks import sink_dataset
+
+        return sink_dataset(
+            out, sink_dir, input_path=sf_dir, query="pack_sequences"
+        )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

@@ -762,3 +762,34 @@ def test_pack_sequences_planted(ray_session, tmp_path):
     assert list(out["seq_first"]) == [0, 0, 1]
     assert list(out["seq_last"]) == [0, 1, 1]
     assert list(out["n_seqs"]) == [1, 2, 1]
+
+
+@pytest.mark.parametrize(
+    "name", ["chunk_dedup", "span_dup_stats", "pack_sequences"]
+)
+def test_training_sink_variants(ray_session, tmp_path, name):
+    """The round-5 per-doc ops take sink_dir (their outputs are
+    corpus-sized at 100x): the parquet sink equals the DataFrame path,
+    only a summary reaches the driver, and a rerun resumes as a no-op."""
+    import duckdb
+
+    from pq_ray.pipelines.training import QUERIES
+    from pq_ray.state import manifest as mf
+
+    sf = "/root/testdata/sf0.001"
+    sink = str(tmp_path / name)
+    summary = QUERIES[name](sf, sink_dir=sink)
+    assert isinstance(summary, dict) and not summary["skipped"]
+    df = QUERIES[name](sf)
+    assert summary["rows"] == len(df)
+    c = duckdb.connect()
+    got = (
+        c.sql(f"select * from read_parquet('{sink}/*.parquet')")
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[df.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got, df, check_dtype=False)
+    assert mf.load(sink)["completed"]
+    again = QUERIES[name](sf, sink_dir=sink)
+    assert again["skipped"] and again["rows"] == len(df)
