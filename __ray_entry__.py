@@ -88,7 +88,7 @@ _ORDER = [
     # round-5 additions: corpus-internal span-dedup signal, chunk-level
     # exact dedup with doc reassembly, sequence packing via distributed
     # prefix sum (all fully SQL-oracled)
-    "span_dup_stats", "chunk_dedup", "pack_sequences",
+    "span_dup_stats", "chunk_dedup", "pack_sequences", "source_report",
 ]
 
 

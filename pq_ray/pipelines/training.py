@@ -3403,3 +3403,251 @@ ORACLES["pack_sequences"] = f"""
     FROM o
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source curation report (round 5): one integer-exact rollup joining
+# the corpus-internal span-dup signal with the Gopher repetition verdict
+# and token totals, aggregated by source — the "what would curation keep,
+# per provenance bucket" summary a corpus owner reads before committing a
+# filter recipe.
+# ---------------------------------------------------------------------------
+
+_EMPTY_REPORT_PART = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "n_grams": pa.array([], type=pa.int64()),
+        "n_dup": pa.array([], type=pa.int64()),
+        "n_tok": pa.array([], type=pa.int64()),
+        "rep_keep": pa.array([], type=pa.int64()),
+        "source": pa.array([], type=pa.string()),
+        "dbucket": pa.array([], type=pa.int32()),
+    }
+)
+_EMPTY_REPORT_OUT = pa.table(
+    {
+        "source": pa.array([], type=pa.string()),
+        "n_docs": pa.array([], type=pa.int64()),
+        "total_tokens": pa.array([], type=pa.int64()),
+        "n_span_flagged": pa.array([], type=pa.int64()),
+        "n_rep_flagged": pa.array([], type=pa.int64()),
+        "n_clean": pa.array([], type=pa.int64()),
+        "tokens_clean": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _report_doc_sums(df: pd.DataFrame) -> pd.DataFrame:
+    """Associative per-doc fold: sum the counters, keep the (unique)
+    non-empty source via max — the doc-exchange tree combine."""
+    g = (
+        df.groupby("doc_id", sort=False)
+        .agg(
+            n_grams=("n_grams", "sum"),
+            n_dup=("n_dup", "sum"),
+            n_tok=("n_tok", "sum"),
+            rep_keep=("rep_keep", "sum"),
+            source=("source", "max"),
+        )
+        .reset_index()
+    )
+    for c in ("n_grams", "n_dup", "n_tok", "rep_keep"):
+        g[c] = g[c].astype(np.int64)
+    return g
+
+
+def _report_combine(df: pd.DataFrame) -> pd.DataFrame:
+    out = _report_doc_sums(df)
+    out["dbucket"] = (
+        df["dbucket"].iloc[0] if len(df) else np.int32(0)
+    )
+    out["dbucket"] = out["dbucket"].astype(np.int32)
+    return out[
+        ["doc_id", "n_grams", "n_dup", "n_tok", "rep_keep", "source", "dbucket"]
+    ]
+
+
+def _report_final(df: pd.DataFrame) -> pd.DataFrame:
+    g = _report_doc_sums(df)
+    # integer cross-multiplication: dup_ratio > 0.5  ⇔  2*n_dup > n_grams
+    span_flag = (2 * g["n_dup"].to_numpy()) > g["n_grams"].to_numpy()
+    rep_flag = g["rep_keep"].to_numpy() == 0
+    clean = ~span_flag & ~rep_flag
+    n_tok = g["n_tok"].to_numpy()
+    per = pd.DataFrame(
+        {
+            "source": g["source"].to_numpy(dtype=object),
+            "n_docs": np.ones(len(g), dtype=np.int64),
+            "total_tokens": n_tok,
+            "n_span_flagged": span_flag.astype(np.int64),
+            "n_rep_flagged": rep_flag.astype(np.int64),
+            "n_clean": clean.astype(np.int64),
+            "tokens_clean": np.where(clean, n_tok, 0).astype(np.int64),
+        }
+    )
+    return per.groupby("source", as_index=False).sum()
+
+
+def q_source_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source curation report: doc and token totals, how many docs
+    each filter flags (span-dup share > 0.5; Gopher repetition rule),
+    and what a pass-both-filters cut keeps — every column an exact
+    integer (the ratio thresholds are integer cross-multiplications).
+
+    Ray plan: the span gram exchange produces per-doc (n_grams, n_dup)
+    partials; one doc pass adds batch-local repetition verdicts, token
+    counts and source; a doc-keyed exchange (associative per-doc
+    tree combine) folds both, flags each doc, and pre-aggregates per
+    (bucket, source) — the driver sums |sources| x num_buckets tiny
+    rows, never per-doc data."""
+    nb = buckets_for_table(sf_dir, "documents")
+    path = f"{sf_dir}/documents.parquet"
+
+    rows = _read_docs(sf_dir).map_batches(
+        _arrow_map(_span_gram_rows(nb)), batch_format="pandas"
+    )
+    partials = hash_exchange(
+        rows, "bucket", nb, _pandas_reduce(_span_df_reduce(nb), _EMPTY_SPAN_PART)
+    )
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_grams": df["n_grams"].astype(np.int64),
+                "n_dup": df["n_dup"].astype(np.int64),
+                "n_tok": z,
+                "rep_keep": z,
+                "source": np.full(len(df), "", dtype=object),
+                "dbucket": df["dbucket"].astype(np.int32),
+            }
+        )
+
+    span_side = partials.map_batches(
+        _arrow_map(widen), batch_format="pandas"
+    )
+
+    docs = rd.read_parquet(
+        path,
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=small_input_blocks(path),
+    )
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        counts, _n_rep, _bi, _tri, keep = repetition_signals(
+            df["text"].to_numpy()
+        )
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_grams": np.zeros(len(ids), dtype=np.int64),
+                "n_dup": np.zeros(len(ids), dtype=np.int64),
+                "n_tok": counts.astype(np.int64),
+                "rep_keep": keep.astype(np.int64),
+                "source": df["source"].to_numpy(dtype=object),
+                "dbucket": _bucket_of_i64(ids, nb),
+            }
+        )
+
+    doc_side = docs.map_batches(_arrow_map(doc_rows), batch_format="pandas")
+    out = hash_exchange(
+        span_side.union(doc_side),
+        "dbucket",
+        nb,
+        _pandas_reduce(_report_final, _EMPTY_REPORT_OUT),
+        combine_fn=_pandas_reduce(_report_combine, _EMPTY_REPORT_PART),
+    )
+    return (
+        out.to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["source_report"] = q_source_report
+ORACLES["source_report"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, GREATEST(len(w) - {SPAN_N - 1}, 0) + 1),
+                   i -> array_to_string(list_slice(w, i, i + {SPAN_N - 1}), ' ')
+               )) AS gram
+        FROM d
+    ),
+    g AS (SELECT DISTINCT doc_id, gram FROM g0),
+    gdf AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+    span AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN gdf.df > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM g JOIN gdf USING (gram) GROUP BY 1
+    ),
+    words AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS ord,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, n, w,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS w1,
+               lead(w, 2) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+        FROM words
+    ),
+    uniq AS (
+        SELECT doc_id, ANY_VALUE(n) AS n_tokens,
+               COUNT(DISTINCT w) AS n_unique
+        FROM grams GROUP BY doc_id
+    ),
+    bi AS (
+        SELECT doc_id, MAX(c) AS top_bi FROM (
+            SELECT doc_id, w || ' ' || w1 AS gg, COUNT(*) AS c
+            FROM grams WHERE w1 IS NOT NULL GROUP BY doc_id, gg
+        ) GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id, MAX(c) AS top_tri FROM (
+            SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS gg, COUNT(*) AS c
+            FROM grams WHERE w2 IS NOT NULL GROUP BY doc_id, gg
+        ) GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT u.doc_id,
+               (10 * (u.n_tokens - u.n_unique) <= 3 * u.n_tokens
+                AND 5 * COALESCE(b.top_bi, 0) <= GREATEST(u.n_tokens - 1, 0)
+                AND 50 * COALESCE(t.top_tri, 0) <= 9 * GREATEST(u.n_tokens - 2, 0))
+                   AS keep
+        FROM uniq u
+        LEFT JOIN bi b USING (doc_id)
+        LEFT JOIN tri t USING (doc_id)
+    ),
+    per AS (
+        SELECT doc.doc_id, doc.source,
+               len(string_split(doc.text, ' ')) AS n_tok,
+               COALESCE(span.n_grams, 0) AS n_grams,
+               COALESCE(span.n_dup, 0) AS n_dup,
+               rep.keep AS rep_keep
+        FROM documents doc
+        LEFT JOIN span USING (doc_id)
+        JOIN rep USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN 2 * n_dup > n_grams THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_span_flagged,
+           CAST(SUM(CASE WHEN NOT rep_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rep_flagged,
+           CAST(SUM(CASE WHEN 2 * n_dup <= n_grams AND rep_keep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN 2 * n_dup <= n_grams AND rep_keep
+                    THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_clean
+    FROM per
+    GROUP BY source
+    ORDER BY source
+"""

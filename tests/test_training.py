@@ -793,3 +793,38 @@ def test_training_sink_variants(ray_session, tmp_path, name):
     assert mf.load(sink)["completed"]
     again = QUERIES[name](sf, sink_dir=sink)
     assert again["skipped"] and again["rows"] == len(df)
+
+
+def test_source_report_oracle_parity(ray_session):
+    """Round-5 composition: the per-source curation report (span-dup x
+    repetition x token totals, all integer-exact) equals DuckDB, and a
+    forced fanin-2 tree gather (associative per-doc combine) agrees."""
+    import duckdb
+
+    import pq_ray.stages.exchange as ex
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exp = con.sql(ORACLES["source_report"]).df()
+    for fanin in (None, 2):
+        old = ex.GATHER_FANIN
+        try:
+            if fanin:
+                ex.GATHER_FANIN = fanin
+            got = QUERIES["source_report"](sf)
+        finally:
+            ex.GATHER_FANIN = old
+        g = got.sort_values("source").reset_index(drop=True)[
+            sorted(got.columns)
+        ]
+        x = exp.sort_values("source").reset_index(drop=True)[
+            sorted(exp.columns)
+        ]
+        assert len(g) == len(x) > 0
+        assert g.astype(str).equals(x.astype(str)), f"fanin={fanin}"
+        assert (g["n_clean"] <= g["n_docs"]).all()
