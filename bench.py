@@ -151,6 +151,7 @@ _TRAINING_BENCH = [
     "span_dup_stats",
     "chunk_dedup",
     "pack_sequences",
+    "source_report",
 ]
 
 

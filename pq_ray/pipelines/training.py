@@ -3311,6 +3311,13 @@ def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
     rsize = max(1, -(-(hi - lo + 1) // nb))
 
     def totals(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "rbucket": pd.Series(dtype=np.int64),
+                    "tot": pd.Series(dtype=np.int64),
+                }
+            )
         n = df["text"].str.split(" ").str.len().to_numpy().astype(np.int64)
         rb = ((df["doc_id"].to_numpy() - lo) // rsize).astype(np.int64)
         order = np.argsort(rb, kind="stable")
