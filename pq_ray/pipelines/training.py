@@ -68,6 +68,17 @@ def _read_docs(sf_dir: str):
     )
 
 
+def _docs_word_expansion(sf_dir: str) -> float:
+    """Estimated words per document from the n_chars footer sample
+    (~6 chars per word incl. separator) — the exchange-sizing expansion
+    factor for stages that emit one row per word/gram rather than per
+    doc.  Metadata + a sampled row group only; never a corpus scan."""
+    from ..stages.sizing import sampled_mean
+
+    m = sampled_mean(f"{sf_dir}/documents.parquet", "n_chars")
+    return max(1.0, m / 6.0)
+
+
 def _bucket_of_str(values, num=NUM_BUCKETS) -> np.ndarray:
     # bucket choice only needs same-string → same-bucket; one cython
     # siphash pass replaces the former per-value Python md5 fold
@@ -93,12 +104,9 @@ def _doc_shingles(texts) -> tuple[np.ndarray, np.ndarray]:
     bigram is the asymmetric arithmetic mix of two adjacent token hashes,
     and per-doc dedup is a lexsort + boundary scan.  No per-doc Python.
     """
-    s = pd.Series(texts, dtype=object)
-    toks = s.str.split(" ")
-    counts = toks.str.len().to_numpy().astype(np.int64)
-    flat = toks.explode().to_numpy(dtype=object)
+    counts, flat = _split_tokens(texts)
     th = pd.util.hash_array(flat).astype(np.uint64)
-    n = len(s)
+    n = len(counts)
     nbi = np.maximum(counts - 1, 0)
     total = int(nbi.sum())
     if total == 0:
@@ -2849,17 +2857,25 @@ SPAN_N = 8          # words per span gram
 SPAN_DUP_MAX = 0.5  # keep docs whose duplicated-gram share is <= this
 
 
+def _split_tokens(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Shared whitespace tokenization: (per-doc word counts, flat word
+    array) — the one place the split rule lives, so every gram/chunk
+    operator stays consistent with the oracles' string_split."""
+    s = pd.Series(texts, dtype=object)
+    toks = s.str.split(" ")
+    counts = toks.str.len().to_numpy().astype(np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    return counts, flat
+
+
 def _doc_kgram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Distinct word k-gram 64-bit hashes per document, vectorized — the
     k-ary generalization of ``_doc_shingles``: one cython token-hash
     pass, then k numpy passes build the position-weighted polynomial
     gram hash (never a per-gram Python loop)."""
-    s = pd.Series(texts, dtype=object)
-    toks = s.str.split(" ")
-    counts = toks.str.len().to_numpy().astype(np.int64)
-    flat = toks.explode().to_numpy(dtype=object)
+    counts, flat = _split_tokens(texts)
     th = pd.util.hash_array(flat).astype(np.uint64)
-    n = len(s)
+    n = len(counts)
     ng = np.maximum(counts - (k - 1), 0)
     total = int(ng.sum())
     if total == 0:
@@ -2995,13 +3011,21 @@ def q_span_dup_stats(sf_dir: str, sink_dir: str | None = None):
     (collision odds ~n^2/2^64 — the documented non-adversarial bound);
     the DuckDB oracle compares distinct gram STRINGS, so agreement is
     exact up to that bound."""
-    nb = buckets_for_table(sf_dir, "documents")
+    # gram exchange carries ~words-per-doc rows per doc (single-level
+    # reduce by necessity), so size it with the word expansion factor
+    nb = buckets_for_table(
+        sf_dir, "documents", expansion=_docs_word_expansion(sf_dir)
+    )
     ds = _read_docs(sf_dir)
     rows = ds.map_batches(_arrow_map(_span_gram_rows(nb)), batch_format="pandas")
     partials = hash_exchange(
         rows, "bucket", nb, _pandas_reduce(_span_df_reduce(nb), _EMPTY_SPAN_PART)
     )
-    zeros = _read_docs(sf_dir).map_batches(
+    path = f"{sf_dir}/documents.parquet"
+    ids_only = rd.read_parquet(
+        path, columns=["doc_id"], override_num_blocks=small_input_blocks(path)
+    )
+    zeros = ids_only.map_batches(
         _arrow_map(_span_zero_rows(nb)), batch_format="pandas"
     )
     out = hash_exchange(
@@ -3088,10 +3112,8 @@ def _chunk_rows(nb: int):
     — wire cost ~1x corpus text, same order as any corpus shuffle."""
 
     def rows(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        counts = toks.str.len().to_numpy().astype(np.int64)
+        counts, flat = _split_tokens(df["text"].to_numpy())
         n_chunks = (counts + CHUNK_WORDS - 1) // CHUNK_WORDS
-        flat = toks.explode().to_numpy(dtype=object)
         row_rep = np.repeat(np.arange(len(df), dtype=np.int64), counts)
         tok_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         within = np.arange(len(flat), dtype=np.int64) - np.repeat(
@@ -3125,8 +3147,7 @@ def _chunk_presence_rows(nb: int):
     still appear (with text_clean = '') in the final table."""
 
     def rows(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        counts = toks.str.len().to_numpy().astype(np.int64)
+        counts, _flat = _split_tokens(df["text"].to_numpy())
         ids = df["doc_id"].to_numpy().astype(np.int64)
         out = pd.DataFrame(
             {
@@ -3196,7 +3217,15 @@ def q_chunk_dedup(sf_dir: str, sink_dir: str | None = None):
     sequence) — single-level gathers by necessity, each bounded by
     corpus/num_buckets.  Chunk identity is the 64-bit siphash of the
     exact chunk string; the oracle groups by the string itself."""
-    nb = buckets_for_table(sf_dir, "documents")
+    # one row per CHUNK_WORDS words, each carrying ~CHUNK_WORDS words of
+    # text (~3x the sizing budget's assumed row width): expansion =
+    # words/CHUNK_WORDS with a proportionally smaller row budget
+    nb = buckets_for_table(
+        sf_dir,
+        "documents",
+        expansion=max(1.0, _docs_word_expansion(sf_dir) / CHUNK_WORDS),
+        rows_per_bucket=700_000,
+    )
     rows = _read_docs(sf_dir).map_batches(
         _arrow_map(_chunk_rows(nb)), batch_format="pandas"
     )
@@ -3299,48 +3328,24 @@ def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
       pass 2: a range-keyed exchange; each reduce sorts its range by
         doc_id and adds base + local cumsum.  The scan inside a range
         is order-dependent (single-level gather by necessity, bounded
-        by corpus/num_ranges rows).
+        by corpus/num_ranges rows — NOTE this bound assumes doc_ids are
+        near-uniformly dense in [lo, hi]; sparse/clustered id spaces
+        would skew the ranges and need equi-depth boundaries instead).
+    The narrow (doc_id, n_tok, rbucket) rows are materialized ONCE
+    (~20 B/doc, object-store-spillable) and feed BOTH passes, so the
+    corpus text is read and tokenized exactly once.
     The DuckDB oracle is the same scan as one window function."""
     from ..stages.sizing import parquet_col_range
 
     path = f"{sf_dir}/documents.parquet"
     nb = buckets_for_table(sf_dir, "documents")
     lo, hi = parquet_col_range(path, "doc_id")
-    if hi < lo:  # no stats: single range (still exact, not partitioned)
-        lo, hi, nb = 0, 0, 1
-    rsize = max(1, -(-(hi - lo + 1) // nb))
-
-    def totals(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "rbucket": pd.Series(dtype=np.int64),
-                    "tot": pd.Series(dtype=np.int64),
-                }
-            )
-        n = df["text"].str.split(" ").str.len().to_numpy().astype(np.int64)
-        rb = ((df["doc_id"].to_numpy() - lo) // rsize).astype(np.int64)
-        order = np.argsort(rb, kind="stable")
-        r = rb[order]
-        starts = np.concatenate(([0], np.nonzero(r[1:] != r[:-1])[0] + 1))
-        return pd.DataFrame(
-            {
-                "rbucket": r[starts],
-                "tot": np.add.reduceat(n[order], starts),
-            }
-        )
-
-    tot = (
-        _read_docs(sf_dir)
-        .map_batches(_arrow_map(totals), batch_format="pandas")
-        .to_pandas()
-        .groupby("rbucket")["tot"]
-        .sum()
-        .reindex(range(nb), fill_value=0)
-        .to_numpy()
-        .astype(np.int64)
-    )
-    bases = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    if hi < lo:
+        # no footer stats: ONE range wide enough for any non-negative
+        # id (the corpus contract) — still exact, just unpartitioned
+        lo, nb, rsize = 0, 1, 1 << 62
+    else:
+        rsize = max(1, -(-(hi - lo + 1) // nb))
 
     def rows(df: pd.DataFrame) -> pd.DataFrame:
         n = df["text"].str.split(" ").str.len().to_numpy().astype(np.int64)
@@ -3352,6 +3357,30 @@ def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
                 "rbucket": ((ids - lo) // rsize).astype(np.int32),
             }
         )
+
+    narrow = _read_docs(sf_dir).map_batches(
+        _arrow_map(rows), batch_format="pandas"
+    ).materialize()
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("rbucket", sort=False)["n_tok"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "rbucket": g["rbucket"].astype(np.int64),
+                "tot": g["n_tok"].astype(np.int64),
+            }
+        )
+
+    tot = (
+        narrow.map_batches(_arrow_map(totals), batch_format="pandas")
+        .to_pandas()
+        .groupby("rbucket")["tot"]
+        .sum()
+        .reindex(range(nb), fill_value=0)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    bases = np.concatenate(([0], np.cumsum(tot)[:-1]))
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         rb = int(df["rbucket"].iloc[0])
@@ -3372,7 +3401,7 @@ def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
         )
 
     out = hash_exchange(
-        _read_docs(sf_dir).map_batches(_arrow_map(rows), batch_format="pandas"),
+        narrow,
         "rbucket",
         nb,
         _pandas_reduce(scan, _EMPTY_PACK_OUT),
@@ -3507,7 +3536,11 @@ def q_source_report(sf_dir: str) -> pd.DataFrame:
     tree combine) folds both, flags each doc, and pre-aggregates per
     (bucket, source) — the driver sums |sources| x num_buckets tiny
     rows, never per-doc data."""
-    nb = buckets_for_table(sf_dir, "documents")
+    # sized for the gram exchange (words-per-doc expansion) — extra
+    # buckets on the per-doc side are harmless
+    nb = buckets_for_table(
+        sf_dir, "documents", expansion=_docs_word_expansion(sf_dir)
+    )
     path = f"{sf_dir}/documents.parquet"
 
     rows = _read_docs(sf_dir).map_batches(

@@ -73,6 +73,8 @@ def _split(bucket_col: str, num_buckets: int, pre_reduce, *blocks):
     ]
     if not usable:
         empty = blocks[0].slice(0, 0)
+        if num_buckets == 1:  # num_returns=1: Ray keeps a tuple intact
+            return empty
         return tuple(empty for _ in range(num_buckets))
     block = usable[0] if len(usable) == 1 else pa.concat_tables(usable)
     if pre_reduce is not None:
@@ -85,6 +87,8 @@ def _split(bucket_col: str, num_buckets: int, pre_reduce, *blocks):
     sorted_b = buckets[order]
     bounds = np.searchsorted(sorted_b, np.arange(num_buckets + 1))
     taken = block.take(pa.array(order))
+    if num_buckets == 1:  # num_returns=1: Ray keeps a tuple intact
+        return taken.slice(bounds[0], bounds[1] - bounds[0])
     return tuple(
         taken.slice(bounds[i], bounds[i + 1] - bounds[i])
         for i in range(num_buckets)

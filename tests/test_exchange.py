@@ -242,3 +242,28 @@ def test_sizing_parquet_metadata(tmp_path):
     assert sampled_mean(str(tmp_path / "events.parquet"), "n_tok") == 20.0
     assert buckets_for_table(str(tmp_path), "events") == 8
     assert parquet_rows(str(tmp_path / "missing.parquet")) == 0
+
+
+def test_hash_exchange_single_bucket(ray_session):
+    """num_buckets=1 (the pack_sequences no-stats fallback): Ray's
+    num_returns=1 path must yield the bare table, not a 1-tuple."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pq_ray.stages.exchange import hash_exchange
+
+    df = pd.DataFrame({"k": [1, 2, 1, 3], "v": [1.0, 2.0, 3.0, 4.0]})
+    df["bucket"] = 0
+    ds = rd.from_pandas(df)
+
+    def reduce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.float64())})
+        p = t.to_pandas().groupby("k", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    out = hash_exchange(ds, "bucket", 1, reduce).to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3]
+    assert out.set_index("k")["v"][1] == 4.0

@@ -828,3 +828,26 @@ def test_source_report_oracle_parity(ray_session):
         assert len(g) == len(x) > 0
         assert g.astype(str).equals(x.astype(str)), f"fanin={fanin}"
         assert (g["n_clean"] <= g["n_docs"]).all()
+
+
+def test_pack_sequences_without_parquet_stats(ray_session, tmp_path):
+    """Regression (round-5 review): a parquet written WITHOUT column
+    statistics must fall back to one all-accepting range — every doc
+    still present with exact offsets, not silently dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import q_pack_sequences
+
+    docs = [" ".join(f"w{i}" for i in range(100)) for _ in range(5)]
+    table = pa.table(
+        {"doc_id": pa.array(range(5), type=pa.int64()), "text": pa.array(docs)}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        table, str(d / "documents.parquet"), write_statistics=False
+    )
+    out = q_pack_sequences(str(d)).set_index("doc_id")
+    assert len(out) == 5
+    assert list(out["start_off"]) == [0, 100, 200, 300, 400]
