@@ -3328,24 +3328,33 @@ def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
       pass 2: a range-keyed exchange; each reduce sorts its range by
         doc_id and adds base + local cumsum.  The scan inside a range
         is order-dependent (single-level gather by necessity, bounded
-        by corpus/num_ranges rows — NOTE this bound assumes doc_ids are
-        near-uniformly dense in [lo, hi]; sparse/clustered id spaces
-        would skew the ranges and need equi-depth boundaries instead).
+        by corpus/num_ranges rows).  Range boundaries are the UNION of
+        uniform value cuts (balanced for dense id spaces) and
+        equi-DEPTH cuts from row-group statistics (balanced for sparse
+        or clustered id spaces — e.g. prefix-partitioned ids), so
+        neither layout concentrates the scan in one range; empty ranges
+        cost one empty gather each.
     The narrow (doc_id, n_tok, rbucket) rows are materialized ONCE
     (~20 B/doc, object-store-spillable) and feed BOTH passes, so the
     corpus text is read and tokenized exactly once.
     The DuckDB oracle is the same scan as one window function."""
-    from ..stages.sizing import parquet_col_range
+    from ..stages.sizing import parquet_col_range, parquet_equidepth_bounds
 
     path = f"{sf_dir}/documents.parquet"
     nb = buckets_for_table(sf_dir, "documents")
     lo, hi = parquet_col_range(path, "doc_id")
     if hi < lo:
-        # no footer stats: ONE range wide enough for any non-negative
-        # id (the corpus contract) — still exact, just unpartitioned
-        lo, nb, rsize = 0, 1, 1 << 62
+        # no footer stats: ONE range accepting every id — still exact,
+        # just unpartitioned
+        bounds = np.array([], dtype=np.int64)
     else:
         rsize = max(1, -(-(hi - lo + 1) // nb))
+        uniform = lo + rsize * np.arange(1, nb, dtype=np.int64) - 1
+        ed = parquet_equidepth_bounds(path, "doc_id", nb)
+        if ed is None:
+            ed = np.array([], dtype=np.int64)
+        bounds = np.unique(np.concatenate((uniform, ed)))
+    nbr = len(bounds) + 1
 
     def rows(df: pd.DataFrame) -> pd.DataFrame:
         n = df["text"].str.split(" ").str.len().to_numpy().astype(np.int64)
@@ -3354,7 +3363,10 @@ def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
             {
                 "doc_id": ids,
                 "n_tok": n,
-                "rbucket": ((ids - lo) // rsize).astype(np.int32),
+                # range j = ids in (bounds[j-1], bounds[j]]
+                "rbucket": np.searchsorted(bounds, ids, side="left").astype(
+                    np.int32
+                ),
             }
         )
 
@@ -3376,7 +3388,7 @@ def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
         .to_pandas()
         .groupby("rbucket")["tot"]
         .sum()
-        .reindex(range(nb), fill_value=0)
+        .reindex(range(nbr), fill_value=0)
         .to_numpy()
         .astype(np.int64)
     )
@@ -3403,7 +3415,7 @@ def q_pack_sequences(sf_dir: str, sink_dir: str | None = None):
     out = hash_exchange(
         narrow,
         "rbucket",
-        nb,
+        nbr,
         _pandas_reduce(scan, _EMPTY_PACK_OUT),
     )
     if sink_dir is not None:

@@ -193,3 +193,60 @@ def parquet_col_range(path: str, col: str) -> tuple[int, int]:
     if lo is None:
         return (0, -1)
     return (int(lo), int(hi))
+
+
+def parquet_equidepth_bounds(path: str, col: str, num_ranges: int):
+    """Equi-DEPTH interior range boundaries for ``col`` from row-group
+    statistics only (no data pages): cuts the value space so each range
+    holds ~equal ROWS even when values are sparse or clustered, at
+    row-group granularity.  Returns an ascending int64 array of at most
+    ``num_ranges - 1`` boundaries (range i = values in
+    (bounds[i-1], bounds[i]]), or None when stats are unavailable.
+
+    Row groups are assumed mostly value-disjoint (the common
+    sorted-write layout); overlapping groups only degrade balance,
+    never correctness — any monotone boundary set partitions the value
+    space completely."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    groups: list[tuple[int, int, int]] = []  # (min, max, rows)
+    try:
+        files = (
+            sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(path)
+            else [path]
+        )
+        for f in files:
+            md = papq.ParquetFile(f).metadata
+            ci = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in ci:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci[col]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                groups.append(
+                    (int(st.min), int(st.max), md.row_group(rg).num_rows)
+                )
+    except (OSError, ValueError, KeyError):
+        return None
+    if not groups or num_ranges <= 1:
+        return np.array([], dtype=np.int64) if groups else None
+    groups.sort()
+    total = sum(g[2] for g in groups)
+    target = total / num_ranges
+    bounds: list[int] = []
+    acc = 0.0
+    next_cut = target
+    for mn, mx, rows in groups:
+        acc += rows
+        while acc >= next_cut and len(bounds) < num_ranges - 1:
+            bounds.append(mx)
+            next_cut += target
+    out = np.unique(np.asarray(bounds, dtype=np.int64))
+    return out

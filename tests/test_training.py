@@ -851,3 +851,26 @@ def test_pack_sequences_without_parquet_stats(ray_session, tmp_path):
     out = q_pack_sequences(str(d)).set_index("doc_id")
     assert len(out) == 5
     assert list(out["start_off"]) == [0, 100, 200, 300, 400]
+
+
+def test_pack_sequences_clustered_ids(ray_session, tmp_path):
+    """Sparse/clustered doc_id spaces (e.g. prefix-partitioned ids) must
+    not break the range scan: equi-depth row-group cuts spread the work
+    and the offsets still equal the single ordered scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pq_ray.pipelines.training import q_pack_sequences
+
+    ids = list(range(40)) + [10_000_000_000 + i for i in range(40)]
+    docs = [" ".join(f"w{i}_{d}" for i in range(10)) for d in ids]
+    table = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(docs)}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"), row_group_size=10)
+    out = q_pack_sequences(str(d)).sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 80
+    assert list(out["start_off"]) == [i * 10 for i in range(80)]
+    assert list(out["doc_id"]) == sorted(ids)
