@@ -3703,3 +3703,174 @@ ORACLES["source_report"] = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic global training order (round 5): every doc's rank in the
+# corpus-wide pseudo-random shuffle — the "global shuffle" step of a
+# training-data pipeline, computed as a distributed RANK (the same
+# two-phase range-partitioned scan as pack_sequences, keyed by the
+# oracle-replicable Knuth hash instead of doc_id).
+# ---------------------------------------------------------------------------
+
+_EMPTY_ORDER_OUT = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "shuffle_rank": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def q_shuffle_order(sf_dir: str, sink_dir: str | None = None):
+    """Global shuffle rank: row_number over ((doc_id * K) mod 2^32,
+    doc_id) — a deterministic, seedable permutation of the corpus that
+    any reader can reproduce (the training-order contract).
+
+    Ray plan: the Knuth key is uniform on [0, 2^32), so ranges are
+    fixed equal slices of the key space; per-range counts fold to the
+    driver (tiny), cumulative bases close into the range-keyed exchange
+    whose reduce sorts its slice by (key, doc_id) and emits base+local
+    ranks.  Narrow (doc_id, key) rows are materialized once."""
+    path = f"{sf_dir}/documents.parquet"
+    nb = buckets_for_table(sf_dir, "documents")
+    ids_ds = rd.read_parquet(
+        path, columns=["doc_id"], override_num_blocks=small_input_blocks(path)
+    )
+    span = -(-(1 << 32) // nb)  # key-space slice per range
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        key = (ids * _KNUTH) % (1 << 32)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "key": key,
+                "rbucket": (key // span).astype(np.int32),
+            }
+        )
+
+    narrow = ids_ds.map_batches(
+        _arrow_map(rows), batch_format="pandas"
+    ).materialize()
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("rbucket", sort=False).size().reset_index(name="tot")
+        return pd.DataFrame(
+            {
+                "rbucket": g["rbucket"].astype(np.int64),
+                "tot": g["tot"].astype(np.int64),
+            }
+        )
+
+    tot = (
+        narrow.map_batches(_arrow_map(totals), batch_format="pandas")
+        .to_pandas()
+        .groupby("rbucket")["tot"]
+        .sum()
+        .reindex(range(nb), fill_value=0)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    bases = np.concatenate(([0], np.cumsum(tot)[:-1]))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        rb = int(df["rbucket"].iloc[0])
+        d = df.sort_values(["key", "doc_id"])
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(),
+                "shuffle_rank": bases[rb]
+                + np.arange(1, len(d) + 1, dtype=np.int64),
+            }
+        )
+
+    out = hash_exchange(
+        narrow, "rbucket", nb, _pandas_reduce(rank, _EMPTY_ORDER_OUT)
+    )
+    if sink_dir is not None:
+        from .sinks import sink_dataset
+
+        return sink_dataset(
+            out, sink_dir, input_path=sf_dir, query="shuffle_order"
+        )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["shuffle_order"] = q_shuffle_order
+ORACLES["shuffle_order"] = f"""
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY (doc_id * {_KNUTH}) % 4294967296, doc_id
+           ) AS shuffle_rank
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture sampling (round 5): per-source inclusion rates
+# (domain reweighting) applied as pure-arithmetic hash thresholds, so
+# the sample is identical across reruns, resumes and engines.
+# ---------------------------------------------------------------------------
+
+_MIX_TENTH = 429496729  # floor(2^32 / 10): one "tenth" of the key space
+
+
+def _mixture_rate_tenths(sources: np.ndarray) -> np.ndarray:
+    """Per-source target rate in tenths (1..5), derived from the md5 of
+    the source name — stable, engine-independent, and replicated in SQL
+    as ascii(substr(md5(source), 1, 1)) % 5 + 1."""
+    import hashlib
+
+    uniq, inv = np.unique(sources.astype(str), return_inverse=True)
+    tenths = np.array(
+        [ord(hashlib.md5(s.encode()).hexdigest()[0]) % 5 + 1 for s in uniq],
+        dtype=np.int64,
+    )
+    return tenths[inv]
+
+
+def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Domain-reweighting sample: each source gets a deterministic
+    target rate (rate_tenths/10, derived from md5(source)); a doc is
+    kept iff its Knuth key falls under the rate threshold.  Pure
+    per-row arithmetic — embarrassingly parallel, no exchange, and the
+    kept set is a pure function of (doc_id, source)."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(
+        path,
+        columns=["doc_id", "source"],
+        override_num_blocks=small_input_blocks(path),
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        key = (ids * _KNUTH) % (1 << 32)
+        tenths = _mixture_rate_tenths(df["source"].to_numpy())
+        keep = key < tenths * _MIX_TENTH
+        return pd.DataFrame(
+            {
+                "source": df["source"].to_numpy()[keep],
+                "doc_id": ids[keep],
+                "rate_tenths": tenths[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(_arrow_map(pick), batch_format="pandas")
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["mixture_sample"] = q_mixture_sample
+ORACLES["mixture_sample"] = f"""
+    SELECT source, doc_id,
+           CAST(ascii(substr(md5(source), 1, 1)) % 5 + 1 AS BIGINT)
+               AS rate_tenths
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % 4294967296
+          < (ascii(substr(md5(source), 1, 1)) % 5 + 1) * {_MIX_TENTH}
+    ORDER BY source, doc_id
+"""

@@ -874,3 +874,35 @@ def test_pack_sequences_clustered_ids(ray_session, tmp_path):
     assert len(out) == 80
     assert list(out["start_off"]) == [i * 10 for i in range(80)]
     assert list(out["doc_id"]) == sorted(ids)
+
+
+@pytest.mark.parametrize("name", ["shuffle_order", "mixture_sample"])
+def test_shuffle_mixture_oracle_parity(ray_session, name):
+    """Round-5 ordering/reweighting ops hash against DuckDB exactly."""
+    import duckdb
+
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = QUERIES[name](sf)
+    exp = con.sql(ORACLES[name]).df()
+    g = got.reset_index(drop=True)[sorted(got.columns)]
+    x = exp.reset_index(drop=True)[sorted(exp.columns)]
+    assert len(g) == len(x) > 0
+    assert g.astype(str).equals(x.astype(str)), name
+
+
+def test_shuffle_order_is_permutation(ray_session):
+    """Every doc gets exactly one rank and ranks are exactly 1..N —
+    the distributed rank loses and duplicates nothing."""
+    from pq_ray.pipelines.training import q_shuffle_order
+
+    out = q_shuffle_order("/root/testdata/sf0.001")
+    n = len(out)
+    assert sorted(out["shuffle_rank"]) == list(range(1, n + 1))
+    assert out["doc_id"].is_unique
