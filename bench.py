@@ -152,6 +152,8 @@ _TRAINING_BENCH = [
     "chunk_dedup",
     "pack_sequences",
     "source_report",
+    "shuffle_order",
+    "mixture_sample",
 ]
 
 
