@@ -89,7 +89,7 @@ _ORDER = [
     # exact dedup with doc reassembly, sequence packing via distributed
     # prefix sum (all fully SQL-oracled)
     "span_dup_stats", "chunk_dedup", "pack_sequences", "source_report",
-    "shuffle_order", "mixture_sample",
+    "shuffle_order", "mixture_sample", "oov_stats",
 ]
 
 

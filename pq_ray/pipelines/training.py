@@ -3874,3 +3874,85 @@ ORACLES["mixture_sample"] = f"""
           < (ascii(substr(md5(source), 1, 1)) % 5 + 1) * {_MIX_TENTH}
     ORDER BY source, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV stats (round 5): per-doc out-of-vocabulary
+# rate against the corpus top-K vocabulary — the tokenizer-coverage
+# signal read before freezing a vocab.
+# ---------------------------------------------------------------------------
+
+OOV_K = 10  # reference vocabulary = the corpus top-K tokens
+
+
+def q_oov_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-doc token count, OOV count and OOV rate against the exact
+    corpus top-OOV_K vocabulary (count DESC, token ASC tie-break — the
+    same deterministic rule as vocab_topk).
+
+    Ray plan: the vocabulary comes from the existing top-K exchange
+    (driver-small: K tokens), then ONE streaming pass over the corpus
+    counts per-doc misses with a broadcast membership set — no second
+    exchange.  All integers; the rate is a single exact division."""
+    vocab = set(q_vocab_topk(sf_dir, k=OOV_K)["token"].tolist())
+    vocab_ref = ray.put(vocab)
+
+    class Count:
+        """Actor-pool stage: the vocab set unpickles once per actor."""
+
+        def __init__(self):
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["text"].str.split(" ")
+            n_tok = toks.str.len().to_numpy().astype(np.int64)
+            flat = toks.explode()
+            miss = ~flat.isin(self.vocab)
+            n_oov = (
+                miss.groupby(level=0)
+                .sum()
+                .reindex(df.index)
+                .to_numpy()
+                .astype(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                    "n_tok": n_tok,
+                    "n_oov": n_oov,
+                    "oov_ratio": n_oov / n_tok,
+                }
+            )
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(Count, batch_format="pandas", concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES["oov_stats"] = q_oov_stats
+ORACLES["oov_stats"] = f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    c AS (SELECT token, COUNT(*) AS n FROM w GROUP BY token),
+    v AS (
+        SELECT token FROM c
+        QUALIFY row_number() OVER (ORDER BY n DESC, token) <= {OOV_K}
+    ),
+    per AS (
+        SELECT w.doc_id, COUNT(*) AS n_tok,
+               SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM w LEFT JOIN v USING (token) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(n_oov AS DOUBLE) / n_tok AS oov_ratio
+    FROM per
+    ORDER BY doc_id
+"""

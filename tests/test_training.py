@@ -906,3 +906,25 @@ def test_shuffle_order_is_permutation(ray_session):
     n = len(out)
     assert sorted(out["shuffle_rank"]) == list(range(1, n + 1))
     assert out["doc_id"].is_unique
+
+
+def test_oov_stats_oracle_parity(ray_session):
+    """Round-5: per-doc OOV rate vs the exact top-K vocab equals DuckDB
+    (shared deterministic top-K rule: count DESC, token ASC)."""
+    import duckdb
+
+    from pq_ray.pipelines.training import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = QUERIES["oov_stats"](sf)
+    exp = con.sql(ORACLES["oov_stats"]).df()
+    g = got.reset_index(drop=True)[sorted(got.columns)]
+    x = exp.reset_index(drop=True)[sorted(exp.columns)]
+    assert len(g) == len(x) > 0
+    assert (g["n_oov"] > 0).any() and (g["n_oov"] <= g["n_tok"]).all()
+    assert g.astype(str).equals(x.astype(str))
