@@ -154,6 +154,7 @@ _TRAINING_BENCH = [
     "source_report",
     "shuffle_order",
     "mixture_sample",
+    "oov_stats",
 ]
 
 
