@@ -2491,6 +2491,17 @@ _KNUTH = 2654435761  # Knuth multiplicative hash; doc_id*K mod 2^32 is
 # expressible exactly in both int64 numpy and SQL BIGINT arithmetic
 
 
+def _knuth_key(ids: np.ndarray) -> np.ndarray:
+    """(id * K) mod 2^32 in uint64 arithmetic — the ONE implementation
+    every sampling/ordering op shares.  uint64 wrap-around multiply is
+    exact here because power-of-two moduli nest ((x mod 2^64) mod 2^32
+    == x mod 2^32), so the key never goes negative where plain int64
+    overflow (ids > ~3.4e9) would flip signs, de-rank rows, or route
+    them to a dropped bucket."""
+    u = np.asarray(ids).astype(np.int64).astype(np.uint64)
+    return ((u * np.uint64(_KNUTH)) % np.uint64(1 << 32)).astype(np.int64)
+
+
 def q_stratified_sample(sf_dir: str, n_per_source: int = 10) -> pd.DataFrame:
     """The N lowest-hash docs of each source stratum.
 
@@ -2508,7 +2519,7 @@ def q_stratified_sample(sf_dir: str, n_per_source: int = 10) -> pd.DataFrame:
     )
 
     def _top_n(df: pd.DataFrame) -> pd.DataFrame:
-        key = (df["doc_id"].to_numpy(dtype=np.int64) * _KNUTH) % (1 << 32)
+        key = _knuth_key(df["doc_id"].to_numpy(dtype=np.int64))
         order = np.lexsort((df["doc_id"].to_numpy(), key, df["source"].to_numpy()))
         src = df["source"].to_numpy()[order]
         starts = np.ones(len(src), dtype=bool)
@@ -3730,7 +3741,7 @@ def q_shuffle_order(sf_dir: str, sink_dir: str | None = None):
     fixed equal slices of the key space; per-range counts fold to the
     driver (tiny), cumulative bases close into the range-keyed exchange
     whose reduce sorts its slice by (key, doc_id) and emits base+local
-    ranks.  Narrow (doc_id, key) rows are materialized once."""
+    ranks.  Narrow (doc_id, key, rbucket) rows are materialized once."""
     path = f"{sf_dir}/documents.parquet"
     nb = buckets_for_table(sf_dir, "documents")
     ids_ds = rd.read_parquet(
@@ -3740,7 +3751,7 @@ def q_shuffle_order(sf_dir: str, sink_dir: str | None = None):
 
     def rows(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        key = (ids * _KNUTH) % (1 << 32)
+        key = _knuth_key(ids)  # total for every int64 id (never negative)
         return pd.DataFrame(
             {
                 "doc_id": ids,
@@ -3844,8 +3855,12 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
     )
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
+        # SQL parity: a NULL source makes the oracle's WHERE evaluate to
+        # NULL (row excluded); drop such rows before hashing, instead of
+        # pandas stringifying None into the hashable "None"
+        df = df[df["source"].notna()]
         ids = df["doc_id"].to_numpy().astype(np.int64)
-        key = (ids * _KNUTH) % (1 << 32)
+        key = _knuth_key(ids)
         tenths = _mixture_rate_tenths(df["source"].to_numpy())
         keep = key < tenths * _MIX_TENTH
         return pd.DataFrame(
@@ -3892,41 +3907,35 @@ def q_oov_stats(sf_dir: str) -> pd.DataFrame:
 
     Ray plan: the vocabulary comes from the existing top-K exchange
     (driver-small: K tokens), then ONE streaming pass over the corpus
-    counts per-doc misses with a broadcast membership set — no second
-    exchange.  All integers; the rate is a single exact division."""
-    vocab = set(q_vocab_topk(sf_dir, k=OOV_K)["token"].tolist())
-    vocab_ref = ray.put(vocab)
+    counts per-doc misses.  The vocab is OOV_K strings, so a stateless
+    task-pool map closing over a frozenset beats an actor pool (no
+    per-actor warmup, full autoscaling).  All integers; the rate is a
+    single exact division."""
+    vocab = frozenset(q_vocab_topk(sf_dir, k=OOV_K)["token"].tolist())
 
-    class Count:
-        """Actor-pool stage: the vocab set unpickles once per actor."""
-
-        def __init__(self):
-            self.vocab = ray.get(vocab_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            toks = df["text"].str.split(" ")
-            n_tok = toks.str.len().to_numpy().astype(np.int64)
-            flat = toks.explode()
-            miss = ~flat.isin(self.vocab)
-            n_oov = (
-                miss.groupby(level=0)
-                .sum()
-                .reindex(df.index)
-                .to_numpy()
-                .astype(np.int64)
-            )
-            return pd.DataFrame(
-                {
-                    "doc_id": df["doc_id"].to_numpy().astype(np.int64),
-                    "n_tok": n_tok,
-                    "n_oov": n_oov,
-                    "oov_ratio": n_oov / n_tok,
-                }
-            )
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n_tok = toks.str.len().to_numpy().astype(np.int64)
+        # split(" ") yields >=1 token per doc ("" -> [""]), matching the
+        # oracle's unnest, so every reduceat segment is non-empty
+        miss = (~toks.explode().isin(vocab)).to_numpy().astype(np.int64)
+        if len(n_tok):
+            offsets = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+            n_oov = np.add.reduceat(miss, offsets)
+        else:
+            n_oov = np.zeros(0, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "n_tok": n_tok,
+                "n_oov": n_oov,
+                "oov_ratio": n_oov / n_tok,
+            }
+        )
 
     return (
         _read_docs(sf_dir)
-        .map_batches(Count, batch_format="pandas", concurrency=2)
+        .map_batches(count, batch_format="pandas")
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

@@ -108,3 +108,22 @@ def test_shuffle_order_matches_naive(ray_session, tmp_path_factory, docs):
     expect = {doc_id: r + 1 for r, doc_id in enumerate(order)}
     for i in range(len(docs)):
         assert out.loc[i, "shuffle_rank"] == expect[i]
+
+
+def test_knuth_key_total_for_any_int64():
+    """_knuth_key must be total over int64: negative or huge doc_ids map
+    to a key in [0, 2^32) that matches exact bigint arithmetic, so no
+    row can route to a negative (dropped) exchange bucket."""
+    from pq_ray.pipelines.training import _knuth_key
+
+    ids = np.array(
+        [-1, -(2**63), -2654435761, 0, 1, 2**31, 2**33, 2**62, 2**63 - 1],
+        dtype=np.int64,
+    )
+    key = _knuth_key(ids)
+    assert key.dtype == np.int64
+    assert (key >= 0).all() and (key < 2**32).all()
+    for i, k in zip(ids.tolist(), key.tolist()):
+        # two's-complement view: numpy's uint64 cast is i mod 2^64, and
+        # mod 2^32 nests inside it, so exact bigint (i*K) % 2^32 agrees
+        assert k == (i * _KNUTH) % (1 << 32)
