@@ -27,6 +27,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Bench corpus size: 1M docs ≈ 155M token samples at the default length
@@ -97,6 +99,26 @@ def host_canary_gbps() -> float:
         m.close()
         time.sleep(0.5)
     return round(worst, 3)
+
+
+def cpu_canary_sec() -> float:
+    """Wall time of a fixed single-thread numpy sort, seconds.
+
+    The memory-bandwidth canary above misses a second noise dimension:
+    whole-window CPU slowdown (observed: byte-identical cascade runs at
+    4.4 s and 7.8 s with first-touch ≥1.3 GB/s in both windows —
+    host CPU steal / frequency, not paging).  A fixed ~0.4 s sort is a
+    pure-CPU yardstick: ~0.28 s quiet (measured); materially above that
+    = slow window (expect proportional headline inflation).  Recorded
+    once per draw so every headline is attributable."""
+    n = 16_000_000
+    arr = (np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+        (1 << 63) - 1
+    )
+    np.sort(arr)  # untimed: faults in the work buffer so the timed pass is pure CPU
+    t0 = time.perf_counter()
+    np.sort(arr)
+    return round(time.perf_counter() - t0, 3)
 
 
 def _time_query(fn) -> float:
@@ -204,9 +226,11 @@ def main() -> None:
     # Every draw's wall time is recorded in the output ("draws") so a
     # headline is interpretable as min-of-N — the adaptive re-draws
     # below make N vary between runs (ADVICE r4).
+    cpu_canaries = [cpu_canary_sec()]
     headline = run_headline()
     draws = [round(headline["sec"], 3)]
     if os.environ.get("GRAFT_BENCH_REPS", "2") == "2":
+        cpu_canaries.append(cpu_canary_sec())
         second = run_headline()
         draws.append(round(second["sec"], 3))
         if second["sec"] < headline["sec"]:
@@ -217,6 +241,7 @@ def main() -> None:
         # attempts recover a quiet number when the flap window allows
         quiet_ceiling = 6.0 * (BENCH_DOCS / 1_000_000)
         while headline["sec"] > quiet_ceiling > 0 and len(draws) < 4:
+            cpu_canaries.append(cpu_canary_sec())
             again = run_headline()
             draws.append(round(again["sec"], 3))
             if again["sec"] < headline["sec"]:
@@ -236,6 +261,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "bench_docs": BENCH_DOCS,
                 "draws": draws,
+                "cpu_canary_per_draw": cpu_canaries,
                 "raw_samples": headline["raw_samples"],
                 "samples_per_sec": round(headline["samples_per_sec"]),
                 "tier_rows": headline["tier_rows"],
