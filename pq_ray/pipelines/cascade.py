@@ -373,6 +373,14 @@ def run_cascade(
     # worthwhile when the decoder holds heavyweight state).
     stats: dict = {"tier_rows": {}, "skipped": [], "raw_samples": 0}
     corpus_fp = mf.dir_fingerprint(corpus_path)
+    # per-file inventory: the append diff source for incremental refresh
+    # (pipelines/refresh.py) — {basename: size} of the corpus files this
+    # build consumed
+    input_files = {
+        n: os.path.getsize(os.path.join(corpus_path, n))
+        for n in sorted(os.listdir(corpus_path))
+        if n.endswith(".parquet")
+    }
 
     if all(mf.is_complete(tier_dir(out_dir, t), corpus_fp) for t in tiers):
         for t in tiers:
@@ -561,7 +569,10 @@ def run_cascade(
         for t in fine_tiers:
             tdir = tier_dir(out_dir, t)
             os.makedirs(tdir, exist_ok=True)
-            extra: dict = {"exchange_buckets": bucket_stats}
+            extra: dict = {
+                "exchange_buckets": bucket_stats,
+                "input_files": input_files,
+            }
             if t == tiers[0]:
                 extra["raw_samples"] = raw_samples
             mf.publish(
@@ -723,6 +734,7 @@ def run_cascade(
         if t == tiers[0]:
             extra["raw_samples"] = raw_samples
         extra["exchange_buckets"] = bucket_stats
+        extra["input_files"] = input_files
         m = mf.publish(
             tdir,
             tier_ms=t,
