@@ -572,6 +572,7 @@ def run_cascade(
             extra: dict = {
                 "exchange_buckets": bucket_stats,
                 "input_files": input_files,
+                "exchange_mode": "narrow" if use_narrow else "wide",
             }
             if t == tiers[0]:
                 extra["raw_samples"] = raw_samples
@@ -735,6 +736,7 @@ def run_cascade(
             extra["raw_samples"] = raw_samples
         extra["exchange_buckets"] = bucket_stats
         extra["input_files"] = input_files
+        extra["exchange_mode"] = "narrow" if use_narrow else "wide"
         m = mf.publish(
             tdir,
             tier_ms=t,

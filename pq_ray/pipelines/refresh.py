@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import shutil
 import time
 
@@ -55,6 +56,17 @@ import numpy as np
 
 from ..state import manifest as mf
 from .cascade import DEFAULT_TIERS, NUMERIC_COLS, run_cascade, tier_dir
+
+# bucket index baked into tier file names by the fused gather
+# (part-<bucket>.parquet) and by per-bucket merge outputs
+# (part-<bucket>-<inc_id>.parquet); compaction output (compacted-N)
+# does not parse, which correctly disables the per-bucket fast path
+_BUCKET_RE = re.compile(r"^part-(\d+)(?:[.-]|$)")
+
+
+def _bucket_tag(name: str) -> int | None:
+    m = _BUCKET_RE.match(name)
+    return int(m.group(1)) if m else None
 
 REFRESH_JOURNAL = "_REFRESH_JOURNAL.json"
 LINEAGE_FILE = "_REFRESH.json"
@@ -141,17 +153,74 @@ def _combine_points_table(t: "pa.Table") -> "pa.Table":
     return pa.table(arrays)
 
 
+def _combine_files_to_tmp(paths: list[str], dst_tmp: str) -> int:
+    """Read + key-combine ``paths``, write the canonical table to
+    ``dst_tmp``.  Runs as a Ray task in the per-bucket fast path (one
+    task per bucket — bucket-bounded memory) and inline in the global
+    fallback."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    merged = _combine_points_table(
+        pa.concat_tables(
+            [pq.read_table(p) for p in paths], promote_options="default"
+        )
+    )
+    pq.write_table(merged, dst_tmp)
+    return merged.num_rows
+
+
+def _commit_merge(
+    tdir: str, inc_id: str, outputs: list[str], inputs_main: list[str],
+    inputs_staging: list[str],
+) -> None:
+    """Journal → rename → remove-inputs → clear: the crash-safe commit
+    shared by both merge modes (tmp files must already exist)."""
+    jp = os.path.join(tdir, REFRESH_JOURNAL)
+    with open(jp + ".tmp", "w") as f:
+        json.dump(
+            {
+                "inc_id": inc_id,
+                "outputs": outputs,
+                "inputs_main": inputs_main,
+                "inputs_staging": inputs_staging,
+            },
+            f,
+        )
+    os.replace(jp + ".tmp", jp)  # commit point: recovery rolls back/forward
+    for name in outputs:
+        dst = os.path.join(tdir, name)
+        os.replace(dst + ".inc.tmp", dst)
+    for name in inputs_main:
+        os.remove(os.path.join(tdir, name))
+    for p in inputs_staging:
+        os.remove(p)
+    os.remove(jp)
+
+
 def _merge_tier_delta(
-    tdir: str, staging_tdir: str, inc_id: str, target_rows: int = 2_000_000
+    tdir: str,
+    staging_tdir: str,
+    inc_id: str,
+    target_rows: int = 2_000_000,
+    pair_buckets: bool = False,
 ) -> dict:
     """Journaled key-combining merge of a tier's delta into the tier.
 
-    Inputs: every staging delta file + the main files whose footer
-    ``window_ts`` range overlaps the delta's span (time-ordered appends
-    → boundary windows only).  Output: ``part-b<bucket>-<inc_id>.parquet``
-    canonical files (≤ target_rows each).  Crash-safe via
-    ``recover_tier_merge``'s journal contract."""
-    import pyarrow as pa
+    Two modes, identical results and identical crash contract
+    (``recover_tier_merge``):
+
+    - **per-bucket** (``pair_buckets=True``, the scale path): the delta
+      ran with the SAME bucket hash and count as the main build, so
+      ``part-<b>*.parquet`` files pair by bucket index — each touched
+      bucket merges in its own Ray task (bucket-bounded memory,
+      buckets in parallel), untouched buckets are never read.  Requires
+      every file name to carry a bucket tag; compaction output doesn't,
+      which automatically falls back.
+    - **global** (fallback, always correct): one inline combine of the
+      delta files + the main files whose footer ``window_ts`` range
+      overlaps the delta's span (boundary-sized for time-ordered
+      appends; at worst one tier, never the corpus)."""
     import pyarrow.parquet as pq
 
     from .retention import _file_window_range
@@ -172,14 +241,52 @@ def _merge_tier_delta(
     if not staged:
         return {"delta_files": 0, "rows_out": 0, "rewritten_files": 0}
     os.makedirs(tdir, exist_ok=True)
+    main_files = _tier_parquet_files(tdir)
+
+    staged_tags = {p: _bucket_tag(os.path.basename(p)) for p in staged}
+    main_tags = {p: _bucket_tag(os.path.basename(p)) for p in main_files}
+    if (
+        pair_buckets
+        and all(t is not None for t in staged_tags.values())
+        and all(t is not None for t in main_tags.values())
+    ):
+        import ray
+
+        task = ray.remote(_combine_files_to_tmp)
+        touched = sorted({t for t in staged_tags.values()})
+        by_bucket = {
+            b: [p for p, t in staged_tags.items() if t == b]
+            + [p for p, t in main_tags.items() if t == b]
+            for b in touched
+        }
+        outputs = [f"part-{b:05d}-{inc_id}.parquet" for b in touched]
+        refs = [
+            task.remote(by_bucket[b], os.path.join(tdir, name + ".inc.tmp"))
+            for b, name in zip(touched, outputs)
+        ]
+        rows_out = int(sum(ray.get(refs)))
+        inputs_main = sorted(
+            os.path.basename(p) for p, t in main_tags.items() if t in set(touched)
+        )
+        _commit_merge(tdir, inc_id, outputs, inputs_main, sorted(staged))
+        return {
+            "mode": "bucket",
+            "delta_files": len(staged),
+            "buckets_merged": len(touched),
+            "rewritten_files": len(inputs_main),
+            "rows_out": rows_out,
+        }
+
     ranges = [_range(p) for p in staged]
     lo = min(r[0] for r in ranges)
     hi = max(r[1] for r in ranges)
     overlapping = []
-    for p in _tier_parquet_files(tdir):
+    for p in main_files:
         r = _range(p)
         if r is None or not (r[1] < lo or r[0] > hi):
             overlapping.append(p)
+    import pyarrow as pa
+
     merged = _combine_points_table(
         pa.concat_tables(
             [pq.read_table(p) for p in staged + overlapping],
@@ -196,25 +303,15 @@ def _merge_tier_delta(
             merged.slice(i * step, step),
             os.path.join(tdir, name + ".inc.tmp"),
         )
-    jp = os.path.join(tdir, REFRESH_JOURNAL)
-    with open(jp + ".tmp", "w") as f:
-        json.dump(
-            {
-                "inc_id": inc_id,
-                "outputs": outputs,
-                "inputs_main": [os.path.basename(p) for p in overlapping],
-                "inputs_staging": [os.path.abspath(p) for p in staged],
-            },
-            f,
-        )
-    os.replace(jp + ".tmp", jp)  # commit point: recovery rolls back/forward
-    for name in outputs:
-        dst = os.path.join(tdir, name)
-        os.replace(dst + ".inc.tmp", dst)
-    for p in overlapping + staged:
-        os.remove(p)
-    os.remove(jp)
+    _commit_merge(
+        tdir,
+        inc_id,
+        outputs,
+        [os.path.basename(p) for p in overlapping],
+        [os.path.abspath(p) for p in staged],
+    )
     return {
+        "mode": "global",
         "delta_files": len(staged),
         "rewritten_files": len(overlapping),
         "rows_out": merged.num_rows,
@@ -309,22 +406,38 @@ def refresh_cascade(
     # 2) delta cascade into staging (full tier list so the bucket span —
     # and hence the exchange key — matches the main run; no chunks/gaps,
     # they are rebuilt from the merged tiers in step 5).  run_cascade's
-    # own manifests make this step resumable.
+    # own manifests make this step resumable.  The delta reuses the MAIN
+    # build's bucket count so the per-bucket merge fast path can pair
+    # files by bucket index.
+    main_nb = (raw_m.get("exchange_buckets") or {}).get("num_buckets")
+    sub_kwargs = dict(cascade_kwargs)
+    if main_nb and "num_buckets" not in sub_kwargs:
+        sub_kwargs["num_buckets"] = int(main_nb)
     sub = run_cascade(
         staging_corpus,
         staging_out,
         tiers,
         chunk_min_tier_ms=1 << 62,
         write_gaps=False,
-        **cascade_kwargs,
+        **sub_kwargs,
     )
     delta_raw = int(sub["raw_samples"])
 
     # 3) merge the delta partials into each FINE tier (the coarsest tier
-    # is rebuilt from the merged top fine tier in step 5)
+    # is rebuilt from the merged top fine tier in step 5).  Per-bucket
+    # fast path iff delta and main ran the same exchange (same bucket
+    # hash + count) — otherwise the window-overlap global merge.
+    sub_m = mf.load(tier_dir(staging_out, tiers[0])) or {}
+    pair = (
+        main_nb is not None
+        and (sub_m.get("exchange_buckets") or {}).get("num_buckets") == main_nb
+        and raw_m.get("exchange_mode") is not None
+        and sub_m.get("exchange_mode") == raw_m.get("exchange_mode")
+    )
     merges = {
         str(t): _merge_tier_delta(
-            tier_dir(out_dir, t), tier_dir(staging_out, t), inc_id
+            tier_dir(out_dir, t), tier_dir(staging_out, t), inc_id,
+            pair_buckets=pair,
         )
         for t in fine
     }

@@ -137,6 +137,9 @@ def test_refresh_append_matches_full_build(corpus_table, reference_out, tmp_path
         stats["refresh"]["delta_raw_samples"]
         == ref_stats["raw_samples"] - s0["raw_samples"]
     )
+    # same exchange on both sides -> the per-bucket parallel fast path
+    for t in TIERS[:-1]:
+        assert stats["refresh"]["merges"][str(t)]["mode"] == "bucket"
     _assert_equivalent(out, ref_out)
     # manifests point at the full corpus now
     m = json.load(open(os.path.join(tier_dir(out, TIERS[0]), "_MANIFEST.json")))
@@ -170,6 +173,31 @@ def test_refresh_two_successive_appends(corpus_table, reference_out, tmp_path):
     _assert_equivalent(out, ref_out)
     lin = json.load(open(os.path.join(out, "_REFRESH.json")))
     assert len(lin["increments"]) == 2
+
+
+def test_refresh_after_compaction_uses_global_merge(
+    corpus_table, reference_out, tmp_path
+):
+    """Compaction strips the bucket tags from the raw tier's file names;
+    the merge must fall back to the window-overlap global mode there —
+    and still produce the exact full-build result."""
+    from pq_ray.pipelines.retention import compact_tier
+
+    ref_out, _ = reference_out
+    corpus, out, append = _initial_then_append(corpus_table, tmp_path)
+    run_cascade(corpus, out, TIERS)
+    compact_tier(out, TIERS[0], target_rows=10_000_000)
+    assert any(
+        n.startswith("compacted-")
+        for n in os.listdir(tier_dir(out, TIERS[0]))
+    )
+    append()
+    stats = refresh_cascade(corpus, out, TIERS)
+    assert stats["refresh"]["mode"] == "incremental"
+    assert stats["refresh"]["merges"][str(TIERS[0])]["mode"] == "global"
+    # untouched (uncompacted) tiers still take the fast path
+    assert stats["refresh"]["merges"][str(TIERS[1])]["mode"] == "bucket"
+    _assert_equivalent(out, ref_out)
 
 
 def test_refresh_no_prior_build_is_full_build(corpus_table, reference_out, tmp_path):
