@@ -34,6 +34,12 @@ def main() -> int:
                          "corpus parquet metadata (stages/sizing.py)")
     ap.add_argument("--retention-now", type=int, default=None,
                     help="apply the retention policy as of this Unix ms")
+    ap.add_argument("--refresh", action="store_true",
+                    help="incremental continuous-aggregate refresh: decode "
+                         "only corpus files appended since the last build "
+                         "and merge them into the tiers (falls back to a "
+                         "full build/rebuild when the diff is not an "
+                         "append; pipelines/refresh.py)")
     args = ap.parse_args()
 
     import ray
@@ -47,12 +53,17 @@ def main() -> int:
 
     from pq_ray.pipelines.cascade import run_cascade
 
-    stats = run_cascade(
-        args.corpus,
-        args.out,
-        tiers=[int(t) for t in args.tiers.split(",")],
-        num_buckets=args.buckets,
-    )
+    tiers = [int(t) for t in args.tiers.split(",")]
+    if args.refresh:
+        from pq_ray.pipelines.refresh import refresh_cascade
+
+        stats = refresh_cascade(
+            args.corpus, args.out, tiers, num_buckets=args.buckets
+        )
+    else:
+        stats = run_cascade(
+            args.corpus, args.out, tiers=tiers, num_buckets=args.buckets
+        )
     if args.retention_now is not None:
         from pq_ray.pipelines.retention import apply_retention
 

@@ -411,7 +411,7 @@ def refresh_cascade(
     # files by bucket index.
     main_nb = (raw_m.get("exchange_buckets") or {}).get("num_buckets")
     sub_kwargs = dict(cascade_kwargs)
-    if main_nb and "num_buckets" not in sub_kwargs:
+    if main_nb and sub_kwargs.get("num_buckets") is None:
         sub_kwargs["num_buckets"] = int(main_nb)
     sub = run_cascade(
         staging_corpus,
