@@ -351,7 +351,14 @@ def refresh_cascade(
     any point converges on the next call (journal replay + manifest
     fingerprints), with no data loss and no duplicated points."""
     tiers = sorted(tiers or DEFAULT_TIERS)
-    fine = tiers if len(tiers) == 1 else tiers[:-1]
+    if len(tiers) == 1:
+        # single-tier pipelines have no fine-resume rebuild to regenerate
+        # chunk/gap sidecars from a merged tier — a full rebuild is the
+        # correct (and not meaningfully slower) path there
+        stats = run_cascade(corpus_path, out_dir, tiers, **cascade_kwargs)
+        stats["refresh"] = {"mode": "full_rebuild_single_tier"}
+        return stats
+    fine = tiers[:-1]
     raw_dir = tier_dir(out_dir, tiers[0])
     # journal replay first: a crashed previous merge must converge
     # before anything reads the tier dirs
@@ -413,14 +420,11 @@ def refresh_cascade(
     sub_kwargs = dict(cascade_kwargs)
     if main_nb and sub_kwargs.get("num_buckets") is None:
         sub_kwargs["num_buckets"] = int(main_nb)
-    sub = run_cascade(
-        staging_corpus,
-        staging_out,
-        tiers,
-        chunk_min_tier_ms=1 << 62,
-        write_gaps=False,
-        **sub_kwargs,
-    )
+    # the delta never writes chunks or gaps — they are rebuilt from the
+    # merged tiers in step 5 (override, don't duplicate, caller kwargs)
+    sub_kwargs["chunk_min_tier_ms"] = 1 << 62
+    sub_kwargs["write_gaps"] = False
+    sub = run_cascade(staging_corpus, staging_out, tiers, **sub_kwargs)
     delta_raw = int(sub["raw_samples"])
 
     # 3) merge the delta partials into each FINE tier (the coarsest tier
