@@ -41,6 +41,17 @@ append-only diff never guesses.
 Lineage: every increment appends {inc_id, files, delta samples,
 per-tier merge stats} to ``out_dir/_REFRESH.json`` (idempotent by
 inc_id), on top of the per-tier manifests the cascade already keeps.
+
+Interplay with retention/compaction: a late-arriving append whose
+samples fall before a tier's pruned horizon re-introduces those windows
+until the next ``apply_retention`` pass (standard continuous-aggregate
+behavior — retention is a policy sweep, not an ingest filter), and
+compaction's untagged output files simply demote that tier's next merge
+to the global mode.  Float exactness bound: partial sums are integers
+carried in float64, exact up to 2^53 — the same bound the in-run tree
+combine already assumes; beyond it, merge order could round differently
+than a monolithic build (not reachable with the bounded token values
+this engine decodes).
 """
 
 from __future__ import annotations
