@@ -361,12 +361,12 @@ def scaling() -> None:
                     str(n): [r.get("host_first_touch_gbps") for r in rs]
                     for n, rs in runs.items()
                 },
-                # per-run single-thread CPU canary (sec; ~0.28 quiet) —
-                # catches the steal flavor the first-touch probe misses
+                # per-run single-thread CPU canary lists (sec; ~0.28
+                # quiet), one entry per draw of that run, so every
+                # draw — not just the first — is attributable; catches
+                # the steal flavor the first-touch probe misses
                 "cpu_canary_sec": {
-                    str(n): [
-                        (r.get("cpu_canary_per_draw") or [None])[0] for r in rs
-                    ]
+                    str(n): [r.get("cpu_canary_per_draw") for r in rs]
                     for n, rs in runs.items()
                 },
             }

@@ -376,11 +376,7 @@ def run_cascade(
     # per-file inventory: the append diff source for incremental refresh
     # (pipelines/refresh.py) — {basename: size} of the corpus files this
     # build consumed
-    input_files = {
-        n: os.path.getsize(os.path.join(corpus_path, n))
-        for n in sorted(os.listdir(corpus_path))
-        if n.endswith(".parquet")
-    }
+    input_files = mf.input_inventory(corpus_path)
 
     if all(mf.is_complete(tier_dir(out_dir, t), corpus_fp) for t in tiers):
         for t in tiers:
@@ -573,6 +569,7 @@ def run_cascade(
                 "exchange_buckets": bucket_stats,
                 "input_files": input_files,
                 "exchange_mode": "narrow" if use_narrow else "wide",
+                "tiers": tiers,
             }
             if t == tiers[0]:
                 extra["raw_samples"] = raw_samples
@@ -737,6 +734,7 @@ def run_cascade(
         extra["exchange_buckets"] = bucket_stats
         extra["input_files"] = input_files
         extra["exchange_mode"] = "narrow" if use_narrow else "wide"
+        extra["tiers"] = tiers
         m = mf.publish(
             tdir,
             tier_ms=t,

@@ -63,8 +63,6 @@ import re
 import shutil
 import time
 
-import numpy as np
-
 from ..state import manifest as mf
 from .cascade import DEFAULT_TIERS, NUMERIC_COLS, run_cascade, tier_dir
 
@@ -84,13 +82,19 @@ LINEAGE_FILE = "_REFRESH.json"
 LABEL_COLS = ["name", "source", "shard"]
 
 
-def corpus_inventory(path: str) -> dict[str, int]:
-    """{parquet basename: size} — the manifest's append-diff inventory."""
-    return {
-        n: os.path.getsize(os.path.join(path, n))
-        for n in sorted(os.listdir(path))
-        if n.endswith(".parquet")
-    }
+# the manifest's append-diff inventory (shared with run_cascade's
+# manifest publishes so the two sides can never skew)
+corpus_inventory = mf.input_inventory
+
+
+def _sweep_stale_staging(out_dir: str, keep: str) -> None:
+    """Remove `_staging_*` dirs from refreshes whose corpus fingerprint
+    was superseded before they completed (orphaned delta copies)."""
+    if not os.path.isdir(out_dir):
+        return
+    for n in os.listdir(out_dir):
+        if n.startswith("_staging_") and n != os.path.basename(keep):
+            shutil.rmtree(os.path.join(out_dir, n), ignore_errors=True)
 
 
 def _tier_parquet_files(tdir: str) -> list[str]:
@@ -237,18 +241,22 @@ def _merge_tier_delta(
     from .retention import _file_window_range
 
     def _range(path: str) -> tuple[int, int] | None:
-        # None for empty files or footers without window_ts statistics —
-        # callers treat None as "unknown" (delta: skip; main: include,
-        # which is always safe for a key-combining merge)
+        # None = footer has no usable window_ts statistics.  Callers
+        # treat None conservatively: a stat-less file is INCLUDED in the
+        # merge (delta: full-span; main: overlap-everything) — the only
+        # files dropped are genuinely EMPTY ones (the num_rows check
+        # below), never rows
         try:
-            if pq.ParquetFile(path).metadata.num_rows == 0:
-                return None
             return _file_window_range(path)
         except (TypeError, AttributeError):
             return None
 
     recover_tier_merge(tdir)
-    staged = [p for p in _tier_parquet_files(staging_tdir) if _range(p)]
+    staged = [
+        os.path.abspath(p)
+        for p in _tier_parquet_files(staging_tdir)
+        if pq.ParquetFile(p).metadata.num_rows > 0
+    ]
     if not staged:
         return {"delta_files": 0, "rows_out": 0, "rewritten_files": 0}
     os.makedirs(tdir, exist_ok=True)
@@ -265,6 +273,7 @@ def _merge_tier_delta(
 
         task = ray.remote(_combine_files_to_tmp)
         touched = sorted({t for t in staged_tags.values()})
+        touched_set = set(touched)
         by_bucket = {
             b: [p for p, t in staged_tags.items() if t == b]
             + [p for p, t in main_tags.items() if t == b]
@@ -277,7 +286,7 @@ def _merge_tier_delta(
         ]
         rows_out = int(sum(ray.get(refs)))
         inputs_main = sorted(
-            os.path.basename(p) for p, t in main_tags.items() if t in set(touched)
+            os.path.basename(p) for p, t in main_tags.items() if t in touched_set
         )
         _commit_merge(tdir, inc_id, outputs, inputs_main, sorted(staged))
         return {
@@ -289,12 +298,14 @@ def _merge_tier_delta(
         }
 
     ranges = [_range(p) for p in staged]
-    lo = min(r[0] for r in ranges)
-    hi = max(r[1] for r in ranges)
+    # a stat-less delta file means an unknown span: widen to everything
+    lo = min((r[0] for r in ranges if r), default=None)
+    hi = max((r[1] for r in ranges if r), default=None)
+    unknown_span = any(r is None for r in ranges) or lo is None
     overlapping = []
     for p in main_files:
-        r = _range(p)
-        if r is None or not (r[1] < lo or r[0] > hi):
+        r = None if unknown_span else _range(p)
+        if unknown_span or r is None or not (r[1] < lo or r[0] > hi):
             overlapping.append(p)
     import pyarrow as pa
 
@@ -378,12 +389,39 @@ def refresh_cascade(
     corpus_fp = mf.dir_fingerprint(corpus_path)
     now = corpus_inventory(corpus_path)
     staging = os.path.join(out_dir, f"_staging_{corpus_fp[:12]}")
+    # orphaned staging dirs from refreshes whose fingerprint was
+    # superseded before completion are dead weight — sweep them (the
+    # CURRENT fingerprint's staging survives for resume)
+    _sweep_stale_staging(out_dir, staging)
     raw_m = mf.load(raw_dir)
 
     if raw_m is None or not raw_m.get("completed") or "input_files" not in raw_m:
         # no prior complete build (or a pre-inventory manifest): full run
         stats = run_cascade(corpus_path, out_dir, tiers, **cascade_kwargs)
         stats["refresh"] = {"mode": "full_build"}
+        return stats
+
+    if raw_m.get("tiers") != tiers or not all(
+        # complete at the old fingerprint, or already re-pointed at the
+        # new one by a refresh that crashed mid-manifest-loop (the raw
+        # tier moves last, so replay repeats the earlier steps as no-ops)
+        mf.is_complete(tier_dir(out_dir, t), raw_m["input_fingerprint"])
+        or mf.is_complete(tier_dir(out_dir, t), corpus_fp)
+        for t in fine
+    ):
+        # the tiers on disk were built with a DIFFERENT tier list (the
+        # bucket span / exchange key would not line up and a partial
+        # tier set would merge against missing history), or some fine
+        # tier never completed at the old fingerprint: the append diff
+        # cannot apply — full rebuild
+        shutil.rmtree(staging, ignore_errors=True)
+        stats = run_cascade(corpus_path, out_dir, tiers, **cascade_kwargs)
+        stats["refresh"] = {
+            "mode": "full_rebuild",
+            "reason": "tier_list_mismatch"
+            if raw_m.get("tiers") != tiers
+            else "incomplete_fine_tiers",
+        }
         return stats
 
     if raw_m["input_fingerprint"] == corpus_fp:

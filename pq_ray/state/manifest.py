@@ -37,6 +37,17 @@ def dir_fingerprint(path: str) -> str:
     return hashlib.md5(json.dumps(entries).encode()).hexdigest()
 
 
+def input_inventory(path: str) -> dict[str, int]:
+    """{parquet basename: size} of an input directory — the per-file
+    inventory manifests record so an incremental refresh can diff an
+    append from a rewrite (pipelines/refresh.py)."""
+    return {
+        n: os.path.getsize(os.path.join(path, n))
+        for n in sorted(os.listdir(path))
+        if n.endswith(".parquet")
+    }
+
+
 def load(tier_dir: str) -> dict | None:
     p = os.path.join(tier_dir, MANIFEST)
     if not os.path.exists(p):

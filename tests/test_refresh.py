@@ -357,3 +357,32 @@ def test_refresh_respects_caller_chunk_and_gap_kwargs(corpus_table, tmp_path):
     # chunks exist only for tiers >= the caller's chunk_min
     assert not os.path.isdir(os.path.join(out, "chunks", "tier_ms=60000"))
     assert os.path.isdir(os.path.join(out, "chunks", "tier_ms=3600000"))
+
+
+def test_refresh_tier_list_mismatch_rebuilds(corpus_table, tmp_path):
+    """An incremental merge against tiers built with a different tier
+    list would pair buckets hashed with different spans and merge into a
+    partial tier set — it must fall back to a full rebuild instead."""
+    corpus, out, append = _initial_then_append(corpus_table, tmp_path)
+    three = TIERS[:3]
+    run_cascade(corpus, out, three)
+    append()
+    stats = refresh_cascade(corpus, out, TIERS)  # four tiers now
+    assert stats["refresh"]["mode"] == "full_rebuild"
+    assert stats["refresh"]["reason"] == "tier_list_mismatch"
+    ref = str(tmp_path / "ref")
+    run_cascade(corpus, ref, TIERS)
+    for t in TIERS:
+        pd.testing.assert_frame_equal(
+            _tier_points(out, t), _tier_points(ref, t), check_like=True
+        )
+
+
+def test_refresh_sweeps_stale_staging(corpus_table, tmp_path):
+    corpus, out, append = _initial_then_append(corpus_table, tmp_path)
+    run_cascade(corpus, out, TIERS)
+    os.makedirs(os.path.join(out, "_staging_deadbeefdead"))
+    append()
+    stats = refresh_cascade(corpus, out, TIERS)
+    assert stats["refresh"]["mode"] == "incremental"
+    assert not any(n.startswith("_staging_") for n in os.listdir(out))
