@@ -521,6 +521,11 @@ def refresh_cascade(
             "input_files": now,
             "exchange_buckets": m_old.get("exchange_buckets", {}),
             "refreshed_inc": inc_id,
+            # carry the build identity forward: without these, a crash
+            # after the raw re-point would make the NEXT refresh read a
+            # tiers-less manifest and demote to a full rebuild
+            "tiers": tiers,
+            "exchange_mode": raw_m.get("exchange_mode"),
         }
         if t == tiers[0]:
             extra["raw_samples"] = int(m_old.get("raw_samples", 0)) + delta_raw
