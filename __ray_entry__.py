@@ -61,9 +61,11 @@ _ORDER = [
     "events_regr_1h", "events_changes_1h", "events_ewma_1m",
     # growth analytics (driver-recorded for the first time in round 5)
     "events_funnel", "events_new_users_1h", "events_retention_7d",
-    # pq tick-grid queries
+    # pq tick-grid queries (lb2m = the r5 general-lookback instant grid,
+    # lookback > interval — promoted into the driver window in place of
+    # the third aggregate kernel on the same exchange, quantile09)
     "pq_sum_by_event_1m", "pq_stddev_by_event_1h",
-    "pq_quantile09_by_event_1h", "pq_topk3_1h",
+    "pq_sum_by_event_1m_lb2m", "pq_topk3_1h",
     "pq_count_over_time_5m",
     # training-data ops
     "dedup_exact", "minhash_pairs", "token_stats",
@@ -76,7 +78,7 @@ _ORDER = [
     # pq_max rides pq_sum's instant-rollup exchange; jaccard_pairs is
     # minhash_pairs' exact anchor; interp rides gapfill; irate/dod ride
     # rate; dq_changes/dq_median ride dq_histq's sample-stream exchange)
-    "pq_sum_by_event_1m_lb2m",  # general-lookback instant grid (r5)
+    "pq_quantile09_by_event_1h",  # rides pq_sum's instant-grid exchange
     "jaccard_pairs", "dq_changes_1h", "dq_median_1h",
     "events_interp_1m", "events_irate_1h", "events_dod_delta",
     "pq_max_by_event_1h", "events_quantile_1h",
